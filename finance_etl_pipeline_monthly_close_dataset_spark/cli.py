@@ -1,0 +1,70 @@
+"""Command-line interface.
+
+The reference declares ``finance-etl run`` but ships it as a stub that
+prints a TODO (``/root/reference/src/finance_etl/cli.py:18-21``); here
+the CLI actually executes the pipeline (SURVEY.md §3.1). argparse, not
+Typer, to stay inside the baked-in dependency set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+from .config import Settings
+from .plans.pipeline import run_month
+from .sample_data import generate_synthetic_raw, write_chart_of_accounts
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="finance-etl-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="Run the monthly close for one month")
+    run_p.add_argument("--month", required=True, help="Target month YYYY-MM")
+    run_p.add_argument("--raw-dir", default="data/raw")
+    run_p.add_argument("--curated-dir", default="data/curated")
+    run_p.add_argument("--reference-dir", default="data/reference")
+    run_p.add_argument("--fail-on", default="ERROR", choices=["ERROR", "WARN", "NEVER"])
+    run_p.add_argument("--base-currency", default="USD")
+
+    gen_p = sub.add_parser("generate", help="Generate seeded synthetic raw data")
+    gen_p.add_argument("--out-dir", default="data/raw")
+    gen_p.add_argument("--reference-dir", default="data/reference")
+    gen_p.add_argument("--month", default="2025-12")
+    gen_p.add_argument("--seed", type=int, default=42)
+
+    sub.add_parser("version", help="Print version")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "version":
+        print(f"finance-etl-spark {__version__}")
+        return 0
+
+    if args.command == "generate":
+        generate_synthetic_raw(args.out_dir, month=args.month, seed=args.seed)
+        write_chart_of_accounts(args.reference_dir)
+        print(f"Synthetic raw data written to {args.out_dir}")
+        return 0
+
+    settings = Settings(base_currency=args.base_currency)
+    spark = get_spark()
+    outputs = run_month(
+        spark,
+        settings,
+        month=args.month,
+        raw_dir=args.raw_dir,
+        curated_dir=args.curated_dir,
+        reference_dir=args.reference_dir,
+        fail_on=args.fail_on,
+    )
+    for name, path in outputs.items():
+        print(f"{name}: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""End-to-end monthly-close orchestration (SURVEY.md §3.1).
+
+Mirrors ``run_month`` at
+``/root/reference/src/finance_etl/pipeline.py:50-191``:
+
+read typed CSVs -> collect ALL DQ exceptions -> severity -> write
+audit CSVs (ALWAYS, even when about to fail) -> gate -> month-window
+filter -> FX prep -> fact build -> KPI pivot -> Parquet sinks.
+
+Lazy-engine adaptation (SURVEY.md §7.4 item 7): the exceptions
+DataFrame is the one forced materialization point mid-pipeline -- it
+is cached before the gate decision, reused for the audit files, and
+the pipeline then proceeds from the ORIGINAL inputs (validation is a
+side-channel, not a transform -- Q17). Stages 6-9 stay one lazy plan
+until the writes.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import Settings
+from ..functions.datetime_fns import month_window
+from ..schemas import (
+    COA_SCHEMA,
+    DQ_EXCEPTIONS_SCHEMA,
+    EXPENSES_SCHEMA,
+    FX_SCHEMA,
+    INVENTORY_SCHEMA,
+    PAYROLL_SCHEMA,
+    SALES_SCHEMA,
+)
+from ..sources.readers import ROW_ID_COL, read_csv
+from ..sources.writers import write_csv_single_file, write_parquet
+from .quality import (
+    account_in_coa_exceptions,
+    add_severity,
+    build_dataset_specs,
+    collect_exceptions,
+    dq_overall_status,
+    dq_summary_table,
+    schema_shape_exceptions,
+)
+from .transforms import build_dim_accounts, fx_to_base, kpi_monthly, to_fact_transactions
+
+
+class DataQualityGateError(ValueError):
+    """Raised when the DQ gate fails (reference pipeline.py:145-146)."""
+
+
+def run_month(
+    spark: SparkSession,
+    settings: Settings,
+    month: str,
+    raw_dir: str | Path,
+    curated_dir: str | Path,
+    reference_dir: str | Path,
+    fail_on: str = "ERROR",
+) -> dict[str, Path]:
+    fail_on = (fail_on or "ERROR").upper().strip()
+    if fail_on not in {"ERROR", "WARN", "NEVER"}:
+        raise ValueError("fail_on must be one of: ERROR, WARN, NEVER")
+
+    raw_dir, curated_dir, reference_dir = Path(raw_dir), Path(curated_dir), Path(reference_dir)
+    os.makedirs(curated_dir, exist_ok=True)
+
+    # -- reference + raw scans (typed, no inference) -------------------------
+    coa = read_csv(spark, str(reference_dir / "chart_of_accounts.csv"), COA_SCHEMA)
+    dim_accounts = build_dim_accounts(coa)
+
+    sales = read_csv(spark, str(raw_dir / "sales.csv"), SALES_SCHEMA, with_row_id=True)
+    expenses = read_csv(spark, str(raw_dir / "expenses.csv"), EXPENSES_SCHEMA, with_row_id=True)
+    payroll = read_csv(spark, str(raw_dir / "payroll.csv"), PAYROLL_SCHEMA, with_row_id=True)
+    inventory = read_csv(
+        spark, str(raw_dir / "inventory_movements.csv"), INVENTORY_SCHEMA, with_row_id=True
+    )
+    fx_rates = read_csv(spark, str(raw_dir / "fx_rates.csv"), FX_SCHEMA, with_row_id=True)
+
+    frames = {
+        "sales": sales,
+        "expenses": expenses,
+        "payroll": payroll,
+        "inventory_movements": inventory,
+        "fx_rates": fx_rates,
+    }
+
+    # -- DQ collection (pandera-lazy equivalent: ALL failures) ---------------
+    specs = build_dataset_specs(settings.allowed_currencies, settings.base_currency)
+    exceptions = spark.createDataFrame([], DQ_EXCEPTIONS_SCHEMA)
+    for name, df in frames.items():
+        exceptions = exceptions.unionByName(schema_shape_exceptions(spark, df, specs[name]))
+        exceptions = exceptions.unionByName(collect_exceptions(df, specs[name]))
+    exceptions = exceptions.unionByName(account_in_coa_exceptions(sales, "sales", dim_accounts))
+    exceptions = exceptions.unionByName(
+        account_in_coa_exceptions(expenses, "expenses", dim_accounts)
+    )
+
+    dq_exceptions = add_severity(exceptions).cache()  # forced: the gate must decide
+
+    dq_exceptions_path = curated_dir / "dq_exceptions.csv"
+    dq_summary_path = curated_dir / "dq_summary.csv"
+
+    summary = dq_summary_table(dq_exceptions, fail_on=fail_on)
+    overall = dq_overall_status(dq_exceptions, fail_on=fail_on)
+
+    # audit trail is written BEFORE the gate can raise (pipeline.py:141-146)
+    write_csv_single_file(dq_exceptions, str(dq_exceptions_path))
+    write_csv_single_file(summary, str(dq_summary_path))
+
+    if overall == "FAIL" and fail_on != "NEVER":
+        raise DataQualityGateError(
+            f"Data quality checks failed. See {dq_exceptions_path} and {dq_summary_path}"
+        )
+
+    # -- month window (half-open [start, next-month-start)) ------------------
+    start_ts, end_ts = month_window(month)
+    in_window = (F.col("date") >= F.lit(start_ts)) & (F.col("date") < F.lit(end_ts))
+
+    v_sales = sales.filter(in_window).drop(ROW_ID_COL)
+    v_exp = expenses.filter(in_window).drop(ROW_ID_COL)
+    v_inv = inventory.filter(in_window).drop(ROW_ID_COL)
+    v_pay = payroll.filter(F.col("month") == F.lit(month)).drop(ROW_ID_COL)
+    v_fx = fx_rates.drop(ROW_ID_COL)
+
+    # -- fact + KPI (one lazy plan until the writes) --------------------------
+    fx = fx_to_base(v_fx, settings.base_currency)
+    fact = to_fact_transactions(v_sales, v_exp, v_pay, v_inv, fx, settings.base_currency)
+    kpi = kpi_monthly(fact, dim_accounts)
+
+    out_fact = curated_dir / "fact_transactions.parquet"
+    out_dim = curated_dir / "dim_accounts.parquet"
+    out_kpi = curated_dir / "kpi_monthly.parquet"
+
+    write_parquet(fact, str(out_fact))
+    write_parquet(dim_accounts, str(out_dim))
+    write_parquet(kpi, str(out_kpi))
+
+    dq_exceptions.unpersist()
+
+    return {
+        "dq_exceptions": dq_exceptions_path,
+        "dq_summary": dq_summary_path,
+        "fact": out_fact,
+        "dim_accounts": out_dim,
+        "kpi": out_kpi,
+    }

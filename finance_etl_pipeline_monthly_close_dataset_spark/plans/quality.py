@@ -1,0 +1,341 @@
+"""Declarative data-quality framework (SURVEY.md §2.7 Q1-Q17).
+
+The reference validates raw frames with pandera schemas and collects
+ALL failures into a ``failure_cases`` table with severities and a
+PASS/FAIL gate (``/root/reference/src/finance_etl/quality.py``). Here
+the same checks are data -- a ``DatasetSpec`` per raw dataset -- and
+compile to DataFrame plans that emit exception rows in the reference's
+shape: ``(dataset, index, column, check, failure_case, schema_context,
+check_number, severity)``.
+
+Scale design: all row-level checks for a dataset evaluate in ONE scan.
+Each check becomes a ``when(fail, struct(...))`` element of an array
+that is filtered and exploded -- no per-check re-scan, no driver-side
+row iteration. Key-uniqueness checks are a groupBy (one shuffle on a
+small projection); COA membership is a broadcast left-anti join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import DQ_EXCEPTIONS_SCHEMA
+from ..sources.readers import ROW_ID_COL
+
+DATASETS = ["sales", "expenses", "payroll", "inventory_movements", "fx_rates"]
+
+EXCEPTION_COLUMNS = [
+    "dataset",
+    "index",
+    "column",
+    "check",
+    "failure_case",
+    "schema_context",
+    "check_number",
+    "severity",
+]
+
+# Columns whose failures are critical (reference quality.py:153-164).
+ERROR_COLUMNS = {
+    "account_code",
+    "date",
+    "invoice_id",
+    "bill_id",
+    "employee_id",
+    "sku",
+    "currency",
+    "from_currency",
+    "to_currency",
+    "rate",
+}
+
+
+@dataclass(frozen=True)
+class ColumnCheck:
+    """A row-level check: rows where ``fail`` holds become exceptions."""
+
+    column: str
+    name: str
+    fail: Column
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    """All declared checks for one raw dataset."""
+
+    dataset: str
+    columns: list[str]
+    not_null: list[str]
+    checks: list[ColumnCheck] = field(default_factory=list)
+    unique_keys: list[tuple[str, ...]] = field(default_factory=list)
+
+
+def _isin_check(column: str, allowed: list[str]) -> ColumnCheck:
+    return ColumnCheck(
+        column,
+        f"isin({allowed})",
+        F.col(column).isNotNull() & ~F.col(column).isin(allowed),
+    )
+
+
+def build_dataset_specs(
+    allowed_currencies: tuple[str, ...], base_currency: str
+) -> dict[str, DatasetSpec]:
+    """The check inventory -- mirrors the five pandera schemas at
+    reference quality.py:16-95."""
+    ccy = list(allowed_currencies)
+    return {
+        "sales": DatasetSpec(
+            dataset="sales",
+            columns=["date", "entity", "invoice_id", "account_code", "currency", "amount", "description"],
+            not_null=["date", "entity", "invoice_id", "account_code", "currency", "amount"],
+            checks=[
+                _isin_check("currency", ccy),
+                ColumnCheck("amount", "greater_than(0)", F.col("amount") <= 0),
+            ],
+            unique_keys=[("entity", "invoice_id")],
+        ),
+        "expenses": DatasetSpec(
+            dataset="expenses",
+            columns=["date", "entity", "bill_id", "account_code", "currency", "amount", "description"],
+            not_null=["date", "entity", "bill_id", "account_code", "currency", "amount"],
+            checks=[
+                _isin_check("currency", ccy),
+                ColumnCheck("amount", "greater_than(0)", F.col("amount") <= 0),
+            ],
+            unique_keys=[("entity", "bill_id")],
+        ),
+        "payroll": DatasetSpec(
+            dataset="payroll",
+            columns=["month", "entity", "employee_id", "currency", "gross", "deductions", "net"],
+            not_null=["month", "entity", "employee_id", "currency", "gross", "deductions", "net"],
+            checks=[
+                _isin_check("currency", ccy),
+                ColumnCheck("gross", "greater_than_or_equal_to(0)", F.col("gross") < 0),
+                ColumnCheck("deductions", "greater_than_or_equal_to(0)", F.col("deductions") < 0),
+                ColumnCheck("net", "greater_than_or_equal_to(0)", F.col("net") < 0),
+                # payroll identity |gross - deductions - net| < 0.01
+                # (reference quality.py:59-65, dataset-level there;
+                # row-level here gives a better audit trail)
+                ColumnCheck(
+                    "net",
+                    "payroll_identity(gross-deductions=net)",
+                    F.abs(F.col("gross") - F.col("deductions") - F.col("net")) >= 0.01,
+                ),
+            ],
+        ),
+        "inventory_movements": DatasetSpec(
+            dataset="inventory_movements",
+            columns=["date", "entity", "sku", "movement_type", "qty", "unit_cost", "currency"],
+            not_null=["date", "entity", "sku", "movement_type", "qty", "unit_cost", "currency"],
+            checks=[
+                _isin_check("currency", ccy),
+                _isin_check("movement_type", ["receipt", "issue", "adjustment"]),
+                ColumnCheck("qty", "not_equal_to(0)", F.col("qty") == 0),
+                ColumnCheck("unit_cost", "greater_than_or_equal_to(0)", F.col("unit_cost") < 0),
+            ],
+        ),
+        "fx_rates": DatasetSpec(
+            dataset="fx_rates",
+            columns=["date", "from_currency", "to_currency", "rate"],
+            not_null=["date", "from_currency", "to_currency", "rate"],
+            checks=[
+                _isin_check("from_currency", ccy),
+                _isin_check("to_currency", [base_currency]),
+                ColumnCheck("rate", "greater_than(0)", F.col("rate") <= 0),
+            ],
+            unique_keys=[("date", "from_currency", "to_currency")],
+        ),
+    }
+
+
+def _exception_struct(column: str, check: str, failure_case: Column) -> Column:
+    return F.struct(
+        F.lit(column).alias("column"),
+        F.lit(check).alias("check"),
+        failure_case.cast("string").alias("failure_case"),
+    )
+
+
+def collect_exceptions(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """All row-level + key-uniqueness exceptions for one dataset.
+
+    Row-level checks run in a single scan via an array of conditional
+    structs per row, exploded to exception rows (equivalent of
+    pandera's lazy=True collect-all semantics, quality.py:98-115).
+    """
+    idx = F.col(ROW_ID_COL) if ROW_ID_COL in df.columns else F.lit(None).cast("long")
+
+    structs: list[Column] = []
+    for c in spec.not_null:
+        if c in df.columns:
+            structs.append(
+                F.when(
+                    F.col(c).isNull(),
+                    _exception_struct(c, "not_nullable", F.lit(None)),
+                )
+            )
+    for chk in spec.checks:
+        if chk.column in df.columns:
+            structs.append(F.when(chk.fail, _exception_struct(chk.column, chk.name, F.col(chk.column))))
+
+    parts: list[DataFrame] = []
+    if structs:
+        exploded = (
+            df.select(idx.alias("index"), F.array(*structs).alias("_checks"))
+            .select("index", F.explode("_checks").alias("_e"))
+            # nulls (passing checks) are dropped by explode only for
+            # empty arrays; filter the per-element nulls explicitly
+            .filter(F.col("_e").isNotNull())
+        )
+        parts.append(
+            exploded.select(
+                F.lit(spec.dataset).alias("dataset"),
+                F.col("index").cast("long").alias("index"),
+                F.col("_e.column").alias("column"),
+                F.col("_e.check").alias("check"),
+                F.col("_e.failure_case").alias("failure_case"),
+                F.lit("Column").alias("schema_context"),
+                F.lit(None).cast("int").alias("check_number"),
+                F.lit(None).cast("string").alias("severity"),
+            )
+        )
+
+    for keys in spec.unique_keys:
+        present = [k for k in keys if k in df.columns]
+        if len(present) != len(keys):
+            continue
+        dup = (
+            df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(
+                F.lit(spec.dataset).alias("dataset"),
+                F.lit(None).cast("long").alias("index"),
+                F.lit(None).cast("string").alias("column"),
+                F.lit(f"unique_keys{list(keys)}").alias("check"),
+                F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("failure_case"),
+                F.lit("DataFrameSchema").alias("schema_context"),
+                F.lit(None).cast("int").alias("check_number"),
+                F.lit(None).cast("string").alias("severity"),
+            )
+        )
+        parts.append(dup)
+
+    spark = df.sparkSession
+    out = parts[0] if parts else spark.createDataFrame([], DQ_EXCEPTIONS_SCHEMA)
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def schema_shape_exceptions(
+    spark: SparkSession, df: DataFrame, spec: DatasetSpec
+) -> DataFrame:
+    """strict=True column-shape check (Q1): missing required columns
+    and unexpected extras, evaluated driver-side against df.columns."""
+    declared = set(spec.columns)
+    actual = [c for c in df.columns if c != ROW_ID_COL]
+    rows = []
+    for c in spec.columns:
+        if c not in actual:
+            rows.append((spec.dataset, None, c, "required_column_missing", c, "DataFrameSchema", None, None))
+    for c in actual:
+        if c not in declared:
+            rows.append((spec.dataset, None, c, "column_not_in_schema", c, "DataFrameSchema", None, None))
+    return spark.createDataFrame(rows, DQ_EXCEPTIONS_SCHEMA)
+
+
+def account_in_coa_exceptions(df: DataFrame, dataset: str, dim_accounts: DataFrame) -> DataFrame:
+    """Rows whose account_code is not in the chart of accounts (Q12) --
+    a broadcast left-anti join instead of the reference's driver-side
+    set-membership scan (pipeline.py:30-47)."""
+    if "account_code" not in df.columns:
+        return df.sparkSession.createDataFrame([], DQ_EXCEPTIONS_SCHEMA)
+    idx = F.col(ROW_ID_COL) if ROW_ID_COL in df.columns else F.lit(None).cast("long")
+    bad = df.join(
+        F.broadcast(dim_accounts.select(F.col("account_code").cast("string").alias("account_code"))),
+        on="account_code",
+        how="left_anti",
+    )
+    return bad.select(
+        F.lit(dataset).alias("dataset"),
+        idx.cast("long").alias("index"),
+        F.lit("account_code").alias("column"),
+        F.lit("account_in_coa").alias("check"),
+        F.col("account_code").cast("string").alias("failure_case"),
+        F.lit("Column").alias("schema_context"),
+        F.lit(None).cast("int").alias("check_number"),
+        F.lit(None).cast("string").alias("severity"),
+    )
+
+
+def add_severity(dq_exceptions: DataFrame) -> DataFrame:
+    """Severity rules (Q14, reference quality.py:123-183): default WARN;
+    ERROR for key columns, anything in fx_rates, required/dtype checks,
+    and COA membership violations."""
+    check_l = F.lower(F.coalesce(F.col("check"), F.lit("")))
+    severity = (
+        F.when(F.col("column").isin(list(ERROR_COLUMNS)), F.lit("ERROR"))
+        .when(F.col("dataset") == "fx_rates", F.lit("ERROR"))
+        .when(check_l.contains("required"), F.lit("ERROR"))
+        .when(check_l.contains("dtype"), F.lit("ERROR"))
+        .when(check_l.contains("account_in_coa"), F.lit("ERROR"))
+        .otherwise(F.lit("WARN"))
+    )
+    return dq_exceptions.withColumn("severity", severity)
+
+
+def dq_overall_status(dq_exceptions: DataFrame, fail_on: str = "ERROR") -> str:
+    """PASS/FAIL gate (Q15, reference quality.py:186-202)."""
+    fail_on = (fail_on or "ERROR").upper()
+    if fail_on == "NEVER":
+        return "PASS"
+    has_any = dq_exceptions.limit(1).count() > 0
+    if not has_any:
+        return "PASS"
+    if fail_on == "WARN":
+        return "FAIL"
+    has_error = dq_exceptions.filter(F.col("severity") == "ERROR").limit(1).count() > 0
+    return "FAIL" if has_error else "PASS"
+
+
+def dq_summary_table(dq_exceptions: DataFrame, fail_on: str = "ERROR") -> DataFrame:
+    """Per-dataset summary with a zero-filled scaffold of all five
+    datasets and a status column (Q16, reference quality.py:205-249)."""
+    fail_on = (fail_on or "ERROR").upper()
+    spark = dq_exceptions.sparkSession
+    # scaffold preserves the reference's DATASETS ordering (sales first;
+    # the reference smoke test asserts on row 0)
+    base = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(DATASETS)], "dataset string, _ord int"
+    )
+
+    counts = (
+        dq_exceptions.withColumn("severity", F.coalesce(F.col("severity"), F.lit("ERROR")))
+        .groupBy("dataset")
+        .pivot("severity", ["ERROR", "WARN"])
+        .count()
+        .withColumnRenamed("ERROR", "error_count")
+        .withColumnRenamed("WARN", "warn_count")
+    )
+
+    out = (
+        base.join(counts, on="dataset", how="left")
+        .na.fill(0, ["error_count", "warn_count"])
+        .withColumn("issue_count", F.col("error_count") + F.col("warn_count"))
+    )
+    if fail_on == "NEVER":
+        status = F.lit("PASS")
+    elif fail_on == "WARN":
+        status = F.when(F.col("issue_count") > 0, "FAIL").otherwise("PASS")
+    else:
+        status = F.when(F.col("error_count") > 0, "FAIL").otherwise("PASS")
+    return (
+        out.withColumn("status", status)
+        .orderBy("_ord")
+        .select("dataset", "error_count", "warn_count", "issue_count", "status")
+    )

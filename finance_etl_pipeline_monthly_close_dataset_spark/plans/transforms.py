@@ -1,0 +1,290 @@
+"""Core relational transforms: normalize-union fact build, FX
+enrichment, monthly KPI pivot.
+
+Semantics mirror ``/root/reference/src/finance_etl/transform.py``
+(behavior only -- the implementation is declarative DataFrame ops so
+Catalyst plans them):
+
+* FX lookup is an EXACT-DATE left equi-join on (date, from_currency),
+  not an as-of join; a missing rate for any non-base-currency row is a
+  hard error (transform.py:19-46).
+* Sign conventions are load-bearing (SURVEY.md §7.4 item 12): expenses
+  and payroll negative, inventory issues negative; KPI profits use
+  ``+`` because signs are already flipped.
+* Money rounds HALF_EVEN via ``bround`` (transform.py:44,83,126-127).
+
+Scale notes (100 TB design):
+* fx and chart-of-accounts are tiny dims -> ``broadcast()`` hints, so
+  the fact never shuffles for enrichment.
+* The 4-source union is shuffle-free (Union is a no-exchange node).
+* The missing-rate guard is one count aggregate over a filter --
+  Catalyst pushes the ``rate IS NULL AND currency != base`` predicate
+  below the projection; no collect of fact data.
+* The KPI pivot uses an explicit, small pivot-value list (account
+  types), avoiding Spark's two-pass implicit pivot-value discovery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.datetime_fns import month_end_date, month_str
+from ..functions.money import money_round
+
+FACT_COLUMNS = [
+    "txn_id",
+    "date",
+    "entity",
+    "source",
+    "document_id",
+    "account_code",
+    "currency",
+    "amount",
+    "rate",
+    "amount_base",
+    "description",
+]
+
+# movement_type -> account_code literal map (transform.py:80-82)
+_MOVEMENT_ACCOUNT = {"issue": "50000001", "receipt": "10000001", "adjustment": "10000001"}
+
+PAYROLL_EXPENSE_ACCOUNT = "61000001"
+
+
+class MissingFxRatesError(ValueError):
+    """Raised when a non-base-currency transaction has no FX rate for
+    its (date, currency) -- reference transform.py:40-42."""
+
+
+def build_dim_accounts(chart_of_accounts: DataFrame) -> DataFrame:
+    """Chart of accounts -> dim_accounts with string account codes
+    (transform.py:6-9)."""
+    return chart_of_accounts.withColumn("account_code", F.col("account_code").cast("string"))
+
+
+def fx_to_base(fx_rates: DataFrame, base_currency: str) -> DataFrame:
+    """Normalize FX dates to DateType and keep only rates quoted into
+    the base currency (transform.py:12-16)."""
+    return fx_rates.withColumn("date", F.to_date("date")).filter(
+        F.col("to_currency") == F.lit(base_currency)
+    )
+
+
+def add_fx_amount_base(df: DataFrame, fx: DataFrame, base_currency: str) -> DataFrame:
+    """Left-join FX rates on exact (date, currency) and derive
+    ``amount_base = bround(amount * rate, 2)`` (transform.py:19-46).
+
+    Base-currency rows always get rate 1.0; non-base rows must match an
+    FX row or ``MissingFxRatesError`` is raised with the distinct
+    offending (date_key, currency) pairs.
+
+    The FX side is currencies x days -- broadcast hash join; the fact
+    side never shuffles.
+    """
+    fx_lookup = (
+        fx.select(
+            F.to_date("date").alias("_fx_date"),
+            F.col("from_currency").alias("_fx_currency"),
+            F.col("rate").alias("_fx_rate"),
+        )
+        # exact-date semantics: one rate per (date, currency)
+        .dropDuplicates(["_fx_date", "_fx_currency"])
+    )
+
+    out = (
+        df.withColumn("date", F.to_timestamp("date"))
+        .withColumn("_date_key", F.to_date("date"))
+        .join(
+            F.broadcast(fx_lookup),
+            on=[
+                F.col("_date_key") == F.col("_fx_date"),
+                F.col("currency") == F.col("_fx_currency"),
+            ],
+            how="left",
+        )
+        .withColumn(
+            "rate",
+            F.when(F.col("currency") == F.lit(base_currency), F.lit(1.0)).otherwise(
+                F.col("_fx_rate")
+            ),
+        )
+    )
+
+    missing = (
+        out.filter(F.col("rate").isNull())
+        .select(F.col("_date_key").alias("date_key"), "currency")
+        .distinct()
+        .limit(20)
+        .collect()
+    )
+    if missing:
+        pairs = [(str(r["date_key"]), r["currency"]) for r in missing]
+        raise MissingFxRatesError(f"Missing FX rates for: {pairs}")
+
+    return out.withColumn("amount_base", money_round(F.col("amount") * F.col("rate"))).drop(
+        "_date_key", "_fx_date", "_fx_currency", "_fx_rate"
+    )
+
+
+def _normalize_sales(sales: DataFrame) -> DataFrame:
+    return sales.select(
+        F.col("date"),
+        F.col("entity"),
+        F.lit("sales").alias("source"),
+        F.col("invoice_id").alias("document_id"),
+        F.col("account_code"),
+        F.col("currency"),
+        F.col("amount"),
+        F.col("description"),
+    )
+
+
+def _normalize_expenses(expenses: DataFrame) -> DataFrame:
+    return expenses.select(
+        F.col("date"),
+        F.col("entity"),
+        F.lit("expenses").alias("source"),
+        F.col("bill_id").alias("document_id"),
+        F.col("account_code"),
+        F.col("currency"),
+        (-F.col("amount")).alias("amount"),
+        F.col("description"),
+    )
+
+
+def _normalize_payroll(payroll: DataFrame) -> DataFrame:
+    # payroll has no date: dated to the last day of its month and the
+    # net amount posts negative to the salaries expense account
+    # (transform.py:68-75). Do not "fix" this (SURVEY.md §7.4 item 11).
+    return payroll.select(
+        month_end_date(F.col("month")).cast("timestamp").alias("date"),
+        F.col("entity"),
+        F.lit("payroll").alias("source"),
+        F.concat_ws("_", F.col("employee_id"), F.col("month")).alias("document_id"),
+        F.lit(PAYROLL_EXPENSE_ACCOUNT).alias("account_code"),
+        F.col("currency"),
+        (-F.col("net")).alias("amount"),
+        F.lit("Payroll net").alias("description"),
+    )
+
+
+def _normalize_inventory(inventory: DataFrame) -> DataFrame:
+    # movement_type routes to COGS (issue) or inventory asset
+    # (receipt/adjustment); issues post negative (transform.py:77-86).
+    account = F.when(F.col("movement_type") == "issue", F.lit(_MOVEMENT_ACCOUNT["issue"]))
+    for mt in ("receipt", "adjustment"):
+        account = account.when(F.col("movement_type") == mt, F.lit(_MOVEMENT_ACCOUNT[mt]))
+    gross = money_round(F.col("qty") * F.col("unit_cost"))
+    signed = F.when(F.col("movement_type") == "issue", -gross).otherwise(gross)
+    return inventory.select(
+        F.col("date"),
+        F.col("entity"),
+        F.lit("inventory").alias("source"),
+        F.concat_ws("_", F.col("sku"), F.date_format("date", "yyyy-MM-dd").cast("string")).alias(
+            "document_id"
+        ),
+        account.alias("account_code"),
+        F.col("currency"),
+        signed.alias("amount"),
+        F.concat_ws(" ", F.col("movement_type"), F.col("sku")).alias("description"),
+    )
+
+
+def to_fact_transactions(
+    sales: DataFrame,
+    expenses: DataFrame,
+    payroll: DataFrame,
+    inventory: DataFrame,
+    fx: DataFrame,
+    base_currency: str,
+) -> DataFrame:
+    """Union the four normalized sources, enrich with FX, assemble the
+    curated fact table (transform.py:49-110).
+
+    The union is column-aligned by name (all branches project the same
+    8 columns first -- manual column pruning in the reference becomes a
+    plain projected Union here, which Catalyst prunes further).
+    """
+    fact = (
+        _normalize_sales(sales)
+        .unionByName(_normalize_expenses(expenses))
+        .unionByName(_normalize_payroll(payroll))
+        .unionByName(_normalize_inventory(inventory))
+        .withColumn("account_code", F.col("account_code").cast("string"))
+        .withColumn("currency", F.col("currency").cast("string"))
+    )
+
+    fact = add_fx_amount_base(fact, fx, base_currency)
+
+    fact = fact.withColumn(
+        "txn_id",
+        F.concat_ws("|", F.col("entity").cast("string"), F.col("source"), F.col("document_id")),
+    )
+
+    # Row-set order is what correctness checks; the orderBy only shapes
+    # written-file order for golden-CSV parity (transform.py:94).
+    return fact.select(*FACT_COLUMNS).orderBy("date", "entity", "source", "document_id")
+
+
+def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
+    """Per-entity-per-month KPI pivot (transform.py:113-128).
+
+    ``gross_profit = Revenue + COGS`` and
+    ``operating_profit = gross_profit + Expense`` -- addition, because
+    COGS/Expense are already negative in the fact table.
+
+    Pivot values are the observed non-null account types (pandas
+    ``pivot_table`` drops the NaN column produced by codes outside the
+    chart of accounts -- SURVEY.md §7.4 item 4). Account types are a
+    bounded tiny domain (6 values), so discovering them is a cheap
+    aggregate, and passing them explicitly keeps the pivot single-pass.
+    """
+    dim = F.broadcast(dim_accounts.select("account_code", "account_type"))
+    joined = (
+        fact.join(dim, on="account_code", how="left")
+        .withColumn("month", month_str(F.col("date")))
+        .select("entity", "month", "account_type", "amount_base")
+    )
+
+    observed_types = sorted(
+        r[0]
+        for r in joined.select("account_type")
+        .filter(F.col("account_type").isNotNull())
+        .distinct()
+        .collect()
+    )
+
+    wide = (
+        joined.filter(F.col("account_type").isNotNull())
+        .groupBy("entity", "month")
+        .pivot("account_type", observed_types)
+        .agg(F.sum("amount_base"))
+        .na.fill(0.0, observed_types)
+    )
+
+    # entity/month groups whose every row has a null account_type still
+    # appear in the pandas pivot index with all-zero KPIs; recover them.
+    null_only_groups = (
+        joined.groupBy("entity", "month")
+        .agg(F.max(F.col("account_type").isNotNull().cast("int")).alias("_has_typed"))
+        .filter(F.col("_has_typed") == 0)
+        .select("entity", "month")
+    )
+    if observed_types:
+        zero_wide = null_only_groups.select(
+            "entity", "month", *[F.lit(0.0).alias(t) for t in observed_types]
+        )
+        wide = wide.unionByName(zero_wide)
+    else:
+        wide = null_only_groups
+
+    for required in ("Revenue", "COGS", "Expense"):
+        if required not in wide.columns:
+            wide = wide.withColumn(required, F.lit(0.0))
+
+    return (
+        wide.withColumn("gross_profit", money_round(F.col("Revenue") + F.col("COGS")))
+        .withColumn("operating_profit", money_round(F.col("gross_profit") + F.col("Expense")))
+        .orderBy("entity", "month")
+    )

@@ -1,0 +1,55 @@
+"""Typed scans (SURVEY.md §2.1 S1-S2).
+
+The reference reads CSV with per-dataset dtype pins and
+``parse_dates`` (``/root/reference/src/finance_etl/io_utils.py:8-11``,
+``pipeline.py:69-101``) and Parquet with a missing-file -> empty-frame
+fallback (``/root/reference/scripts/export_bi_datasets.py:11-12``).
+
+Spark-first notes:
+* schemas are always explicit (no inference pass over the data -- at
+  100 TB a schema-inference scan is a full extra read);
+* ``with_row_id`` synthesizes the pandas row label the DQ layer needs
+  (SURVEY.md §7.4 item 5) via ``monotonically_increasing_id`` --
+  partition-local, no shuffle, stable for a given file layout but not
+  contiguous; contiguity is not load-bearing for DQ reporting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROW_ID_COL = "_row_id"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_row_id: bool = False,
+) -> DataFrame:
+    """Schema-pinned CSV scan; raises FileNotFoundError on missing path
+    to match the reference's ``pd.read_csv`` behavior."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Missing input file: {path}")
+    df = spark.read.csv(path, header=True, schema=schema, timestampFormat="yyyy-MM-dd[ HH:mm:ss]")
+    if with_row_id:
+        df = df.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_parquet_or_empty(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan that degrades to an empty DataFrame when the file is
+    absent (reference: ``_read_parquet`` helpers in the export scripts)."""
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema or T.StructType([]))

@@ -1,0 +1,48 @@
+"""Sinks (SURVEY.md §2.1 S3-S4).
+
+Parquet is the curated-layer format (distributed, multi-file,
+optionally partitioned). CSV sinks exist only for BI-tool
+compatibility: the reference emits exactly ONE file per table
+(``pd.DataFrame.to_csv``), so ``write_csv_single_file`` keeps that
+contract. Single-file CSV is inherently a 1-partition write -- never
+use it for fact-scale data; it is gated to the BI export layer only.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_single_file(df: DataFrame, path: str) -> None:
+    """Write ``df`` as a single CSV file at ``path`` (with header).
+
+    Implemented as a coalesce(1) Spark write to a temp dir + rename of
+    the part file, so data never routes through the Python driver.
+    Reserved for small BI exports (dims, monthly KPI, DQ audits).
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + "._spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    part_files = glob.glob(os.path.join(tmp, "part-*.csv"))
+    if not part_files:
+        raise RuntimeError(f"No part file produced for {path}")
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(part_files[0], path)
+    shutil.rmtree(tmp, ignore_errors=True)
