@@ -1,0 +1,809 @@
+"""Driver-contract query registry.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+large-scale extension operators, each as
+
+* a Spark callable ``(spark, sf_dir) -> DataFrame``, and
+* (where SQL-expressible) an equivalent DuckDB oracle SQL string over
+  the same parquet tables.
+
+Determinism conventions (so value-hashes match the oracle exactly):
+
+* Money/double aggregations: per-row cast to DECIMAL, exact decimal
+  SUM, final cast to DOUBLE. Identical per-row doubles round to the
+  same decimal in both engines, decimal addition is exact and
+  order-independent, and the final decimal->double conversion is
+  deterministic -- so distributed Spark sums equal DuckDB's serial
+  sums bit-for-bit.
+* Timestamps surface as formatted strings (engine-native timestamp
+  hashing differs).
+* Every top-k / row_number has a total order (explicit tie-breaks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup, similarity, text_analysis
+from .operators.text import tokens
+from .operators.text_analysis import STOPWORDS
+from .streaming import events as ev
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table's ``ts`` is parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. Read nanos as long (legacy conf,
+    runtime-settable) and integer-divide to micros -- ``div`` keeps the
+    arithmetic in longs (a double roundtrip would corrupt values above
+    2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = t(spark, sf_dir, "events")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def dsum(col, precision: str = "18,4"):
+    """Exact distributed sum of a double expression (see module doc)."""
+    return F.sum(col.cast(f"decimal({precision})")).cast("double")
+
+
+def _sql_dsum(expr: str, precision: str = "18,4") -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision}))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Core relational queries (SURVEY.md §2.2-2.6 over the TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+
+def q_flagship_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: scan -> join -> derive -> group -> agg (J1/A1/F5)."""
+    li, orders = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_FLAGSHIP = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       {rev} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""".format(rev=_sql_dsum("l_extendedprice * (1 - l_discount)"))
+
+
+def q_month_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open month window [1996-03-01, 1996-04-01) (P2)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-03-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "18,2").alias("total_price"),
+        )
+    )
+
+
+SQL_MONTH_WINDOW = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {s} AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-03-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1
+""".format(s=_sql_dsum("o_totalprice", "18,2"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate (A1, P7)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "18,2").alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), "18,2").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       {q} AS sum_qty,
+       {bp} AS sum_base_price,
+       {dp} AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""".format(
+    q=_sql_dsum("l_quantity", "18,2"),
+    bp=_sql_dsum("l_extendedprice", "18,2"),
+    dp=_sql_dsum("l_extendedprice * (1 - l_discount)"),
+)
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on order status (A2/A4); zero-filled like the KPI pivot."""
+    orders = t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice"), "18,2"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_O"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_P"),
+    )
+
+
+SQL_STATUS_PIVOT = """
+SELECT o_orderpriority,
+       COALESCE({f}, 0.0) AS total_F,
+       COALESCE({o}, 0.0) AS total_O,
+       COALESCE({p}, 0.0) AS total_P
+FROM orders
+GROUP BY 1
+""".format(
+    f="CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE)",
+    o="CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE)",
+    p="CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE)",
+)
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sum -> deterministic top-k (A8/O1/O2)."""
+    cust, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("o_totalprice"), "18,2").alias("total_spent"))
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_CUSTOMERS = """
+SELECT c_custkey, c_name, {s} AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+""".format(s=_sql_dsum("o_totalprice", "18,2"))
+
+
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (P5/J7 referential-integrity shape)."""
+    part, li = t(spark, sf_dir, "part"), t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_unsold_parts"))
+    )
+
+
+SQL_PARTS_NEVER_ORDERED = """
+SELECT p_brand, COUNT(*) AS n_unsold_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY 1
+"""
+
+
+def q_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key duplicate detection (A3/Q10)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+SQL_DUPLICATE_KEYS = """
+SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+HAVING COUNT(*) > 1
+"""
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-union of two sources, reference fact-build shape (O3)."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("source"), F.col("o_totalprice").alias("amount")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("source"), F.col("l_extendedprice").alias("amount")
+    )
+    return (
+        orders.unionByName(li)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("amount"), "18,2").alias("total_amount"))
+    )
+
+
+SQL_UNION_SOURCES = """
+SELECT source, COUNT(*) AS n_rows, {s} AS total_amount
+FROM (
+  SELECT 'orders' AS source, o_totalprice AS amount FROM orders
+  UNION ALL
+  SELECT 'lineitem' AS source, l_extendedprice AS amount FROM lineitem
+)
+GROUP BY 1
+""".format(s=_sql_dsum("amount", "18,2"))
+
+
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number surrogate keys over a total order (O4)."""
+    nation = t(spark, sf_dir, "nation")
+    w = Window.orderBy(F.col("n_name"), F.col("n_nationkey"))
+    return nation.select(
+        F.row_number().over(w).alias("nation_key"), "n_nationkey", "n_name"
+    )
+
+
+SQL_SURROGATE_KEYS = """
+SELECT ROW_NUMBER() OVER (ORDER BY n_name, n_nationkey) AS nation_key, n_nationkey, n_name
+FROM nation
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + int date keys (F5-F8)."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(d).distinct().select(
+        F.date_format(d, "yyyy-MM-dd").alias("date_str"),
+        F.year(d).cast("int").alias("year"),
+        F.quarter(d).cast("int").alias("quarter"),
+        F.month(d).cast("int").alias("month"),
+        F.dayofmonth(d).cast("int").alias("day"),
+        F.date_format(d, "yyyyMMdd").cast("int").alias("date_key"),
+        F.date_format(d, "yyyyMM").cast("int").alias("month_key"),
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+       CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       CAST(day(o_orderdate) AS INTEGER) AS day,
+       CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
+       CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS month_key
+FROM (SELECT DISTINCT o_orderdate FROM orders)
+"""
+
+
+def q_signed_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional sign conventions, reference fact semantics (P11/F14)."""
+    li = t(spark, sf_dir, "lineitem")
+    signed = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_extendedprice")
+    ).otherwise(F.col("l_extendedprice"))
+    return li.groupBy("l_returnflag").agg(
+        dsum(signed, "18,2").alias("signed_total"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_SIGNED_AMOUNTS = """
+SELECT l_returnflag,
+       {s} AS signed_total,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+""".format(
+    s=_sql_dsum("CASE WHEN l_returnflag = 'R' THEN -l_extendedprice ELSE l_extendedprice END", "18,2")
+)
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct/dedup (A9)."""
+    return t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("mktsegment")).distinct()
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer"
+
+
+def q_global_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global max-of-abs / min aggregates (A5/F15)."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.agg(
+        F.max(F.abs(F.col("c_acctbal"))).cast("double").alias("max_abs_balance"),
+        F.min(F.col("c_acctbal")).cast("double").alias("min_balance"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+SQL_GLOBAL_EXTREMES = """
+SELECT CAST(MAX(ABS(c_acctbal)) AS DOUBLE) AS max_abs_balance,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_balance,
+       COUNT(*) AS n_customers
+FROM customer
+"""
+
+
+def q_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'first' per group as min (A6, SURVEY §7.4 item 10)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.min("o_orderpriority").alias("first_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_MIN_PER_GROUP = """
+SELECT o_orderstatus, MIN(o_orderpriority) AS first_priority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join (J2): lineitem x part."""
+    li, part = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("brand_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand, {s} AS brand_revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""".format(s=_sql_dsum("l_extendedprice * (1 - l_discount)"))
+
+
+def q_zero_fill_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + zero-filled counts, DQ-summary scaffold shape (J3)."""
+    cust, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_ZERO_FILL_JOIN = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage-of-total ratios (F18) via a window aggregate."""
+    cust, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum(F.col("o_totalprice"), "18,2").alias("segment_revenue"))
+    )
+    total = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        "segment_revenue",
+        F.round(
+            F.col("segment_revenue") / F.sum("segment_revenue").over(total) * 100.0, 6
+        ).alias("revenue_share_pct"),
+    )
+
+
+SQL_REVENUE_SHARE = """
+SELECT c_mktsegment, segment_revenue,
+       ROUND(segment_revenue / SUM(segment_revenue) OVER () * 100.0, 6) AS revenue_share_pct
+FROM (
+  SELECT c_mktsegment, {s} AS segment_revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+""".format(s=_sql_dsum("o_totalprice", "18,2"))
+
+
+# --------------------------------------------------------------------------
+# Event-stream queries (batch plans; same shapes run under streaming)
+# --------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly window counts + sums."""
+    e = events_table(spark, sf_dir)
+    out = ev.tumbling_counts(e, width="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (islands: lag + running sum)."""
+    e = events_table(spark, sf_dir)
+    s = ev.session_stats(e, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.col("sum_value").cast("decimal(18,6)").cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR extract(epoch FROM ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY 1, 2
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the props JSON string."""
+    e = events_table(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        e.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_EVENTS_JSON_PROPS = r"""
+SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k, COUNT(*) AS n_events
+FROM events
+WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data-pipeline extension queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+_SQL_TOKENS = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+def q_docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 digest groups with > 1 doc."""
+    return dedup.exact_dup_groups(t(spark, sf_dir, "documents"))
+
+
+SQL_DOCS_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS digest, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def q_docs_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup representatives: min doc_id per content digest."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+SQL_DOCS_DEDUP_REPRESENTATIVES = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + mean token length per document."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    mean_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, v: a + v
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+    )
+
+
+SQL_DOCS_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       ROUND(CASE WHEN len({_SQL_TOKENS}) > 0
+                  THEN CAST(list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) AS DOUBLE)
+                       / len({_SQL_TOKENS})
+                  ELSE 0.0 END, 4) AS mean_token_len
+FROM documents
+"""
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join("'" + w + "'" for w in STOPWORDS[lang])
+    return f"CAST(len(list_filter({_SQL_TOKENS}, x -> x IN ({words}))) AS INTEGER)"
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax, confusion counts."""
+    docs = t(spark, sf_dir, "documents")
+    scored = text_analysis.lang_scores(docs)
+    return scored.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_hits_cols = ",\n       ".join(f"{_sql_stopword_hits(lang)} AS hits_{lang}" for lang in STOPWORDS)
+_best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in STOPWORDS) + ")"
+_pred = "CASE " + " ".join(
+    f"WHEN hits_{lang} = {_best} THEN '{lang}'" for lang in sorted(STOPWORDS)
+) + " END"
+SQL_DOCS_LANG_ID = f"""
+WITH scored AS (
+  SELECT lang, {_hits_cols}
+  FROM documents
+)
+SELECT lang, {_pred} AS pred_lang, COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_analysis.quality_features(docs)
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+_sw_en = ", ".join("'" + w + "'" for w in STOPWORDS["en"])
+SQL_DOCS_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_SQL_TOKENS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       ROUND(CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 4) AS mean_token_len,
+       ROUND(CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars ELSE 0.0 END, 4)
+           AS punct_ratio,
+       ROUND(CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, x -> x IN ({_sw_en}))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 4) AS stopword_ratio,
+       ROUND((LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+              + GREATEST(1.0 - (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / n_chars
+                                     ELSE 0.0 END) * 5.0, 0.0)) / 2.0, 4) AS quality_score
+FROM base
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-set fingerprint per document."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    return docs.select("doc_id", F.md5(F.array_join(toks, " ")).alias("token_fingerprint"))
+
+
+SQL_DOCS_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS token_fingerprint
+FROM documents
+"""
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a fixed probe set (exact ANN
+    baseline). Similarity rounded to 6 dp for cross-engine hashing."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, probes, k=10)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_EMBEDDING_COSINE_TOPK = """
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(p.pvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS sim
+  FROM embeddings e CROSS JOIN probes p
+), ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label aggregates over the vector column (first-component
+    mean via exact decimal sums + counts)."""
+    emb = t(spark, sf_dir, "embeddings")
+    first = F.element_at("embedding", 1).cast("decimal(18,8)")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum(first) / F.count(F.lit(1))).cast("decimal(18,8)").cast("double").alias("mean_first_component"),
+    )
+
+
+SQL_EMBEDDING_LABEL_CENTROID = """
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(CAST(SUM(CAST(embedding[1] AS DECIMAL(18,8))) / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE)
+           AS mean_first_component
+FROM embeddings
+GROUP BY 1
+"""
+
+
+# --- rows-only extension queries (no SQL oracle: approximate / non-SQL) ---
+
+
+def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (approximate; rows-only check)."""
+    return dedup.near_dup_minhash(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    sigs = dedup.simhash_signatures(t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(sigs, max_hamming=3)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (scale path; rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return similarity.lsh_bucketed_topk(emb, probes, dim=64, k=10, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_revenue_by_month": q_flagship_revenue_by_month,
+    "month_window_filter": q_month_window_filter,
+    "pricing_summary": q_pricing_summary,
+    "status_pivot": q_status_pivot,
+    "topk_customers": q_topk_customers,
+    "parts_never_ordered": q_parts_never_ordered,
+    "duplicate_keys": q_duplicate_keys,
+    "union_sources": q_union_sources,
+    "surrogate_keys": q_surrogate_keys,
+    "date_parts": q_date_parts,
+    "signed_amounts": q_signed_amounts,
+    "distinct_segments": q_distinct_segments,
+    "global_extremes": q_global_extremes,
+    "min_per_group": q_min_per_group,
+    "brand_revenue": q_brand_revenue,
+    "zero_fill_join": q_zero_fill_join,
+    "revenue_share": q_revenue_share,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_json_props": q_events_json_props,
+    "docs_exact_dup_groups": q_docs_exact_dup_groups,
+    "docs_dedup_representatives": q_docs_dedup_representatives,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_lang_id": q_docs_lang_id,
+    "docs_quality": q_docs_quality,
+    "docs_fingerprint": q_docs_fingerprint,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_label_centroid": q_embedding_label_centroid_norm,
+    "docs_minhash_near_dup": q_docs_minhash_near_dup,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship_revenue_by_month": SQL_FLAGSHIP,
+    "month_window_filter": SQL_MONTH_WINDOW,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "status_pivot": SQL_STATUS_PIVOT,
+    "topk_customers": SQL_TOPK_CUSTOMERS,
+    "parts_never_ordered": SQL_PARTS_NEVER_ORDERED,
+    "duplicate_keys": SQL_DUPLICATE_KEYS,
+    "union_sources": SQL_UNION_SOURCES,
+    "surrogate_keys": SQL_SURROGATE_KEYS,
+    "date_parts": SQL_DATE_PARTS,
+    "signed_amounts": SQL_SIGNED_AMOUNTS,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "global_extremes": SQL_GLOBAL_EXTREMES,
+    "min_per_group": SQL_MIN_PER_GROUP,
+    "brand_revenue": SQL_BRAND_REVENUE,
+    "zero_fill_join": SQL_ZERO_FILL_JOIN,
+    "revenue_share": SQL_REVENUE_SHARE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "docs_exact_dup_groups": SQL_DOCS_EXACT_DUP_GROUPS,
+    "docs_dedup_representatives": SQL_DOCS_DEDUP_REPRESENTATIVES,
+    "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "docs_lang_id": SQL_DOCS_LANG_ID,
+    "docs_quality": SQL_DOCS_QUALITY,
+    "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+    "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "embedding_label_centroid": SQL_EMBEDDING_LABEL_CENTROID,
+    # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk:
+    # intentionally no oracle (approximate / non-SQL-expressible).
+}

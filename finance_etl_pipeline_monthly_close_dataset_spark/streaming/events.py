@@ -1,0 +1,134 @@
+"""Event-stream operators: windowed aggregation and sessionization.
+
+Batch-first (the testdata ``events`` table is a bounded parquet), with
+the same logical plans runnable under Structured Streaming -- see
+``streamed_tumbling_counts`` which wires readStream + watermark around
+the identical aggregation.
+
+Scale notes: tumbling/sliding windows shuffle once on (window, key);
+sessionization uses a window function partitioned by user_id --
+at 100 TB that is a single shuffle on user_id, with AQE handling
+hot users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per key."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization via the islands technique: a new
+    session starts when the gap from the previous event of the same
+    user exceeds ``gap_minutes``; session_id = running count of
+    session starts. Deterministic and SQL-expressible (lag + cumulative
+    sum), unlike F.session_window whose output shape is engine-specific.
+    """
+    w_user = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_sec = gap_minutes * 60
+    with_start = events.withColumn(
+        "_new_session",
+        F.when(
+            F.lag(ts_col).over(w_user).isNull()
+            | (
+                F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w_user))
+                > gap_sec
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return with_start.withColumn(
+        "session_id",
+        F.sum("_new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new_session")
+
+
+def session_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session aggregates: span, event count, value sum."""
+    s = sessionize(events, ts_col, user_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def streamed_tumbling_counts(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+):
+    """The same tumbling aggregation as a Structured Streaming plan:
+    file-source readStream + event-time watermark for late data.
+    Returns the streaming DataFrame (caller starts it with
+    ``.writeStream``; tests use a memory sink + processAllAvailable).
+    """
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), width).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -1,0 +1,126 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every contract query on Spark and its oracle on DuckDB at the
+given scale factor, then compares row count, column names, and
+order-insensitive values (exact on non-floats, tiny-epsilon report on
+floats so float mismatches are visible before the driver sees them).
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from finance_etl_pipeline_monthly_close_dataset_spark import contract
+from finance_etl_pipeline_monthly_close_dataset_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+    if [c.lower() for c in spark_cols] != [c.lower() for c in duck_cols]:
+        problems.append(f"columns spark={spark_cols} duck={duck_cols}")
+        return problems
+
+    def key(row):
+        return tuple(
+            (f"{v:.9e}" if isinstance(v, float) else str(v)) for v in row
+        )
+
+    s_sorted = sorted([tuple(norm_cell(v) for v in r) for r in spark_rows], key=key)
+    d_sorted = sorted([tuple(norm_cell(v) for v in r) for r in duck_rows], key=key)
+    n_bad = 0
+    max_rel = 0.0
+    for sr, dr in zip(s_sorted, d_sorted):
+        for sv, dv in zip(sr, dr):
+            if isinstance(sv, float) and isinstance(dv, float):
+                if sv != dv:
+                    if math.isnan(sv) and math.isnan(dv):
+                        continue
+                    rel = abs(sv - dv) / max(abs(sv), abs(dv), 1e-300)
+                    max_rel = max(max_rel, rel)
+                    n_bad += 1
+            elif sv != dv:
+                n_bad += 1
+    if len(s_sorted) != len(d_sorted):
+        pass
+    elif n_bad:
+        problems.append(f"{n_bad} cell mismatches (max_rel_float_diff={max_rel:.3e})")
+        for sr, dr in list(zip(s_sorted, d_sorted))[:2000]:
+            if sr != dr:
+                problems.append(f"  spark={sr}")
+                problems.append(f"  duck ={dr}")
+                break
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check-contract")
+    con = duckdb.connect()
+    for tbl in TABLES:
+        p = f"{sf_dir}/{tbl}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
+
+    failures = 0
+    for name, fn in contract.QUERIES.items():
+        if only and name not in only:
+            continue
+        sql = contract.ORACLES.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"ok*   {name}: rows-only, {len(spark_rows)} rows")
+            continue
+        try:
+            res = con.execute(sql)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"      {p}")
+        else:
+            print(f"ok    {name}: {len(spark_rows)} rows match")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
