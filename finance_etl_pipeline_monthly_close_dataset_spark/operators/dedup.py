@@ -55,11 +55,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _minhash_one(sh: Column, seed: int) -> Column:
-    # One MinHash value: min over shingles of a seeded 64-bit hash.
-    # Seeding is by prefixing the shingle -- xxhash64's own seed arg is
-    # fixed in the SQL function, so we perturb the input instead.
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"{seed}|"), s))))
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    input has fewer partitions.
+
+    Compute-bound per-row operators (minhash/simhash/decode) otherwise
+    run serially when the source is a single small parquet file; at
+    real scale the input already has enough partitions and this is a
+    no-op. The row shuffle is trivial next to the per-row compute.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_signatures(
@@ -69,9 +77,29 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>[num_hashes]) -- one scan, no shuffle."""
+    """(id, signature array<long>[num_hashes]).
+
+    Single pass per row: the shingle array is traversed once by an
+    ``aggregate`` whose accumulator is the length-``num_hashes`` vector
+    of running minima, updated with ``zip_with(..., least)``. Seeding
+    uses multi-argument ``xxhash64(seed, shingle)`` -- no per-hash
+    string concatenation, and the shingle expression is not re-inlined
+    per hash function (which is what makes the naive
+    one-column-per-hash formulation ~30x slower).
+    """
+    df = spread_partitions(df)
     sh = shingles(F.col(text_col), shingle_k)
-    sig = F.array(*[_minhash_one(sh, i) for i in range(num_hashes)])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(i, s)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -138,7 +166,7 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
     jaccard >= threshold. Two broadcast-or-shuffle hash joins against
     the (id, shingle-set) projection -- never an O(n^2) cross join."""
-    sets_df = df.select(
+    sets_df = spread_partitions(df).select(
         F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
     )
     a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -181,7 +209,9 @@ def simhash_signatures(
     One explode + one groupBy(id) with ``bits`` conditional sums --
     a single shuffle on the id key.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = spread_partitions(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64(F.col("tok"))
     votes = [
         F.sum(
