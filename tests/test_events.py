@@ -1,0 +1,91 @@
+"""Tests for event-window and sessionization operators (batch and
+Structured Streaming parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from finance_etl_pipeline_monthly_close_dataset_spark.streaming import events as ev
+
+
+def _events(spark):
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    rows = [
+        (base, "u1", "click", 1.0),
+        (base + dt.timedelta(minutes=10), "u1", "click", 2.0),
+        (base + dt.timedelta(minutes=70), "u1", "view", 3.0),   # next hour, new session (gap 60m)
+        (base + dt.timedelta(minutes=75), "u1", "click", 4.0),
+        (base, "u2", "view", 5.0),
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, user_id string, event_type string, value double")
+
+
+def test_tumbling_counts(spark):
+    out = ev.tumbling_counts(_events(spark), width="1 hour").collect()
+    by = {(r["window_start"].hour, r["event_type"]): r for r in out}
+    assert by[(10, "click")]["n_events"] == 2
+    assert by[(10, "click")]["sum_value"] == 3.0
+    assert by[(10, "view")]["n_events"] == 1
+    assert by[(11, "view")]["n_events"] == 1
+    assert by[(11, "click")]["n_events"] == 1
+
+
+def test_sliding_windows_multiply_membership(spark):
+    out = ev.sliding_counts(_events(spark), width="1 hour", slide="30 minutes").collect()
+    # the 10:00 view event appears in exactly windows [9:30,10:30) and [10:00,11:00)
+    t = dt.datetime(2025, 1, 1, 10, 0)
+    containing = [
+        r for r in out
+        if r["event_type"] == "view" and r["window_start"] <= t < r["window_end"]
+    ]
+    assert sorted(r["window_start"].minute for r in containing) == [0, 30]
+    assert {r["window_start"].hour for r in containing} == {9, 10}
+
+
+def test_sessionize_gap(spark):
+    out = ev.sessionize(_events(spark), gap_minutes=30).collect()
+    u1 = sorted((r["ts"], r["session_id"]) for r in out if r["user_id"] == "u1")
+    assert [s for _, s in u1] == [1, 1, 2, 2]  # 60-min gap splits sessions
+
+
+def test_session_stats(spark):
+    out = ev.session_stats(_events(spark), gap_minutes=30).collect()
+    u1 = {r["session_id"]: r for r in out if r["user_id"] == "u1"}
+    assert u1[1]["n_events"] == 2 and u1[1]["sum_value"] == 3.0
+    assert u1[2]["n_events"] == 2 and u1[2]["sum_value"] == 7.0
+
+
+def test_streamed_tumbling_matches_batch(spark, tmp_path):
+    events = _events(spark)
+    pq = str(tmp_path / "events_pq")
+    events.write.parquet(pq)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream_df = ev.streamed_tumbling_counts(spark, pq, schema, width="1 hour")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_stream_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.sql("select * from t_stream_counts").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in ev.tumbling_counts(events, width="1 hour").collect()
+    }
+    assert got == {k: v for k, v in batch.items()}

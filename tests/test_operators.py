@@ -1,0 +1,156 @@
+"""Unit tests for the training-data-pipeline operators: dedup,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
+from finance_etl_pipeline_monthly_close_dataset_spark.operators.text import (
+    shingles,
+    token_count,
+)
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ("d2", "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of d1
+    ("d3", "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    ("d4", "completely different content about astronomy telescopes and galaxies far away"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == ["d1", "d3", "d4"]
+
+
+def test_exact_dup_groups(spark):
+    groups = dedup.exact_dup_groups(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sigs = {r["doc_id"]: r["signature"] for r in dedup.minhash_signatures(_docs(spark)).collect()}
+    assert sigs["d1"] == sigs["d2"]
+    assert sigs["d1"] != sigs["d4"]
+    assert len(sigs["d1"]) == 32
+
+
+def test_minhash_near_dup_finds_near_pair(spark):
+    pairs = dedup.near_dup_minhash(_docs(spark), threshold=0.5).collect()
+    found = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs}
+    assert ("d1", "d2") in found  # exact dup
+    assert ("d1", "d3") in found or ("d2", "d3") in found  # near dup
+    assert all("d4" not in p for p in found)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark)
+    all_pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3")], "id_a string, id_b string"
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, all_pairs, threshold=0.3).collect()
+    by_pair = {tuple(sorted((r["id_a"], r["id_b"]))): r["jaccard"] for r in pairs}
+    assert by_pair[("d1", "d2")] == 1.0
+    assert 0.3 <= by_pair[("d1", "d3")] < 1.0
+
+
+def test_simhash_near_pairs(spark):
+    sigs = dedup.simhash_signatures(_docs(spark))
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=10).collect()
+    found = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs}
+    assert ("d1", "d2") in found
+
+
+def test_cosine_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        [("v1", [1.0, 0.0]), ("v2", [0.0, 1.0]), ("v3", [1.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [("p1", [1.0, 0.0])], "probe_id string, embedding array<double>"
+    )
+    out = similarity.cosine_topk(corpus, probes, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == ["v1", "v3"]
+    assert out[0]["cosine_sim"] == 1.0
+    assert math.isclose(out[1]["cosine_sim"], 1 / math.sqrt(2), rel_tol=1e-9)
+
+
+def test_lsh_bucket_deterministic_and_self_match(spark):
+    corpus = spark.createDataFrame(
+        [("v1", [1.0, 2.0, 3.0, 4.0]), ("v2", [-1.0, -2.0, -3.0, -4.0])],
+        "vec_id string, embedding array<double>",
+    )
+    probes = corpus.selectExpr("vec_id as probe_id", "embedding")
+    out = similarity.lsh_bucketed_topk(corpus, probes, dim=4, k=1, n_planes=4).collect()
+    top = {r["probe_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    # every probe finds itself (same bucket, cosine 1.0)
+    assert top == {"v1": "v1", "v2": "v2"}
+
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(
+        token_count(F.col("text")).alias("n"),
+        shingles(F.col("text"), 2).alias("sh"),
+    ).collect()[0]
+    assert row["n"] == 4
+    assert sorted(row["sh"]) == ["a b", "b c", "c d"]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("e", "the cat and the dog went to the park in the morning"),
+            ("g", "der hund und die katze sind nicht in der wohnung zu hause"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text_analysis.lang_scores(df).collect()}
+    assert out["e"] == "en"
+    assert out["g"] == "de"
+
+
+def test_quality_features_ranges(spark):
+    df = spark.createDataFrame(
+        [("d1", "A clean readable sentence with several plain words."), ("d2", "!!! ### $$$ %%%")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.quality_features(df).collect()}
+    assert rows["d1"]["quality_score"] > rows["d2"]["quality_score"]
+    for r in rows.values():
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_fingerprint_order_insensitive_tokens(spark):
+    df = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "gamma beta alpha"), ("d3", "alpha beta delta")],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.fingerprint(df).collect()}
+    assert rows["d1"]["token_fingerprint"] == rows["d2"]["token_fingerprint"]
+    assert rows["d1"]["token_fingerprint"] != rows["d3"]["token_fingerprint"]
+    assert rows["d1"]["content_hash"] != rows["d2"]["content_hash"]  # raw text differs
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=8)
+    out = multimodal.decode_images(media, feature_dim=4)
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["feature"]) == 4

@@ -1,0 +1,91 @@
+"""End-to-end golden test: seed-42 synthetic month must reproduce the
+reference's committed KPI values
+(/root/reference/data/bi/2025-12/kpi_monthly.csv) at 2-dp money
+tolerance, plus DQ gate behavior (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from finance_etl_pipeline_monthly_close_dataset_spark.config import Settings
+from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import (
+    DataQualityGateError,
+    run_month,
+)
+from finance_etl_pipeline_monthly_close_dataset_spark.sample_data import (
+    generate_synthetic_raw,
+    write_chart_of_accounts,
+)
+
+GOLDEN_KPI = {
+    # entity -> (Revenue, gross_profit, operating_profit), reference
+    # data/bi/2025-12/kpi_monthly.csv (seed 42)
+    "TLM": (48129.36, 32480.81, -6201.76),
+    "UPE": (30050.52, 12769.40, -18481.08),
+}
+GOLDEN_FACT_ROWS = 236
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    raw, ref, curated = root / "raw", root / "ref", root / "curated"
+    generate_synthetic_raw(raw, month="2025-12", seed=42)
+    write_chart_of_accounts(ref)
+    paths = run_month(
+        spark, Settings(), month="2025-12", raw_dir=raw, curated_dir=curated,
+        reference_dir=ref, fail_on="ERROR",
+    )
+    return spark, paths, root
+
+
+def test_outputs_exist(outputs):
+    _, paths, _ = outputs
+    for key in ("fact", "kpi", "dim_accounts", "dq_exceptions", "dq_summary"):
+        assert paths[key].exists(), key
+
+
+def test_golden_kpi_values(outputs):
+    spark, paths, _ = outputs
+    kpi = {r["entity"]: r for r in spark.read.parquet(str(paths["kpi"])).collect()}
+    assert set(kpi) == set(GOLDEN_KPI)
+    for entity, (rev, gp, op) in GOLDEN_KPI.items():
+        row = kpi[entity]
+        assert row["month"] == "2025-12"
+        assert row["Revenue"] == pytest.approx(rev, abs=0.01)
+        assert row["gross_profit"] == pytest.approx(gp, abs=0.01)
+        assert row["operating_profit"] == pytest.approx(op, abs=0.01)
+
+
+def test_golden_fact_rowcount(outputs):
+    spark, paths, _ = outputs
+    assert spark.read.parquet(str(paths["fact"])).count() == GOLDEN_FACT_ROWS
+
+
+def test_dq_summary_all_pass(outputs):
+    spark, paths, _ = outputs
+    summary = spark.read.csv(str(paths["dq_summary"]), header=True).collect()
+    assert [r["dataset"] for r in summary][0] == "sales"
+    assert all(r["status"] == "PASS" for r in summary)
+
+
+def test_gate_blocks_bad_rows_but_writes_audit(outputs, tmp_path):
+    spark, _, root = outputs
+    raw = root / "raw"
+    bad = tmp_path / "raw_bad"
+    bad.mkdir()
+    for f in raw.iterdir():
+        bad.joinpath(f.name).write_text(f.read_text())
+    with bad.joinpath("sales.csv").open("a") as fh:
+        fh.write("2025-12-10,TLM,INV-XX,40000001,XXX,-5.0,bad row\n")
+    curated = tmp_path / "curated_bad"
+    with pytest.raises(DataQualityGateError):
+        run_month(
+            spark, Settings(), month="2025-12", raw_dir=bad, curated_dir=curated,
+            reference_dir=root / "ref", fail_on="ERROR",
+        )
+    # audit trail written before the raise
+    assert (curated / "dq_exceptions.csv").exists()
+    assert (curated / "dq_summary.csv").exists()
+    exc = spark.read.csv(str(curated / "dq_exceptions.csv"), header=True).collect()
+    assert any(r["check"].startswith("isin") and r["severity"] == "ERROR" for r in exc)
