@@ -36,6 +36,16 @@ def main(argv: list[str] | None = None) -> int:
     gen_p.add_argument("--month", default="2025-12")
     gen_p.add_argument("--seed", type=int, default=42)
 
+    for name, helptext in (
+        ("export-bi", "Export flat BI CSVs (+margin %) from the curated layer"),
+        ("export-star", "Export the Power BI star schema from the curated layer"),
+        ("dashboard", "Build the HTML dashboard from the curated layer"),
+    ):
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("--curated-dir", default="data/curated")
+        p.add_argument("--month", default=None, help="YYYY-MM; inferred from KPI if omitted")
+        p.add_argument("--out", default=None, help="Output dir (or file for dashboard)")
+
     sub.add_parser("version", help="Print version")
 
     args = parser.parse_args(argv)
@@ -48,6 +58,21 @@ def main(argv: list[str] | None = None) -> int:
         generate_synthetic_raw(args.out_dir, month=args.month, seed=args.seed)
         write_chart_of_accounts(args.reference_dir)
         print(f"Synthetic raw data written to {args.out_dir}")
+        return 0
+
+    if args.command in ("export-bi", "export-star", "dashboard"):
+        from .plans.dashboard import build_dashboard
+        from .plans.exports import export_bi_datasets
+        from .plans.star import export_star_schema
+
+        spark = get_spark()
+        if args.command == "export-bi":
+            out = export_bi_datasets(spark, args.curated_dir, args.month, args.out)
+        elif args.command == "export-star":
+            out = export_star_schema(spark, args.curated_dir, args.month, args.out)
+        else:
+            out = build_dashboard(spark, args.curated_dir, args.month, args.out)
+        print(str(out))
         return 0
 
     settings = Settings(base_currency=args.base_currency)

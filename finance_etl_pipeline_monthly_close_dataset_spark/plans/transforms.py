@@ -255,11 +255,14 @@ def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
         .collect()
     )
 
+    # amount_base is 2-dp money: accumulate as exact decimal so the sum
+    # is order-independent (identical on any partitioning/merge order,
+    # and bit-equal to a serial pandas/DuckDB sum), then back to double.
     wide = (
         joined.filter(F.col("account_type").isNotNull())
         .groupBy("entity", "month")
         .pivot("account_type", observed_types)
-        .agg(F.sum("amount_base"))
+        .agg(F.sum(F.col("amount_base").cast("decimal(28,2)")).cast("double"))
         .na.fill(0.0, observed_types)
     )
 

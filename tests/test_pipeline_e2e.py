@@ -5,6 +5,8 @@ tolerance, plus DQ gate behavior (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from finance_etl_pipeline_monthly_close_dataset_spark.config import Settings
@@ -89,3 +91,60 @@ def test_gate_blocks_bad_rows_but_writes_audit(outputs, tmp_path):
     assert (curated / "dq_summary.csv").exists()
     exc = spark.read.csv(str(curated / "dq_exceptions.csv"), header=True).collect()
     assert any(r["check"].startswith("isin") and r["severity"] == "ERROR" for r in exc)
+
+
+def test_star_schema_matches_reference_goldens(outputs, tmp_path):
+    spark, _, root = outputs
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.star import export_star_schema
+
+    out = export_star_schema(spark, root / "curated", month="2025-12", out_dir=tmp_path / "star")
+    golden = Path("/root/reference/data/bi_star/2025-12")
+    for name in ("dim_account", "dim_entity", "dim_date", "dim_month", "fact_kpi_monthly"):
+        got = (out / f"{name}.csv").read_text()
+        want = (golden / f"{name}.csv").read_text()
+        assert got == want, f"{name}.csv differs from reference golden"
+    # fact_gl: row-set equality at 2-dp (CSV float repr may differ)
+    import csv
+
+    def rowset(p):
+        with open(p) as fh:
+            rows = list(csv.DictReader(fh))
+        return sorted(
+            (r["date_key"], r["month_key"], r["entity_key"], r["account_key"],
+             round(float(r["amount"]), 2), r["description"])
+            for r in rows
+        )
+
+    assert rowset(out / "fact_gl.csv") == rowset(golden / "fact_gl.csv")
+
+
+def test_bi_exports_match_reference_goldens(outputs, tmp_path):
+    spark, _, root = outputs
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.exports import export_bi_datasets
+
+    out = export_bi_datasets(spark, root / "curated", month="2025-12", out_dir=tmp_path / "bi")
+    golden = Path("/root/reference/data/bi/2025-12")
+    for name in ("kpi_monthly", "dim_accounts", "dq_summary"):
+        assert (out / f"{name}.csv").read_text() == (golden / f"{name}.csv").read_text(), name
+    assert (out / "data_dictionary.txt").read_text() == (golden / "data_dictionary.txt").read_text()
+    # fact_transactions: compare the 2-dp money column as a row-set
+    import csv
+
+    def rowset(p):
+        with open(p) as fh:
+            rows = list(csv.DictReader(fh))
+        return sorted((r["txn_id"], r["date"], round(float(r["amount_base"]), 2)) for r in rows)
+
+    assert rowset(out / "fact_transactions.csv") == rowset(golden / "fact_transactions.csv")
+
+
+def test_dashboard_builds(outputs, tmp_path):
+    spark, _, root = outputs
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.dashboard import build_dashboard
+
+    out = build_dashboard(spark, root / "curated", out_html=tmp_path / "dash.html")
+    html = out.read_text()
+    assert "Finance Monthly Close Dashboard" in html
+    assert "2025-12" in html
+    assert "Top Expense Accounts" in html
+    assert "TLM" in html and "UPE" in html
