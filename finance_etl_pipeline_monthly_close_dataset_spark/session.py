@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # dimension joins should broadcast aggressively on big-memory
+        # executors; AQE still decides from runtime sizes, so an
+        # oversized estimate cannot OOM a genuinely large build side
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
