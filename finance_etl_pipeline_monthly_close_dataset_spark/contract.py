@@ -741,6 +741,128 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # --------------------------------------------------------------------------
 
+def q_case_insensitive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring filter (P10/F11/F12 -- the
+    dashboard's lower(account_type) == 'expense' shape)."""
+    part = t(spark, sf_dir, "part")
+    return (
+        part.filter(F.lower(F.col("p_type")).contains("brass"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum(F.col("p_retailprice"), "18,2").alias("total_price"),
+        )
+    )
+
+
+SQL_CASE_INSENSITIVE_FILTER = """
+SELECT p_brand, COUNT(*) AS n_parts, {s} AS total_price
+FROM part
+WHERE contains(lower(p_type), 'brass')
+GROUP BY 1
+""".format(s=_sql_dsum("p_retailprice", "18,2"))
+
+
+def q_literal_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-literal map as chained when (J5 -- movement_type ->
+    account_code in the reference, transform.py:80-82)."""
+    li = t(spark, sf_dir, "lineitem")
+    label = (
+        F.when(F.col("l_returnflag") == "R", F.lit("returned"))
+        .when(F.col("l_returnflag") == "A", F.lit("accepted"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        li.withColumn("flag_label", label)
+        .groupBy("flag_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), "18,2").alias("sum_qty"),
+        )
+    )
+
+
+SQL_LITERAL_MAP_JOIN = """
+SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+            WHEN l_returnflag = 'A' THEN 'accepted'
+            ELSE 'none' END AS flag_label,
+       COUNT(*) AS n_items,
+       {s} AS sum_qty
+FROM lineitem
+GROUP BY 1
+""".format(s=_sql_dsum("l_quantity", "18,2"))
+
+
+def q_month_end_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end date + int month key derivation (F3/F7/F8 -- the
+    payroll month-end convention and star-schema keys)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.date_format("o_orderdate", "yyyyMM").cast("int").alias("month_key"),
+        )
+        .groupBy("month_end", "month_key")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_MONTH_END_KEYS = """
+SELECT strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month_key,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_string_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String assembly: concat_ws ids, casts, substring (F9/F10 -- the
+    fact table's txn_id/document_id construction)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderpriority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("doc_id"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("priority_code"),
+        F.lower(F.col("o_orderstatus")).alias("status_lc"),
+    )
+
+
+SQL_STRING_DOCUMENT_IDS = """
+SELECT CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority || '|' ||
+         strftime(o_orderdate, '%Y-%m-%d') AS doc_id,
+       substring(o_orderpriority, 1, 1) AS priority_code,
+       lower(o_orderstatus) AS status_lc
+FROM orders
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts: 1h window, 15min slide -- each event in
+    4 windows (streaming §2.8 extension)."""
+    e = events_table(spark, sf_dir)
+    s = ev.sliding_counts(e, width="1 hour", slide="15 minutes")
+    return s.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                             - k.k * 900), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, (SELECT unnest(range(4)) AS k) k
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -773,6 +895,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_near_dup": q_docs_minhash_near_dup,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "case_insensitive_filter": q_case_insensitive_filter,
+    "literal_map_join": q_literal_map_join,
+    "month_end_keys": q_month_end_keys,
+    "string_document_ids": q_string_document_ids,
+    "events_sliding": q_events_sliding,
 }
 
 ORACLES: dict[str, str] = {
@@ -804,6 +931,11 @@ ORACLES: dict[str, str] = {
     "docs_fingerprint": SQL_DOCS_FINGERPRINT,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "embedding_label_centroid": SQL_EMBEDDING_LABEL_CENTROID,
+    "case_insensitive_filter": SQL_CASE_INSENSITIVE_FILTER,
+    "literal_map_join": SQL_LITERAL_MAP_JOIN,
+    "month_end_keys": SQL_MONTH_END_KEYS,
+    "string_document_ids": SQL_STRING_DOCUMENT_IDS,
+    "events_sliding": SQL_EVENTS_SLIDING,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk:
     # intentionally no oracle (approximate / non-SQL-expressible).
 }
