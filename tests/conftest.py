@@ -13,6 +13,12 @@ from finance_etl_pipeline_monthly_close_dataset_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("spark_warehouse")
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield s

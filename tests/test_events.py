@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from finance_etl_pipeline_monthly_close_dataset_spark.streaming import events as ev
@@ -89,3 +90,46 @@ def test_streamed_tumbling_matches_batch(spark, tmp_path):
         for r in ev.tumbling_counts(events, width="1 hour").collect()
     }
     assert got == {k: v for k, v in batch.items()}
+
+
+def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    events = _events(spark)
+    pq = str(tmp_path / "events_state_pq")
+    events.write.parquet(pq)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # user_id is long in the stateful op's key schema
+    ev_long = events.withColumn("user_id", F.regexp_replace("user_id", "u", "").cast("long"))
+    ev_long.write.mode("overwrite").parquet(pq)
+
+    out = streaming_sessionize(spark, pq, schema, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful_sessions")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["ts"]): r["session_id"]
+            for r in spark.sql("select * from t_stateful_sessions").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (int(r["user_id"].replace("u", "")), r["ts"]): r["session_id"]
+        for r in ev.sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == batch

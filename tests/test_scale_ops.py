@@ -1,0 +1,86 @@
+"""Scale-engineering utilities: salted joins, hot-key routing, and
+bucketed co-located joins. Tests assert both result correctness AND
+the physical-plan property each utility exists to deliver."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_monthly_close_dataset_spark.operators.skew import (
+    broadcast_hot_keys_join,
+    salted_join,
+)
+from finance_etl_pipeline_monthly_close_dataset_spark.sources.writers import (
+    write_bucketed_table,
+)
+
+
+def _skewed_fact(spark, n=10_000):
+    # 90% of rows hit key 1 (hot), the rest spread over 100 keys
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1))
+        .otherwise((F.col("id") % 100) + 2)
+        .alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def _dim(spark):
+    return spark.range(1, 102).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact, dim = _skewed_fact(spark), _dim(spark)
+    plain = fact.join(dim, on="k").groupBy("k").count()
+    salted = salted_join(fact, dim, on="k", n_salts=4).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # join key is the composite (k, _salt): the hot key's rows spread
+    # over n_salts reducer keys
+    plan = salted_join(fact, dim, on="k", n_salts=4)._jdf.queryExecution().toString()
+    assert "_salt" in plan
+
+
+def test_salted_join_left_outer(spark):
+    fact = _skewed_fact(spark, 1000)
+    dim = _dim(spark).filter(F.col("k") <= 50)  # drop some keys
+    plain = fact.join(dim, on="k", how="left")
+    salted = salted_join(fact, dim, on="k", n_salts=4, how="left")
+    assert plain.count() == salted.count()
+    assert (
+        plain.filter(F.col("name").isNull()).count()
+        == salted.filter(F.col("name").isNull()).count()
+    )
+
+
+def test_broadcast_hot_keys_join_routes_and_matches(spark):
+    fact, dim = _skewed_fact(spark), _dim(spark)
+    plain = fact.join(dim, on="k")
+    hybrid = broadcast_hot_keys_join(fact, dim, on="k", hot_key_threshold=1000)
+    assert plain.count() == hybrid.count()
+    # the hot slice must actually take the broadcast path
+    plan = hybrid._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    a = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("a"))
+    b = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("b"))
+    write_bucketed_table(a, "t_bucketed_a", ["k"], n_buckets=8, sort_by=["k"])
+    write_bucketed_table(b, "t_bucketed_b", ["k"], n_buckets=8, sort_by=["k"])
+    try:
+        ta, tb = spark.table("t_bucketed_a"), spark.table("t_bucketed_b")
+        # bucketed joins must not be pre-empted by broadcast to show the
+        # co-location property
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ta.join(tb, on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffles
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
