@@ -1,0 +1,84 @@
+"""Physical-plan property tests over the contract queries.
+
+Correctness says WHAT a query returns; these assert HOW Catalyst
+executes it -- the properties that decide whether the same plan
+survives a 100x scale-up: predicate pushdown into the parquet scan,
+column pruning, broadcast dimension joins, and limit pushdown
+(TakeOrderedAndProject). A regression that silently turns a broadcast
+join into a full shuffle still passes value checks; it fails here.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from finance_etl_pipeline_monthly_close_dataset_spark import contract
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_month_window_pushes_predicates_to_scan(spark):
+    plan = formatted_plan(contract.QUERIES["month_window_filter"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # filter reached the scan
+    assert "LessThan(o_orderdate" in plan
+    # column pruning: only the three referenced columns are read
+    assert "ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>" in plan
+
+
+def test_flagship_join_broadcasts_and_prunes(spark):
+    plan = formatted_plan(contract.QUERIES["flagship_revenue_by_month"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must not shuffle
+    # lineitem scan reads exactly the 3 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+    # orders scan reads exactly the 2 needed columns
+    assert "struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = formatted_plan(contract.QUERIES["topk_customers"](spark, SF_DIR))
+    # limit+orderBy must fuse into TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_docs_quality_stays_jvm_side(spark):
+    plan = formatted_plan(contract.QUERIES["docs_quality"](spark, SF_DIR))
+    # whole pipeline is built-in expressions: no Python evaluation node
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = formatted_plan(contract.QUERIES["parts_never_ordered"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_fx_join_in_pipeline_is_broadcast(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.transforms import (
+        add_fx_amount_base,
+    )
+    import datetime as dt
+
+    fact = spark.createDataFrame(
+        [(dt.datetime(2025, 12, 1), "USD", 10.0)],
+        "date timestamp, currency string, amount double",
+    )
+    fx = spark.createDataFrame(
+        [(dt.datetime(2025, 12, 1), "EUR", "USD", 1.1)],
+        "date timestamp, from_currency string, to_currency string, rate double",
+    )
+    out = add_fx_amount_base(fact, fx, "USD")
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
