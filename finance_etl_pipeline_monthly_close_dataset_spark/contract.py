@@ -863,6 +863,120 @@ GROUP BY 1, 2
 """
 
 
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: per-customer cumulative order total in date order
+    (beyond-reference window coverage; O4 is the only window shape the
+    reference itself has)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+SQL_RUNNING_TOTALS = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over the region -> nation hierarchy (grouping
+    sets; absent from the reference, free in Spark -- SURVEY §2.4)."""
+    orders, cust = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    nation, region = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            dsum(F.col("o_totalprice"), "18,2").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r_name, n_name, {s} AS total_price, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""".format(s=_sql_dsum("o_totalprice", "18,2"))
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate (countDistinct; absent from the
+    reference, SURVEY §2.4 note)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact threshold scan).
+
+    Contract-scale exact formulation: self-join on vec_id ordering.
+    The 100 TB path is ``similarity.lsh_bucketed_topk`` /
+    ``dedup.near_dup_minhash``-style candidate blocking first; this
+    query is the correctness baseline those approximations are
+    measured against.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+           AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine_sim >= 0.4
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -900,6 +1014,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "month_end_keys": q_month_end_keys,
     "string_document_ids": q_string_document_ids,
     "events_sliding": q_events_sliding,
+    "running_totals": q_running_totals,
+    "rollup_revenue": q_rollup_revenue,
+    "distinct_counts": q_distinct_counts,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -936,6 +1054,10 @@ ORACLES: dict[str, str] = {
     "month_end_keys": SQL_MONTH_END_KEYS,
     "string_document_ids": SQL_STRING_DOCUMENT_IDS,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "running_totals": SQL_RUNNING_TOTALS,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "distinct_counts": SQL_DISTINCT_COUNTS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk:
     # intentionally no oracle (approximate / non-SQL-expressible).
 }
