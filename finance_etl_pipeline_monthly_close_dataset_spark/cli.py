@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--reference-dir", default="data/reference")
     run_p.add_argument("--fail-on", default="ERROR", choices=["ERROR", "WARN", "NEVER"])
     run_p.add_argument("--base-currency", default="USD")
+    run_p.add_argument(
+        "--lake-dir", default=None,
+        help="Optional month-partitioned curated lake to upsert this month into",
+    )
 
     gen_p = sub.add_parser("generate", help="Generate seeded synthetic raw data")
     gen_p.add_argument("--out-dir", default="data/raw")
@@ -85,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         curated_dir=args.curated_dir,
         reference_dir=args.reference_dir,
         fail_on=args.fail_on,
+        lake_dir=args.lake_dir,
     )
     for name, path in outputs.items():
         print(f"{name}: {path}")

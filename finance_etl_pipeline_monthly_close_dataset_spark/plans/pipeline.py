@@ -60,7 +60,14 @@ def run_month(
     curated_dir: str | Path,
     reference_dir: str | Path,
     fail_on: str = "ERROR",
+    lake_dir: str | Path | None = None,
 ) -> dict[str, Path]:
+    """Run the monthly close. ``lake_dir``, if given, additionally
+    upserts this month's fact rows into a month-partitioned parquet
+    lake (``fact_transactions/month=YYYY-MM/``): with dynamic
+    partition overwrite only the processed month's partition is
+    replaced, and downstream month filters prune to one partition
+    instead of scanning history."""
     fail_on = (fail_on or "ERROR").upper().strip()
     if fail_on not in {"ERROR", "WARN", "NEVER"}:
         raise ValueError("fail_on must be one of: ERROR, WARN, NEVER")
@@ -138,6 +145,14 @@ def run_month(
     write_parquet(fact, str(out_fact))
     write_parquet(dim_accounts, str(out_dim))
     write_parquet(kpi, str(out_kpi))
+
+    if lake_dir is not None:
+        lake_fact = Path(lake_dir) / "fact_transactions"
+        write_parquet(
+            fact.withColumn("month", F.date_format("date", "yyyy-MM")),
+            str(lake_fact),
+            partition_by=["month"],
+        )
 
     dq_exceptions.unpersist()
 

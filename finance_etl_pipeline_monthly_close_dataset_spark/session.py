@@ -50,6 +50,9 @@ def get_spark(
         # executors; AQE still decides from runtime sizes, so an
         # oversized estimate cannot OOM a genuinely large build side
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # re-running a month must replace only that month's partition
+        # in the curated lake, not truncate the table
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -84,3 +84,39 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_month_partitioned_lake_prunes_and_upserts(spark, tmp_path):
+    """The curated lake is partitioned by month: re-running a month
+    replaces only its partition (dynamic overwrite), and a month
+    filter prunes the scan to one partition."""
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.writers import (
+        write_parquet,
+    )
+
+    def month_df(month: str, val: float):
+        return spark.createDataFrame(
+            [(dt.datetime.fromisoformat(f"{month}-15"), val)], "date timestamp, v double"
+        ).withColumn("month", F.date_format("date", "yyyy-MM"))
+
+    lake = str(tmp_path / "lake")
+    write_parquet(month_df("2025-11", 1.0), lake, partition_by=["month"])
+    write_parquet(month_df("2025-12", 2.0), lake, partition_by=["month"])
+    # re-run December with a new value: November must survive
+    write_parquet(month_df("2025-12", 3.0), lake, partition_by=["month"])
+
+    df = spark.read.parquet(lake)
+    rows = {r["month"]: r["v"] for r in df.collect()}
+    assert rows == {"2025-11": 1.0, "2025-12": 3.0}
+
+    # partition pruning: the month predicate becomes a PartitionFilter,
+    # not a data filter
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.filter(F.col("month") == "2025-12").explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(month" in plan
