@@ -977,6 +977,23 @@ WHERE cosine_sim >= 0.4
 """
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (KMeans coarse quantizer + nprobe cells).
+    Approximate by construction -> rows-only check, no SQL oracle;
+    q_embedding_cosine_topk is the exact baseline."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -1018,6 +1035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "distinct_counts": q_distinct_counts,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1058,6 +1076,7 @@ ORACLES: dict[str, str] = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "distinct_counts": SQL_DISTINCT_COUNTS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-    # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk:
-    # intentionally no oracle (approximate / non-SQL-expressible).
+    # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
+    # embedding_ivf_topk: intentionally no oracle (approximate /
+    # non-SQL-expressible).
 }

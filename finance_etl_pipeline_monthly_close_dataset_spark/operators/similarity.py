@@ -140,3 +140,89 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a distributed KMeans
+    coarse quantizer partitions the corpus into ``n_centroids`` cells;
+    each probe searches only its ``nprobe`` nearest cells.
+
+    Structure (all DataFrame ops, MLlib KMeans for training):
+
+    1. fit KMeans on the corpus vectors (seeded -> deterministic);
+    2. assign every corpus vector its cell id (model.transform --
+       one map-side pass, no shuffle);
+    3. rank cells per probe by distance to the centroid (probes x
+       centroids is a tiny literal cross join), keep ``nprobe``;
+    4. equi-join corpus cells to probe cells -> cosine -> windowed
+       top-k, exactly like ``cosine_topk`` but over ~nprobe/n_centroids
+       of the corpus.
+
+    At 100 TB: training samples the corpus (KMeans does its own
+    aggregation), the cell assignment is a narrow map, and the search
+    join shuffles only on the small cell-id key space. Recall < 1.0 by
+    construction; raise ``nprobe`` toward ``n_centroids`` to trade
+    speed for recall.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(c.select("features"))
+    assigned = model.transform(c).select(
+        "neighbor_id", "_vec", F.col("prediction").alias("_cell")
+    )
+
+    # tiny probes x centroids ranking (centroids are literal arrays)
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_probe_vec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_probe_vec"), F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_cells = Window.partitionBy("probe_id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    probe_cells = (
+        p.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d2", d2)
+        .withColumn("_cr", F.row_number().over(w_cells))
+        .filter(F.col("_cr") <= nprobe)
+        .select("probe_id", "_probe_vec", F.col("cell").alias("_cell"))
+    )
+
+    scored = assigned.join(F.broadcast(probe_cells), on="_cell").select(
+        "probe_id",
+        "neighbor_id",
+        cosine(F.col("_vec"), F.col("_probe_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -154,3 +154,25 @@ def test_multimodal_decode_plumbing(spark):
     assert len(rows) == 8
     for r in rows:
         assert len(r["feature"]) == 4
+
+
+def test_ivf_topk_recall_against_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, probes, k=5)
+    approx = similarity.ivf_topk(emb, probes, k=5, n_centroids=8, nprobe=4)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    # each probe's own vector is its top hit and must be found
+    for pid, found in approx_sets.items():
+        assert pid in found
+    # aggregate recall over probes should be high with nprobe=half
+    hits = sum(len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6
