@@ -994,6 +994,42 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the same user's latest
+    purchase value at or before the click (operators/asof.py --
+    union-and-carry-forward, one shuffle on user_id; oracle is
+    DuckDB's native ASOF JOIN)."""
+    from .operators.asof import asof_join
+
+    e = events_table(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="user_id", value_cols=["last_purchase_value"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "event_id",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+SQL_EVENTS_ASOF_LAST_PURCHASE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.event_id,
+       round(p.value, 6) AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -1036,6 +1072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_counts": q_distinct_counts,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "events_asof_last_purchase": q_events_asof_last_purchase,
 }
 
 ORACLES: dict[str, str] = {
@@ -1076,6 +1113,7 @@ ORACLES: dict[str, str] = {
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "distinct_counts": SQL_DISTINCT_COUNTS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).

@@ -1,0 +1,88 @@
+"""As-of join semantics: backward match, equal-ts visibility,
+no-match nulls, tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_monthly_close_dataset_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2025, 6, 1, h, m)
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [
+            ("AAA", _ts(10, 0), 100.0),
+            ("AAA", _ts(10, 30), 50.0),
+            ("AAA", _ts(9, 0), 10.0),   # before any quote
+            ("BBB", _ts(10, 15), 70.0),
+        ],
+        "sym string, ts timestamp, qty double",
+    )
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("AAA", _ts(9, 30), 10.0),
+            ("AAA", _ts(10, 0), 11.0),   # equal-ts: visible to 10:00 trade
+            ("AAA", _ts(10, 20), 12.0),
+            ("BBB", _ts(8, 0), 99.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+
+
+def test_backward_asof_basic(spark):
+    out = asof_join(_trades(spark), _quotes(spark), on="sym")
+    got = {(r["sym"], r["ts"]): r["px"] for r in out.collect()}
+    assert got[("AAA", _ts(10, 0))] == 11.0   # equal ts wins
+    assert got[("AAA", _ts(10, 30))] == 12.0  # latest prior
+    assert got[("AAA", _ts(9, 0))] is None    # nothing before
+    assert got[("BBB", _ts(10, 15))] == 99.0
+    assert out.count() == 4  # all left rows survive
+
+
+def test_asof_tolerance(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on="sym", tolerance_seconds=30 * 60
+    )
+    got = {(r["sym"], r["ts"]): r["px"] for r in out.collect()}
+    assert got[("AAA", _ts(10, 30))] == 12.0   # 10 min old: within 30 min
+    assert got[("BBB", _ts(10, 15))] is None   # 2h15m old: too stale
+
+
+def test_asof_multiple_value_cols(spark):
+    quotes = _quotes(spark).withColumn("venue", F.concat(F.lit("v_"), F.col("px").cast("int")))
+    out = asof_join(_trades(spark), quotes, on="sym", value_cols=["px", "venue"])
+    row = {(r["sym"], r["ts"]): r for r in out.collect()}[("AAA", _ts(10, 30))]
+    assert row["px"] == 12.0 and row["venue"] == "v_12"
+
+
+def test_asof_matches_duckdb_asof_join(spark):
+    """Cross-engine check against DuckDB's native ASOF JOIN."""
+    import duckdb
+
+    trades = _trades(spark).toPandas()
+    quotes = _quotes(spark).toPandas()
+    con = duckdb.connect()
+    con.register("trades", trades)
+    con.register("quotes", quotes)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """SELECT t.sym, t.ts, q.px
+               FROM trades t ASOF LEFT JOIN quotes q
+                 ON t.sym = q.sym AND t.ts >= q.ts"""
+        ).fetchall()
+    }
+    got = {
+        (r["sym"], r["ts"]): r["px"]
+        for r in asof_join(_trades(spark), _quotes(spark), on="sym").collect()
+    }
+    assert got == want
