@@ -994,6 +994,42 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard, top-20 most similar pairs in a
+    bounded slice (dedup.ngram_jaccard_pairs with threshold 0 + rank;
+    the brief's n-gram-Jaccard dedup as its own oracle-checked entry).
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+    )
+    out = dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.0)
+    return (
+        out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(20)
+    )
+
+
+SQL_DOCS_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len({toks}) - 2, 1) + 1),
+           i -> array_to_string(({toks})[i:i+2], ' '))) AS s
+  FROM documents WHERE doc_id < 120
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+""".format(toks=_SQL_TOKENS)
+
+
 def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click annotated with the same user's latest
     purchase value at or before the click (operators/asof.py --
@@ -1073,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "events_asof_last_purchase": q_events_asof_last_purchase,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
 }
 
 ORACLES: dict[str, str] = {
@@ -1114,6 +1151,7 @@ ORACLES: dict[str, str] = {
     "distinct_counts": SQL_DISTINCT_COUNTS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "events_asof_last_purchase": SQL_EVENTS_ASOF_LAST_PURCHASE,
+    "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
