@@ -53,3 +53,23 @@ def read_parquet_or_empty(
     if os.path.exists(path):
         return spark.read.parquet(path)
     return spark.createDataFrame([], schema or T.StructType([]))
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_row_id: bool = False,
+) -> DataFrame:
+    """Schema-pinned JSON-lines scan (the interchange format of LLM
+    document corpora). Explicit schema for the same reason as CSV: a
+    schema-inference pass over 100 TB of JSONL is a full extra read.
+    Corrupt lines land in ``_corrupt_record`` when the schema declares
+    it (PERMISSIVE mode) instead of failing the scan.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Missing input file: {path}")
+    df = spark.read.schema(schema).json(path)
+    if with_row_id:
+        df = df.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
+    return df

@@ -73,3 +73,10 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Multi-file JSON-lines sink (one file per partition -- the
+    distributed counterpart of the single-file CSV sink; JSONL
+    consumers glob directories natively)."""
+    df.write.mode(mode).json(path)

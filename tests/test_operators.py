@@ -176,3 +176,27 @@ def test_ivf_topk_recall_against_exact(spark):
     hits = sum(len(exact_sets[p] & approx_sets.get(p, set())) for p in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.6
+
+
+def test_jsonl_roundtrip_with_corrupt_records(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.readers import read_jsonl
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.writers import write_jsonl
+
+    docs = _docs(spark)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    back = read_jsonl(spark, out, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # corrupt line routed to _corrupt_record, not a scan failure
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": "ok", "text": "fine"}\n{not json at all\n')
+    schema_c = schema.add("_corrupt_record", T.StringType())
+    rows = read_jsonl(spark, str(bad), schema_c).collect()
+    assert len(rows) == 2
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
