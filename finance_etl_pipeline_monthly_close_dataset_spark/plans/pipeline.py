@@ -34,7 +34,7 @@ from ..schemas import (
     PAYROLL_SCHEMA,
     SALES_SCHEMA,
 )
-from ..sources.readers import ROW_ID_COL, read_csv
+from ..sources.readers import RAW_PREFIX, ROW_ID_COL, read_csv, read_csv_typed
 from ..sources.writers import write_csv_single_file, write_parquet
 from .quality import (
     account_in_coa_exceptions,
@@ -79,13 +79,13 @@ def run_month(
     coa = read_csv(spark, str(reference_dir / "chart_of_accounts.csv"), COA_SCHEMA)
     dim_accounts = build_dim_accounts(coa)
 
-    sales = read_csv(spark, str(raw_dir / "sales.csv"), SALES_SCHEMA, with_row_id=True)
-    expenses = read_csv(spark, str(raw_dir / "expenses.csv"), EXPENSES_SCHEMA, with_row_id=True)
-    payroll = read_csv(spark, str(raw_dir / "payroll.csv"), PAYROLL_SCHEMA, with_row_id=True)
-    inventory = read_csv(
+    sales = read_csv_typed(spark, str(raw_dir / "sales.csv"), SALES_SCHEMA, with_row_id=True)
+    expenses = read_csv_typed(spark, str(raw_dir / "expenses.csv"), EXPENSES_SCHEMA, with_row_id=True)
+    payroll = read_csv_typed(spark, str(raw_dir / "payroll.csv"), PAYROLL_SCHEMA, with_row_id=True)
+    inventory = read_csv_typed(
         spark, str(raw_dir / "inventory_movements.csv"), INVENTORY_SCHEMA, with_row_id=True
     )
-    fx_rates = read_csv(spark, str(raw_dir / "fx_rates.csv"), FX_SCHEMA, with_row_id=True)
+    fx_rates = read_csv_typed(spark, str(raw_dir / "fx_rates.csv"), FX_SCHEMA, with_row_id=True)
 
     frames = {
         "sales": sales,

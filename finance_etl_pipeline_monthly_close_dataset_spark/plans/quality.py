@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import DQ_EXCEPTIONS_SCHEMA
-from ..sources.readers import ROW_ID_COL
+from ..sources.readers import RAW_PREFIX, ROW_ID_COL
 
 DATASETS = ["sales", "expenses", "payroll", "inventory_movements", "fx_rates"]
 
@@ -172,6 +172,24 @@ def collect_exceptions(df: DataFrame, spec: DatasetSpec) -> DataFrame:
     structs: list[Column] = []
     for c in spec.not_null:
         if c in df.columns:
+            raw = f"{RAW_PREFIX}{c}"
+            if raw in df.columns:
+                # coercion-aware scan: raw text present but typed null
+                # = dtype failure (pandera coerce semantics, Q3); only
+                # a truly absent value is a not_nullable failure
+                structs.append(
+                    F.when(
+                        F.col(raw).isNotNull() & F.col(c).isNull(),
+                        _exception_struct(c, f"coerce_dtype({df.schema[c].dataType.simpleString()})", F.col(raw)),
+                    )
+                )
+                structs.append(
+                    F.when(
+                        F.col(raw).isNull(),
+                        _exception_struct(c, "not_nullable", F.lit(None)),
+                    )
+                )
+                continue
             structs.append(
                 F.when(
                     F.col(c).isNull(),
@@ -238,7 +256,7 @@ def schema_shape_exceptions(
     """strict=True column-shape check (Q1): missing required columns
     and unexpected extras, evaluated driver-side against df.columns."""
     declared = set(spec.columns)
-    actual = [c for c in df.columns if c != ROW_ID_COL]
+    actual = [c for c in df.columns if c != ROW_ID_COL and not c.startswith(RAW_PREFIX)]
     rows = []
     for c in spec.columns:
         if c not in actual:

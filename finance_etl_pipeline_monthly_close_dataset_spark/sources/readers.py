@@ -73,3 +73,50 @@ def read_jsonl(
     if with_row_id:
         df = df.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
     return df
+
+
+RAW_PREFIX = "_raw_"
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_row_id: bool = False,
+) -> DataFrame:
+    """CSV scan with pandera-style coercion semantics (Q3): every cell
+    is read as a string and converted with ``try_cast``, so an
+    unparseable value yields a typed null WHILE the raw text survives
+    in a ``_raw_<col>`` sibling column. The DQ layer turns
+    (raw NOT NULL, typed NULL) into a ``coerce_dtype`` exception with
+    the offending text as the failure case -- something a straight
+    typed scan cannot report because the parser nulls the cell
+    silently.
+
+    Still ONE scan: the raw->typed conversion is a projection, and
+    Catalyst prunes the ``_raw_`` columns from any plan that does not
+    reference them (i.e. everything downstream of DQ).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Missing input file: {path}")
+    str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
+    df = spark.read.csv(path, header=True, schema=str_schema)
+    cols = []
+    for f in schema.fields:
+        raw = F.col(f.name)
+        if isinstance(f.dataType, T.StringType):
+            cols.append(raw.alias(f.name))
+        else:
+            if isinstance(f.dataType, T.TimestampType):
+                typed = F.coalesce(
+                    F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+                    F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")),
+                )
+            else:
+                typed = raw.try_cast(f.dataType)
+            cols.append(typed.alias(f.name))
+            cols.append(raw.alias(f"{RAW_PREFIX}{f.name}"))
+    out = df.select(*cols)
+    if with_row_id:
+        out = out.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
+    return out

@@ -152,3 +152,31 @@ def test_summary_zero_filled_scaffold(spark):
     assert by["sales"]["warn_count"] == 1 and by["sales"]["status"] == "PASS"
     assert by["fx_rates"]["error_count"] == 1 and by["fx_rates"]["status"] == "FAIL"
     assert by["payroll"]["issue_count"] == 0 and by["payroll"]["status"] == "PASS"
+
+
+def test_dtype_coercion_check(spark, specs, tmp_path):
+    """Unparseable values surface as coerce_dtype exceptions with the
+    raw text as the failure case (pandera Q3 parity), severity ERROR
+    (check name contains 'dtype')."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.schemas import SALES_SCHEMA
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.readers import read_csv_typed
+
+    p = tmp_path / "sales.csv"
+    p.write_text(
+        "date,entity,invoice_id,account_code,currency,amount,description\n"
+        "2025-12-10,TLM,I1,40000001,USD,abc,bad amount\n"
+        "not-a-date,TLM,I2,40000001,USD,5.0,bad date\n"
+        "2025-12-11,TLM,I3,40000001,USD,7.5,clean\n"
+        "2025-12-12,TLM,,40000001,USD,1.0,missing invoice\n"
+    )
+    df = read_csv_typed(spark, str(p), SALES_SCHEMA, with_row_id=True)
+    exc = add_severity(collect_exceptions(df, specs["sales"])).collect()
+    by_check = {(r["column"], r["check"].split("(")[0]): r for r in exc}
+    amt = by_check[("amount", "coerce_dtype")]
+    assert amt["failure_case"] == "abc"
+    assert amt["severity"] == "ERROR"
+    assert ("date", "coerce_dtype") in by_check
+    # missing invoice_id is not_nullable, not a dtype failure
+    assert ("invoice_id", "not_nullable") in by_check
+    # typed values still parse for clean rows
+    assert df.filter(F.col("amount") == 7.5).count() == 1
