@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): engine semantics verified
+against independent references on randomized inputs.
+
+Each property runs a bounded number of examples (Spark actions are
+~100ms each); deadlines are disabled accordingly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_monthly_close_dataset_spark.operators.asof import asof_join
+from finance_etl_pipeline_monthly_close_dataset_spark.streaming.events import sessionize
+
+BASE = dt.datetime(2025, 3, 1)
+
+_spark = None
+
+
+def _get_spark(spark):
+    global _spark
+    _spark = spark
+    return spark
+
+
+# --- as-of join vs pandas merge_asof ---------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=10_000),  # minutes offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left_rows=events_strategy, right_rows=events_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    # unique (key, ts) per side: merge_asof tie-handling within equal
+    # right timestamps is otherwise underspecified
+    left_rows = list({(k, m) for k, m in left_rows})
+    right_rows = list({(k, m) for k, m in right_rows})
+    left = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=m)) for k, m in left_rows], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), float(m)) for k, m in right_rows],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(left, right, on="k", value_cols=["v"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, BASE + dt.timedelta(minutes=m)) for k, m in left_rows], columns=["k", "ts"]
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), float(m)) for k, m in right_rows],
+        columns=["k", "ts", "v"],
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        (r.k, r.ts.to_pydatetime()): (None if pd.isna(r.v) else r.v)
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+# --- sessionization invariants ----------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=5_000), min_size=1, max_size=30),
+    gap_minutes=st.integers(min_value=1, max_value=120),
+)
+def test_sessionize_gap_invariants(spark, offsets, gap_minutes):
+    offsets = sorted(set(offsets))
+    df = spark.createDataFrame(
+        [(BASE + dt.timedelta(minutes=m), "u") for m in offsets], "ts timestamp, user_id string"
+    )
+    rows = sorted(sessionize(df, gap_minutes=gap_minutes).collect(), key=lambda r: r["ts"])
+    # ids start at 1, are non-decreasing, and bump exactly when the gap
+    # from the previous event exceeds the threshold
+    assert rows[0]["session_id"] == 1
+    for prev, cur in zip(rows, rows[1:]):
+        gap = (cur["ts"] - prev["ts"]).total_seconds()
+        if gap > gap_minutes * 60:
+            assert cur["session_id"] == prev["session_id"] + 1
+        else:
+            assert cur["session_id"] == prev["session_id"]
+
+
+# --- exact decimal sums are partitioning-invariant ---------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cents=st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=50),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+def test_decimal_sum_partitioning_invariant(spark, cents, n_parts):
+    """The dsum convention: 2-dp money summed as decimal gives the
+    same double no matter how rows are partitioned (plain double sums
+    do not satisfy this)."""
+    vals = [c / 100.0 for c in cents]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(n_parts)
+    got = df.agg(F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s")).first()["s"]
+    want = float(sum(cents)) / 100.0
+    assert got == want
