@@ -133,3 +133,77 @@ def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in ev.sessionize(events, gap_minutes=30).collect()
     }
     assert got == batch
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Event-time watermark semantics: a window finalizes once the
+    watermark passes its end, and events arriving later than the
+    watermark are dropped from the finalized result."""
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "wm_src"
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+
+    stream = ev.streamed_tumbling_counts(
+        spark, str(src), schema, width="1 hour", watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_wm_counts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # batch 1: two events in [10:00,11:00) + one at 12:05 that
+        # advances the watermark to 11:05 (> window end)
+        write_batch(
+            "b1",
+            [
+                (t0, "u1", "click", 1.0),
+                (t0 + dt.timedelta(minutes=30), "u1", "click", 1.0),
+                (t0 + dt.timedelta(hours=2, minutes=5), "u1", "click", 1.0),
+            ],
+        )
+        q.processAllAvailable()
+        # batch 2: a LATE event for the finalized window (10:45 <
+        # watermark) plus a fresh event; the late one must be dropped
+        write_batch(
+            "b2",
+            [
+                (t0 + dt.timedelta(minutes=45), "u1", "click", 1.0),
+                (t0 + dt.timedelta(hours=3), "u1", "click", 1.0),
+            ],
+        )
+        q.processAllAvailable()
+        # push the watermark far ahead so every earlier window emits
+        write_batch("b3", [(t0 + dt.timedelta(hours=10), "u1", "click", 1.0)])
+        q.processAllAvailable()
+        got = {
+            r["window_start"]: r["n_events"]
+            for r in spark.sql("select * from t_wm_counts").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got[t0] == 2  # late 10:45 event NOT counted
+    assert got[t0 + dt.timedelta(hours=2)] == 1
