@@ -1189,6 +1189,19 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """.format(rev=_sql_dsum("l_extendedprice * (1 - l_discount)"))
 
 
+def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for interactive 100TB profiling:
+    HLL++ distinct counts + approximate percentiles per group.
+    Deterministic for fixed input (both sketches are), but
+    engine-specific -> rows-only check; distinct_counts is the exact
+    baseline."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10_000).alias("price_quantiles"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -1237,6 +1250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_exists": q_order_priority_exists,
     "regional_supplier_volume": q_regional_supplier_volume,
     "top_supplier": q_top_supplier,
+    "approx_distinct_quantiles": q_approx_distinct_quantiles,
 }
 
 ORACLES: dict[str, str] = {

@@ -200,3 +200,12 @@ def test_jsonl_roundtrip_with_corrupt_records(spark, tmp_path):
     rows = read_jsonl(spark, str(bad), schema_c).collect()
     assert len(rows) == 2
     assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
+
+
+def test_approx_count_distinct_error_bound(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
