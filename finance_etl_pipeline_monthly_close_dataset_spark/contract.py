@@ -1189,6 +1189,82 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """.format(rev=_sql_dsum("l_extendedprice * (1 - l_discount)"))
 
 
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage (absent from the reference, free in
+    Spark -- SURVEY §2.5 note): customers active in 1996 but not 1997,
+    and customers active in both, labeled and unioned."""
+    orders = t(spark, sf_dir, "orders")
+
+    def active(year: int):
+        return (
+            orders.filter(F.date_format("o_orderdate", "yyyy") == str(year))
+            .select("o_custkey")
+            .distinct()
+        )
+
+    only_96 = active(1996).subtract(active(1997))  # EXCEPT (set semantics)
+    both = active(1996).intersect(active(1997))
+    return (
+        only_96.withColumn("cohort", F.lit("1996_only"))
+        .unionByName(both.withColumn("cohort", F.lit("both_years")))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_SET_OPERATIONS = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1996'),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y') = '1997'),
+     labeled AS (
+       SELECT o_custkey, '1996_only' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+       UNION ALL
+       SELECT o_custkey, 'both_years' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+     )
+SELECT cohort, COUNT(*) AS n_customers FROM labeled GROUP BY 1
+"""
+
+
+def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled 6-hour resample of one user's event stream: a dense
+    time spine (sequence + explode, pure Catalyst) left-joined to the
+    bucketed aggregates -- the gap-filling pattern every time-series
+    pipeline needs; empty buckets surface as 0 rather than vanishing.
+    """
+    e = events_table(spark, sf_dir).filter(F.col("user_id") == 7)
+    bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 21600) * 21600)
+    counts = e.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = e.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))).alias("bucket")
+    )
+    return (
+        spine.join(counts, on="bucket", how="left")
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_RESAMPLED = """
+WITH e AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600) AS bucket
+  FROM events WHERE user_id = 7
+), counts AS (
+  SELECT bucket, COUNT(*) AS n_events FROM e GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series((SELECT MIN(bucket) FROM e),
+                                (SELECT MAX(bucket) FROM e),
+                                INTERVAL 6 HOUR)) AS bucket
+)
+SELECT strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       COALESCE(c.n_events, 0) AS n_events
+FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket
+"""
+
+
 def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for interactive 100TB profiling:
     HLL++ distinct counts + approximate percentiles per group.
@@ -1251,6 +1327,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_supplier_volume": q_regional_supplier_volume,
     "top_supplier": q_top_supplier,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,
+    "set_operations": q_set_operations,
+    "events_resampled": q_events_resampled,
 }
 
 ORACLES: dict[str, str] = {
@@ -1297,6 +1375,8 @@ ORACLES: dict[str, str] = {
     "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
     "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
     "top_supplier": SQL_TOP_SUPPLIER,
+    "set_operations": SQL_SET_OPERATIONS,
+    "events_resampled": SQL_EVENTS_RESAMPLED,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
