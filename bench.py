@@ -47,8 +47,12 @@ def main() -> None:
     # the cluster default of 128 MB/split would scan them on 1-3 cores.
     # 4 MB splits use the 32 local cores; a real cluster against 100 TB
     # keeps the 128-256 MB default (these knobs are bench-local only).
+    # shuffle_partitions=8: sf0.1 shuffles move a few MB, so 32 map
+    # outputs just add scheduling overhead (AQE coalesces the reduce
+    # side either way). A cluster run sizes this to 2-3x total cores.
     spark = get_spark(
         app_name="bench",
+        shuffle_partitions=8,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "4MB",
             "spark.sql.files.openCostInBytes": "1MB",
