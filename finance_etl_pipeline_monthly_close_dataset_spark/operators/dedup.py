@@ -312,3 +312,74 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, component)
+    where component = min id reachable through pairs.
+
+    Iterative min-label propagation in plain DataFrame ops (no graph
+    library): each round every node adopts the smallest label among
+    itself and its neighbors; converges in O(log(max component
+    diameter)) rounds -- near-dup graphs are collections of small
+    dense clusters, so typically 2-4. Each round is one join + one
+    groupBy (two shuffles on the id key); ``localCheckpoint`` truncates
+    the growing lineage so round N does not replay rounds 1..N-1.
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    silently returning partial components.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias(id_col), "component")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def dedup_near_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup component; docs
+    with no near-dup pair survive untouched. Composes with
+    near_dup_minhash / simhash_near_pairs / embedding pair sources."""
+    ids = df.select(id_col).distinct()
+    comps = connected_components(ids, pairs, id_col)
+    keep = comps.groupBy("component").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")

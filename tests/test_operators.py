@@ -209,3 +209,21 @@ def test_approx_count_distinct_error_bound(spark):
         F.countDistinct("o_custkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_connected_components_chain_and_isolated(spark):
+    ids = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)], "doc_id string")
+    # chain a-b-c plus pair d-e ordering reversed; isolated none
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("e", "d")], "id_a string, id_b string"
+    )
+    comps = {r["doc_id"]: r["component"] for r in dedup.connected_components(ids, pairs).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_dedup_near_representatives_end_to_end(spark):
+    docs = _docs(spark)
+    pairs = dedup.near_dup_minhash(docs, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in dedup.dedup_near_representatives(docs, pairs).collect())
+    # d1/d2/d3 form one near-dup component -> keep d1; d4 isolated
+    assert kept == ["d1", "d4"]
