@@ -226,3 +226,73 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul
+    (``mapInPandas``) -- the vectorized-Python alternative to the
+    JVM higher-order-function formulation in ``cosine_topk``.
+
+    The probe matrix is tiny and rides into the workers inside the
+    closure; each Arrow batch computes ``corpus_block @ probes.T`` and
+    emits only its local top-k per probe, so the shuffle carries
+    ``partitions x probes x k`` candidate rows, never the scored
+    corpus. A final ranking window reduces candidates to the global
+    top-k. Results match ``cosine_topk`` exactly up to float summation
+    order (numpy pairwise vs left-fold); both are correct cosines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    probe_ids = [r[0] for r in probe_rows]
+    pm = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    pm_norm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+
+    out_schema = (
+        f"probe_id {probes.schema[probe_id_col].dataType.simpleString()}, "
+        f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+        "cosine_sim double"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm_norm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm_norm @ pm_norm.T  # (batch, probes)
+            top = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]
+            frames = []
+            for j, pid in enumerate(probe_ids):
+                rows = idx[:, j]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pid,
+                            "neighbor_id": pdf[id_col].iloc[rows].values,
+                            "cosine_sim": sims[rows, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    from .dedup import spread_partitions
+
+    candidates = spread_partitions(corpus).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -227,3 +227,15 @@ def test_dedup_near_representatives_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in dedup.dedup_near_representatives(docs, pairs).collect())
     # d1/d2/d3 form one near-dup component -> keep d1; d4 isolated
     assert kept == ["d1", "d4"]
+
+
+def test_cosine_topk_arrow_matches_hof(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    hof = similarity.cosine_topk(emb, probes, k=5)
+    arrow = similarity.cosine_topk_arrow(emb, probes, k=5)
+    a = {(r["probe_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in hof.collect()}
+    b = {(r["probe_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in arrow.collect()}
+    assert a == b
