@@ -132,3 +132,23 @@ def streamed_tumbling_counts(
             "n_events",
         )
     )
+
+
+def streamed_dedup(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: drop re-deliveries of the same event id
+    across micro-batches.
+
+    ``dropDuplicates`` on a stream keeps per-key state forever unless
+    bounded; the event-time watermark lets the state store expire ids
+    older than the lateness horizon, so state size tracks the event
+    rate x watermark window, not the stream's lifetime -- the standard
+    exactly-once-ingest pattern for at-least-once sources.
+    """
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicates([id_col, "ts"])

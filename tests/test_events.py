@@ -207,3 +207,41 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
 
     assert got[t0] == 2  # late 10:45 event NOT counted
     assert got[t0 + dt.timedelta(hours=2)] == 1
+
+
+def test_streamed_dedup_drops_redeliveries(spark, tmp_path):
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "dedup_src"
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    out = ev.streamed_dedup(spark, str(src), schema)
+    q = out.writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try:
+        write_batch("b1", [(1, t0, 1.0), (2, t0, 2.0), (1, t0, 1.0)])  # in-batch dup
+        q.processAllAvailable()
+        # re-delivery of event 1 in a later batch + a new event
+        write_batch("b2", [(1, t0, 1.0), (3, t0 + dt.timedelta(minutes=5), 3.0)])
+        q.processAllAvailable()
+        ids = sorted(r["event_id"] for r in spark.sql("select * from t_dedup").collect())
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3]  # each event exactly once
