@@ -148,3 +148,30 @@ def test_dashboard_builds(outputs, tmp_path):
     assert "2025-12" in html
     assert "Top Expense Accounts" in html
     assert "TLM" in html and "UPE" in html
+
+
+def test_empty_month_runs_clean(spark, tmp_path):
+    """Header-only raw files (a month with zero activity) must flow
+    through DQ, fact build, KPI pivot, and sinks without error."""
+    raw = tmp_path / "raw_empty"
+    raw.mkdir()
+    headers = {
+        "sales.csv": "date,entity,invoice_id,account_code,currency,amount,description",
+        "expenses.csv": "date,entity,bill_id,account_code,currency,amount,description",
+        "payroll.csv": "month,entity,employee_id,currency,gross,deductions,net",
+        "inventory_movements.csv": "date,entity,sku,movement_type,qty,unit_cost,currency",
+        "fx_rates.csv": "date,from_currency,to_currency,rate",
+    }
+    for name, header in headers.items():
+        (raw / name).write_text(header + "\n")
+    ref = tmp_path / "ref_empty"
+    write_chart_of_accounts(ref)
+    curated = tmp_path / "curated_empty"
+    paths = run_month(
+        spark, Settings(), month="2025-12", raw_dir=raw, curated_dir=curated,
+        reference_dir=ref, fail_on="ERROR",
+    )
+    assert spark.read.parquet(str(paths["fact"])).count() == 0
+    assert spark.read.parquet(str(paths["kpi"])).count() == 0
+    summary = spark.read.csv(str(paths["dq_summary"]), header=True).collect()
+    assert all(r["status"] == "PASS" for r in summary)
