@@ -1265,6 +1265,52 @@ FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/ranges.py): count everyone's events
+    falling inside each of user 7's sessions -- bucket-decomposed
+    equality join + BETWEEN filter, never a nested-loop cross join."""
+    from .operators.ranges import range_join
+
+    e = events_table(spark, sf_dir)
+    sessions = ev.session_stats(e.filter(F.col("user_id") == 7), gap_minutes=30).select(
+        F.col("session_id"),
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+    )
+    joined = range_join(e.select("ts"), sessions, "ts", "start", "end", bucket_width_seconds=900)
+    return (
+        joined.groupBy(
+            F.col("session_id").cast("long").alias("session_id"),
+            F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events_in_window"))
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH flagged AS (
+  SELECT ts,
+         CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+                   OR extract(epoch FROM ts - lag(ts) OVER (ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id = 7
+), numbered AS (
+  SELECT ts, SUM(new_session) OVER (ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT CAST(session_id AS BIGINT) AS session_id,
+         MIN(ts) AS start, MAX(ts) AS "end"
+  FROM numbered GROUP BY 1
+)
+SELECT s.session_id,
+       strftime(s.start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events_in_window
+FROM events e JOIN sessions s ON e.ts >= s.start AND e.ts <= s."end"
+GROUP BY 1, 2
+"""
+
+
 def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for interactive 100TB profiling:
     HLL++ distinct counts + approximate percentiles per group.
@@ -1329,6 +1375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_quantiles": q_approx_distinct_quantiles,
     "set_operations": q_set_operations,
     "events_resampled": q_events_resampled,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1377,6 +1424,7 @@ ORACLES: dict[str, str] = {
     "top_supplier": SQL_TOP_SUPPLIER,
     "set_operations": SQL_SET_OPERATIONS,
     "events_resampled": SQL_EVENTS_RESAMPLED,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).

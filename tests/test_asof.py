@@ -86,3 +86,67 @@ def test_asof_matches_duckdb_asof_join(spark):
         for r in asof_join(_trades(spark), _quotes(spark), on="sym").collect()
     }
     assert got == want
+
+
+def test_range_join_point_in_interval(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.ranges import range_join
+
+    points = spark.createDataFrame(
+        [
+            ("p1", _ts(10, 15)),
+            ("p2", _ts(11, 30)),
+            ("p3", _ts(9, 0)),   # outside every interval
+            ("p4", _ts(10, 0)),  # boundary: start-inclusive
+        ],
+        "pid string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("i1", _ts(10, 0), _ts(11, 0)),
+            ("i2", _ts(10, 30), _ts(12, 0)),  # overlaps i1: p2 in i2 only
+        ],
+        "iid string, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "ts", "start", "end").collect()
+    )
+    assert got == [("p1", "i1"), ("p2", "i2"), ("p4", "i1")]
+    # bucket width far smaller than intervals must give the same answer
+    got_small = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "ts", "start", "end", bucket_width_seconds=60
+        ).collect()
+    )
+    assert got_small == got
+
+
+def test_range_join_matches_naive_between(spark):
+    import random
+
+    rng = random.Random(7)
+    points = spark.createDataFrame(
+        [(i, _ts(9 + rng.randint(0, 5), rng.randint(0, 59))) for i in range(60)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, _ts(9 + rng.randint(0, 4), rng.randint(0, 59)), rng.randint(10, 150))
+            for j in range(25)
+        ],
+        "iid long, start timestamp, dur long",
+    ).selectExpr("iid", "start", "start + make_interval(0,0,0,0,0,dur,0) as end")
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.ranges import range_join
+
+    fast = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "ts", "start", "end", bucket_width_seconds=900).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter("ts >= start and ts <= end")
+        .collect()
+    )
+    assert fast == naive
