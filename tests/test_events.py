@@ -245,3 +245,67 @@ def test_streamed_dedup_drops_redeliveries(spark, tmp_path):
     finally:
         q.stop()
     assert ids == [1, 2, 3]  # each event exactly once
+
+
+def test_continuous_rollup_matches_batch_recompute(spark, tmp_path):
+    """Incremental rollup over two micro-batches equals a one-shot
+    batch aggregation of all events; compaction preserves results."""
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming import rollup
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "roll_src"
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    b1 = [(t0, "click", 1.5), (t0 + dt.timedelta(minutes=30), "click", 2.5), (t0, "view", 1.0)]
+    b2 = [(t0 + dt.timedelta(minutes=10), "click", 3.0), (t0 + dt.timedelta(hours=1), "view", 4.0)]
+
+    q = rollup.start_rollup(
+        spark, str(src), schema, str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    )
+    try:
+        write_batch("b1", b1)
+        q.processAllAvailable()
+        write_batch("b2", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["bucket"], r["key"]): (r["n_events"], r["sum_value"])
+        for r in rollup.read_rollup(spark, str(tmp_path / "rollup")).collect()
+    }
+    assert got == {
+        (t0, "click"): (3, 7.0),
+        (t0, "view"): (1, 1.0),
+        (t0 + dt.timedelta(hours=1), "view"): (1, 4.0),
+    }
+    # the same hour appears in two partial rows (one per batch) before compaction
+    partials = spark.read.parquet(str(tmp_path / "rollup"))
+    assert partials.filter("key = 'click'").count() == 2
+
+    rollup.compact_rollup(spark, str(tmp_path / "rollup"), str(tmp_path / "rollup_c"))
+    compacted = {
+        (r["bucket"], r["key"]): (r["n_events"], r["sum_value"])
+        for r in rollup.read_rollup(spark, str(tmp_path / "rollup_c")).collect()
+    }
+    assert compacted == got
+    assert spark.read.parquet(str(tmp_path / "rollup_c")).filter("key = 'click'").count() == 1
