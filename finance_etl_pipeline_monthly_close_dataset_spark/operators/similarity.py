@@ -175,7 +175,7 @@ def ivf_topk(
     speed for recall.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import token_count, tokens
+from .text import tokens
 
 # Tiny per-language stopword seed lists for the n-gram/stopword-hit
 # heuristic. Deliberately small and public-knowledge; the operator's

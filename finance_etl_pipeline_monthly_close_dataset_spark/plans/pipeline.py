@@ -34,7 +34,7 @@ from ..schemas import (
     PAYROLL_SCHEMA,
     SALES_SCHEMA,
 )
-from ..sources.readers import RAW_PREFIX, ROW_ID_COL, read_csv, read_csv_typed
+from ..sources.readers import ROW_ID_COL, read_csv, read_csv_typed
 from ..sources.writers import write_csv_single_file, write_parquet
 from .quality import (
     account_in_coa_exceptions,

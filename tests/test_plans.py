@@ -13,8 +13,6 @@ from __future__ import annotations
 import contextlib
 import io
 
-import pytest
-
 from finance_etl_pipeline_monthly_close_dataset_spark import contract
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -4,7 +4,6 @@ the physical-plan property each utility exists to deliver."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_monthly_close_dataset_spark.operators.skew import (
