@@ -175,3 +175,55 @@ def test_empty_month_runs_clean(spark, tmp_path):
     assert spark.read.parquet(str(paths["kpi"])).count() == 0
     summary = spark.read.csv(str(paths["dq_summary"]), header=True).collect()
     assert all(r["status"] == "PASS" for r in summary)
+
+
+def test_star_export_tolerates_schema_drift(outputs, tmp_path, spark):
+    """_pick_col duck-typing: a curated fact whose date column was
+    renamed tx_date still exports (reference lines 18-23, 348)."""
+    _, paths, _ = outputs
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.star import export_star_schema
+
+    drifted_dir = tmp_path / "drifted"
+    fact = spark.read.parquet(str(paths["fact"])).withColumnRenamed("date", "tx_date")
+    fact.write.parquet(str(drifted_dir / "fact_transactions.parquet"))
+    spark.read.parquet(str(paths["dim_accounts"])).write.parquet(
+        str(drifted_dir / "dim_accounts.parquet")
+    )
+    spark.read.parquet(str(paths["kpi"])).write.parquet(str(drifted_dir / "kpi_monthly.parquet"))
+    out = export_star_schema(spark, drifted_dir, month="2025-12", out_dir=tmp_path / "star_d")
+    gl = spark.read.csv(str(out / "fact_gl.csv"), header=True)
+    assert gl.count() == 236
+    assert gl.filter("date_key is null").count() == 0
+
+
+def test_infer_month_from_kpi(outputs, spark):
+    _, paths, _ = outputs
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.star import infer_month
+
+    assert infer_month(spark.read.parquet(str(paths["kpi"]))) == "2025-12"
+
+
+def test_fail_on_never_proceeds_to_fx_error(outputs, tmp_path, spark):
+    """With the gate disabled, dirty data proceeds until the FX join's
+    hard missing-rate error (reference parity: FX errors are not
+    gated)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.transforms import (
+        MissingFxRatesError,
+    )
+
+    _, _, root = outputs
+    raw = root / "raw"
+    bad = tmp_path / "raw_never"
+    bad.mkdir()
+    for f in raw.iterdir():
+        bad.joinpath(f.name).write_text(f.read_text())
+    with bad.joinpath("sales.csv").open("a") as fh:
+        # XXX currency has no FX rate: DQ flags it (ERROR), but
+        # fail_on=NEVER lets the pipeline continue to the FX join
+        fh.write("2025-12-10,TLM,INV-NEVER,40000001,XXX,5.0,no rate\n")
+    with pytest.raises(MissingFxRatesError):
+        run_month(
+            spark, Settings(), month="2025-12", raw_dir=bad,
+            curated_dir=tmp_path / "curated_never", reference_dir=root / "ref",
+            fail_on="NEVER",
+        )
