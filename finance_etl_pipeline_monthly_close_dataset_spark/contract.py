@@ -35,6 +35,11 @@ from .streaming import events as ev
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver runs these with its own SparkSession; pin the
+    # pandas-style cast semantics the oracles were validated under
+    # (ANSI would turn failed casts / overflows into errors instead of
+    # nulls). Runtime-settable, so safe to set per query build.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
