@@ -36,10 +36,12 @@ from .streaming import events as ev
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver runs these with its own SparkSession; pin the
-    # pandas-style cast semantics the oracles were validated under
-    # (ANSI would turn failed casts / overflows into errors instead of
-    # nulls). Runtime-settable, so safe to set per query build.
+    # semantics the oracles were validated under. Both confs are
+    # runtime-settable. ANSI would turn failed casts/overflows into
+    # errors instead of nulls; a non-UTC session timezone would shift
+    # date_format output for the tz-aware events timestamps.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
