@@ -1272,6 +1272,37 @@ FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket
 """
 
 
+def q_docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by TF-IDF
+    (text_analysis.tfidf_top_terms); log/multiply are bit-identical
+    across engines so the scores hash-match at 6 dp."""
+    docs = t(spark, sf_dir, "documents")
+    return text_analysis.tfidf_top_terms(docs, k=3)
+
+
+SQL_DOCS_TFIDF_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), docfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs + 1) / CAST(docfreq.df + 1 AS DOUBLE)) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, round(tfidf, 6) AS tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+""".format(toks=_SQL_TOKENS)
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/ranges.py): count everyone's events
     falling inside each of user 7's sessions -- bucket-decomposed
@@ -1383,6 +1414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_operations": q_set_operations,
     "events_resampled": q_events_resampled,
     "events_range_join": q_events_range_join,
+    "docs_tfidf_terms": q_docs_tfidf_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -1432,6 +1464,7 @@ ORACLES: dict[str, str] = {
     "set_operations": SQL_SET_OPERATIONS,
     "events_resampled": SQL_EVENTS_RESAMPLED,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "docs_tfidf_terms": SQL_DOCS_TFIDF_TERMS,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).

@@ -99,3 +99,38 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(F.array_join(toks, " ")).alias("token_fingerprint"),
         F.xxhash64(F.col(text_col)).alias("content_hash"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    One explode -> (doc, term) counts (single shuffle), document
+    frequencies from the same projection (second small aggregate over
+    distinct (doc, term)), idf = ln((N+1)/(df+1)) -- no floor, so terms present in
+    every document score 0 -- ranked per doc
+    with deterministic tie-breaks. All built-ins; the (doc, term)
+    grid -- not the corpus text -- is the only shuffled data.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+    scored = tf.join(doc_freq, on="term").withColumn("tfidf", F.col("tf") * idf)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

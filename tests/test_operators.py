@@ -239,3 +239,19 @@ def test_cosine_topk_arrow_matches_hof(spark):
     a = {(r["probe_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in hof.collect()}
     b = {(r["probe_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in arrow.collect()}
     assert a == b
+
+
+def test_tfidf_top_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple apple banana common common common"),
+            ("d2", "banana cherry common common"),
+            ("d3", "durian common"),
+        ],
+        "doc_id string, text string",
+    )
+    out = text_analysis.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc -> low idf; distinctive terms win
+    assert top == {"d1": "apple", "d2": "cherry", "d3": "durian"}
+    assert all(r["rank"] == 1 for r in out)
