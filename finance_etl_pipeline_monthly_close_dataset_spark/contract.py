@@ -1303,6 +1303,71 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 """.format(toks=_SQL_TOKENS)
 
 
+def q_docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score deciles via ntile window (corpus filtering by
+    quality band -- keep the top-N deciles for training)."""
+    docs = t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_features(docs).select("doc_id", "quality_score")
+    w = Window.orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("quality_score"), 6).alias("min_score"),
+            F.round(F.max("quality_score"), 6).alias("max_score"),
+        )
+    )
+
+
+SQL_DOCS_QUALITY_DECILES = """
+WITH scored AS (
+  SELECT doc_id,
+         ROUND((LEAST(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)
+                + GREATEST(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                  / length(text)) * 5.0, 0.0)) / 2.0, 4) AS quality_score
+  FROM documents
+), tiled AS (
+  SELECT doc_id, quality_score,
+         ntile(10) OVER (ORDER BY quality_score ASC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT decile, COUNT(*) AS n_docs,
+       round(MIN(quality_score), 6) AS min_score,
+       round(MAX(quality_score), 6) AS max_score
+FROM tiled GROUP BY 1
+""".format(toks=_SQL_TOKENS)
+
+
+def q_docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus split (train/val/test by md5 of
+    the doc id): reproducible across engines, runs, and partitionings
+    -- the sampling pattern LLM pipelines need instead of rand()."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 204, F.lit("train"))       # ~80% of 0..255
+        .when(bucket < 230, F.lit("val"))           # ~10%
+        .otherwise(F.lit("test"))                   # ~10%
+    )
+    return docs.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+SQL_DOCS_TRAIN_VAL_SPLIT = """
+WITH b AS (
+  SELECT CASE
+           WHEN bucket < 204 THEN 'train'
+           WHEN bucket < 230 THEN 'val'
+           ELSE 'test' END AS split
+  FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) AS bucket
+        FROM documents)
+)
+SELECT split, COUNT(*) AS n_docs FROM b GROUP BY 1
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/ranges.py): count everyone's events
     falling inside each of user 7's sessions -- bucket-decomposed
@@ -1415,6 +1480,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_resampled": q_events_resampled,
     "events_range_join": q_events_range_join,
     "docs_tfidf_terms": q_docs_tfidf_terms,
+    "docs_quality_deciles": q_docs_quality_deciles,
+    "docs_train_val_split": q_docs_train_val_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1465,6 +1532,8 @@ ORACLES: dict[str, str] = {
     "events_resampled": SQL_EVENTS_RESAMPLED,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "docs_tfidf_terms": SQL_DOCS_TFIDF_TERMS,
+    "docs_quality_deciles": SQL_DOCS_QUALITY_DECILES,
+    "docs_train_val_split": SQL_DOCS_TRAIN_VAL_SPLIT,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
