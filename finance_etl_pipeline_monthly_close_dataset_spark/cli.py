@@ -50,6 +50,24 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--month", default=None, help="YYYY-MM; inferred from KPI if omitted")
         p.add_argument("--out", default=None, help="Output dir (or file for dashboard)")
 
+    corpus_p = sub.add_parser(
+        "corpus", help="Corpus operations over a documents table (parquet or JSONL)"
+    )
+    corpus_p.add_argument("op", choices=["dedup", "quality-filter", "split"])
+    corpus_p.add_argument("--in", dest="in_path", required=True)
+    corpus_p.add_argument("--out", dest="out_path", required=True)
+    corpus_p.add_argument("--id-col", default="doc_id")
+    corpus_p.add_argument("--text-col", default="text")
+    corpus_p.add_argument(
+        "--method", default="exact", choices=["exact", "minhash", "simhash"],
+        help="dedup only: exact content hash or near-dup detection",
+    )
+    corpus_p.add_argument("--threshold", type=float, default=0.8,
+                          help="dedup minhash: Jaccard threshold; quality-filter: min score")
+    corpus_p.add_argument("--max-hamming", type=int, default=3, help="dedup simhash")
+    corpus_p.add_argument("--train-pct", type=int, default=80, help="split")
+    corpus_p.add_argument("--val-pct", type=int, default=10, help="split")
+
     sub.add_parser("version", help="Print version")
 
     args = parser.parse_args(argv)
@@ -77,6 +95,14 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = build_dashboard(spark, args.curated_dir, args.month, args.out)
         print(str(out))
+        return 0
+
+    if args.command == "corpus":
+        from . import corpus
+
+        spark = get_spark()
+        n_in, n_out = corpus.run(spark, args)
+        print(f"{args.op}: {n_in} -> {n_out} rows ({args.out_path})")
         return 0
 
     settings = Settings(base_currency=args.base_currency)

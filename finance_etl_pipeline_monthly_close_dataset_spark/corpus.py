@@ -1,0 +1,67 @@
+"""Corpus-level CLI operations: dedup, quality filtering, and
+deterministic splits over a documents table.
+
+Thin orchestration over the operators package; reads parquet or JSONL
+(by extension), writes parquet. Each op is a single lazy plan ending
+in one write -- no driver-side row handling, so the same commands run
+unchanged against a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators import dedup, text_analysis
+
+
+def _read(spark: SparkSession, path: str, id_col: str, text_col: str) -> DataFrame:
+    if path.endswith((".jsonl", ".json")):
+        schema = T.StructType(
+            [T.StructField(id_col, T.StringType()), T.StructField(text_col, T.StringType())]
+        )
+        return spark.read.schema(schema).json(path)
+    return spark.read.parquet(path)
+
+
+def run(spark: SparkSession, args) -> tuple[int, int]:
+    df = _read(spark, args.in_path, args.id_col, args.text_col)
+    n_in = df.count()
+
+    if args.op == "dedup":
+        if args.method == "exact":
+            keep = dedup.exact_dedup(df, args.id_col, args.text_col)
+            out = df.join(keep.select(args.id_col), on=args.id_col, how="left_semi")
+        else:
+            if args.method == "minhash":
+                pairs = dedup.near_dup_minhash(
+                    df, args.id_col, args.text_col, threshold=args.threshold
+                )
+            else:
+                sigs = dedup.simhash_signatures(df, args.id_col, args.text_col)
+                pairs = dedup.simhash_near_pairs(sigs, args.id_col, args.max_hamming)
+            out = dedup.dedup_near_representatives(df, pairs, args.id_col)
+    elif args.op == "quality-filter":
+        scored = text_analysis.quality_features(df, args.text_col)
+        out = scored.filter(F.col("quality_score") >= args.threshold).select(*df.columns)
+    elif args.op == "split":
+        bucket = F.conv(
+            F.substring(F.md5(F.col(args.id_col).cast("string")), 1, 2), 16, 10
+        ).cast("int")
+        train_hi = int(256 * args.train_pct / 100)
+        val_hi = train_hi + int(256 * args.val_pct / 100)
+        split = (
+            F.when(bucket < train_hi, F.lit("train"))
+            .when(bucket < val_hi, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        out = df.withColumn("split", split)
+    else:  # pragma: no cover
+        raise ValueError(args.op)
+
+    if args.op == "split":
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out_path)
+    else:
+        out.write.mode("overwrite").parquet(args.out_path)
+    return n_in, spark.read.parquet(args.out_path).count()

@@ -255,3 +255,28 @@ def test_tfidf_top_terms(spark):
     # 'common' appears in every doc -> low idf; distinctive terms win
     assert top == {"d1": "apple", "d2": "cherry", "d3": "durian"}
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_corpus_cli_dedup_and_split(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "docs_in")
+    _docs(spark).write.parquet(src)
+
+    out1 = str(tmp_path / "deduped")
+    rc = cli.main(["corpus", "dedup", "--in", src, "--out", out1, "--method", "minhash",
+                   "--threshold", "0.5"])
+    assert rc == 0
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out1).collect()) == ["d1", "d4"]
+
+    out2 = str(tmp_path / "splits")
+    rc = cli.main(["corpus", "split", "--in", src, "--out", out2])
+    assert rc == 0
+    back = spark.read.parquet(out2)
+    assert back.count() == 4
+    assert set(r["split"] for r in back.select("split").distinct().collect()) <= {"train", "val", "test"}
+
+    out3 = str(tmp_path / "filtered")
+    rc = cli.main(["corpus", "quality-filter", "--in", src, "--out", out3, "--threshold", "0.0"])
+    assert rc == 0
+    assert spark.read.parquet(out3).count() == 4
