@@ -152,3 +152,54 @@ def streamed_dedup(
     """
     stream = spark.readStream.schema(schema).parquet(parquet_dir)
     return stream.withWatermark("ts", watermark).dropDuplicates([id_col, "ts"])
+
+
+def streamed_attribution_join(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Stream-stream inner join: purchases attributed to the same
+    user's click within the preceding attribution window.
+
+    Both sides are watermarked and the join condition bounds purchase
+    time to [click_ts, click_ts + window], so the state store can
+    discard clicks once the watermark passes their attribution horizon
+    -- the conditions Structured Streaming requires for bounded
+    stream-stream join state.
+    """
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        on=F.expr(
+            f"""c_user = p_user AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + INTERVAL {attribution_window}"""
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -309,3 +309,44 @@ def test_continuous_rollup_matches_batch_recompute(spark, tmp_path):
     }
     assert compacted == got
     assert spark.read.parquet(str(tmp_path / "rollup_c")).filter("key = 'click'").count() == 1
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    import os
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "attr_src"
+    os.makedirs(src)
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    rows = [
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + dt.timedelta(minutes=20), 1, "purchase", 9.99),   # within 1h of click 1
+        (3, t0 + dt.timedelta(hours=3), 1, "purchase", 5.0),       # too late for click 1
+        (4, t0, 2, "purchase", 7.0),                               # other user, no click
+        (5, t0 + dt.timedelta(minutes=30), 3, "click", 0.0),       # click, no purchase
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp_path / "b"))
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(str(tmp_path / "b" / "part-*.parquet"))[0], str(src / "b.parquet"))
+
+    out = ev.streamed_attribution_join(spark, str(src), schema)
+    q = out.writeStream.format("memory").queryName("t_attr").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["user_id"], r["click_id"], r["purchase_value"])
+            for r in spark.sql("select * from t_attr").collect()
+        ]
+    finally:
+        q.stop()
+    assert got == [(1, 1, 9.99)]
