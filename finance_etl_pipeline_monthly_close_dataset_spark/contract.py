@@ -704,17 +704,21 @@ def q_embedding_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFra
     """Per-label aggregates over the vector column (first-component
     mean via exact decimal sums + counts)."""
     emb = t(spark, sf_dir, "embeddings")
-    first = F.element_at("embedding", 1).cast("decimal(18,8)")
+    # float32 -> double promotion is exact and identical in both
+    # engines; casting float straight to decimal rounds differently
+    first = F.element_at("embedding", 1).cast("double").cast("decimal(18,8)")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        (F.sum(first) / F.count(F.lit(1))).cast("decimal(18,8)").cast("double").alias("mean_first_component"),
+        # divide in DOUBLE after the exact decimal sum: decimal division
+        # rounds its last digit differently across engines
+        (F.sum(first).cast("double") / F.count(F.lit(1))).alias("mean_first_component"),
     )
 
 
 SQL_EMBEDDING_LABEL_CENTROID = """
 SELECT label,
        COUNT(*) AS n_vectors,
-       CAST(CAST(SUM(CAST(embedding[1] AS DECIMAL(18,8))) / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE)
+       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)
            AS mean_first_component
 FROM embeddings
 GROUP BY 1
