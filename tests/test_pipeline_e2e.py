@@ -8,6 +8,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from finance_etl_pipeline_monthly_close_dataset_spark.config import Settings
 from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import (
@@ -227,3 +228,37 @@ def test_fail_on_never_proceeds_to_fx_error(outputs, tmp_path, spark):
             curated_dir=tmp_path / "curated_never", reference_dir=root / "ref",
             fail_on="NEVER",
         )
+
+
+def test_two_month_lifecycle_with_lake(spark, tmp_path):
+    """Close two months into one partitioned lake; each month's
+    partition holds exactly its own facts and exports run per month."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.exports import (
+        export_bi_datasets,
+    )
+
+    lake = tmp_path / "lake"
+    ref = tmp_path / "ref"
+    write_chart_of_accounts(ref)
+    for month in ("2025-11", "2025-12"):
+        raw = tmp_path / f"raw_{month}"
+        generate_synthetic_raw(raw, month=month, seed=42)
+        run_month(
+            spark, Settings(), month=month, raw_dir=raw,
+            curated_dir=tmp_path / f"curated_{month}", reference_dir=ref,
+            fail_on="ERROR", lake_dir=lake,
+        )
+
+    fact_lake = spark.read.parquet(str(lake / "fact_transactions"))
+    by_month = {r["month"]: r["n"] for r in
+                fact_lake.groupBy("month").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_month) == {"2025-11", "2025-12"}
+    assert by_month["2025-12"] == 236
+    assert by_month["2025-11"] > 0
+
+    # per-month export from each curated dir still works
+    out = export_bi_datasets(
+        spark, tmp_path / "curated_2025-11", month="2025-11", out_dir=tmp_path / "bi11"
+    )
+    kpi = spark.read.csv(str(out / "kpi_monthly.csv"), header=True).collect()
+    assert {r["month"] for r in kpi} == {"2025-11"}
