@@ -116,3 +116,25 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 10_000, overlap_ms: int = 1_000) -> DataFrame:
+    """Audio chunking *plan*: expand (media_id, duration_ms) into
+    overlapping chunk boundaries with ``sequence`` -- pure Catalyst,
+    mirrors ``frame_sample_plan``. The per-chunk decode/feature step
+    then routes through mapInPandas like ``decode_images``; only chunk
+    boundaries and fixed-size features ever shuffle, never waveforms.
+    """
+    step = chunk_ms - overlap_ms
+    duration = F.coalesce(F.col("duration_ms"), F.lit(0))
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            duration.alias("_dur"),
+            F.explode(F.sequence(F.lit(0), duration, F.lit(step))).alias("chunk_start_ms"),
+        )
+        .filter(F.col("chunk_start_ms") < F.col("_dur"))
+        .withColumn("chunk_end_ms", F.least(F.col("chunk_start_ms") + chunk_ms, F.col("_dur")))
+        .drop("_dur")
+    )

@@ -280,3 +280,23 @@ def test_corpus_cli_dedup_and_split(spark, tmp_path):
     rc = cli.main(["corpus", "quality-filter", "--in", src, "--out", out3, "--threshold", "0.0"])
     assert rc == 0
     assert spark.read.parquet(out3).count() == 4
+
+
+def test_audio_chunk_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "audio", 25_000), (2, "audio", 5_000), (3, "image", None)],
+        "media_id long, kind string, duration_ms long",
+    )
+    chunks = multimodal.audio_chunk_plan(media, chunk_ms=10_000, overlap_ms=1_000).collect()
+    by_media = {}
+    for r in chunks:
+        by_media.setdefault(r["media_id"], []).append((r["chunk_start_ms"], r["chunk_end_ms"]))
+    # media 1 (25s): chunks at 0, 9, 18 (9s step), ends capped at 25s
+    assert sorted(by_media[1]) == [(0, 10_000), (9_000, 19_000), (18_000, 25_000)]
+    # media 2 (5s): one short chunk
+    assert by_media[2] == [(0, 5_000)]
+    # image rows excluded
+    assert 3 not in by_media
+    # consecutive chunks overlap by 1s
+    c = sorted(by_media[1])
+    assert all(c[i][1] - c[i + 1][0] == 1_000 for i in range(len(c) - 2))
