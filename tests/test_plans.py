@@ -80,3 +80,35 @@ def test_fx_join_in_pipeline_is_broadcast(spark):
     plan = formatted_plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_near_dup_plan_has_no_cartesian_product(spark):
+    plan = formatted_plan(contract.QUERIES["docs_minhash_near_dup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_plan_is_single_window_no_join(spark):
+    """The as-of join compiles to union + window (one shuffle on the
+    key), not a join node at all."""
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2025, 1, 1))], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2025, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    plan = formatted_plan(asof_join(left, right, on="k"))
+    assert "Window" in plan
+    assert "Join" not in plan  # no pairwise join: union-and-carry-forward
+    assert plan.count("Exchange") <= 2  # one hash partition + union plumbing
+
+
+def test_range_join_is_equality_join(spark):
+    plan = formatted_plan(contract.QUERIES["events_range_join"](spark, SF_DIR))
+    # bucket decomposition must produce a hash-joinable equality key
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
