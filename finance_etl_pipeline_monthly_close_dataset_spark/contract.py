@@ -263,7 +263,12 @@ GROUP BY 1
 
 
 def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number surrogate keys over a total order (O4)."""
+    """row_number surrogate keys over a total order (O4).
+
+    Global row_number implies a single-partition window -- correct here
+    because surrogate keys are only assigned to DIMENSIONS (nations,
+    accounts, entities: thousands of rows); fact keys come from joins
+    against those dims, never from a global ordering of the fact."""
     nation = t(spark, sf_dir, "nation")
     w = Window.orderBy(F.col("n_name"), F.col("n_nationkey"))
     return nation.select(
@@ -1309,7 +1314,12 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 
 def q_docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score deciles via ntile window (corpus filtering by
-    quality band -- keep the top-N deciles for training)."""
+    quality band -- keep the top-N deciles for training).
+
+    The exact global ntile needs a single-partition sort (required for
+    oracle equality); the 100 TB formulation computes decile CUTOFFS
+    with percentile_approx (distributed) and assigns bands by
+    comparison -- same bands, no global sort."""
     docs = t(spark, sf_dir, "documents")
     scored = text_analysis.quality_features(docs).select("doc_id", "quality_score")
     w = Window.orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
