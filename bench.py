@@ -69,13 +69,13 @@ def main() -> None:
     for name in HEADLINE:
         contract.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: one pass still carries scheduler noise on a
+    # best-of-3 per query: single passes carry scheduler noise on a
     # 32-thread local master; the min is the steady-state figure
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = contract.QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
