@@ -306,3 +306,64 @@ def export_star_schema(
     notes += [f"  - {name}.csv" for name in tables]
     (out / "POWERBI_MODEL_NOTES.txt").write_text("\n".join(notes), encoding="utf-8")
     return out
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_date: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) merge: close changed rows,
+    append new versions, keep history.
+
+    ``current`` carries (key, attrs..., valid_from, valid_to,
+    is_current); ``updates`` carries (key, attrs...). Rows whose attrs
+    changed get valid_to = effective_date and a new open row; brand-new
+    keys get an open row; unchanged rows pass through. Pure DataFrame
+    ops: one join on the dimension key (dims are small -- broadcast
+    eligible), no merge/upsert storage dependency; writers overwrite
+    the dimension snapshot, which at dimension scale is the cheap and
+    idempotent choice.
+    """
+    eff = F.lit(effective_date).cast("date")
+    cur_open = current.filter(F.col("is_current"))
+    cur_closed = current.filter(~F.col("is_current"))
+
+    changed_cond = None
+    for a in attrs:
+        neq = ~(F.col(f"cur.{a}").eqNullSafe(F.col(f"upd.{a}")))
+        changed_cond = neq if changed_cond is None else (changed_cond | neq)
+
+    joined = cur_open.alias("cur").join(
+        updates.alias("upd"), on=F.col(f"cur.{key}") == F.col(f"upd.{key}"), how="full"
+    )
+
+    unchanged = joined.filter(
+        F.col(f"upd.{key}").isNull() | (F.col(f"cur.{key}").isNotNull() & ~changed_cond)
+    ).select("cur.*")
+
+    closed = joined.filter(F.col(f"cur.{key}").isNotNull() & F.col(f"upd.{key}").isNotNull() & changed_cond).select(
+        *[F.col(f"cur.{c}") for c in [key, *attrs, "valid_from"]],
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+
+    opened = joined.filter(
+        F.col(f"upd.{key}").isNotNull()
+        & (F.col(f"cur.{key}").isNull() | changed_cond)
+    ).select(
+        *[F.col(f"upd.{c}") for c in [key, *attrs]],
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+    cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    return (
+        cur_closed.select(*cols)
+        .unionByName(unchanged.select(*cols))
+        .unionByName(closed)
+        .unionByName(opened)
+    )

@@ -286,3 +286,36 @@ def test_kpi_from_lake_covers_all_months(spark, tmp_path):
     # month filter prunes
     one = kpi_from_lake(spark, lake, ref, months=["2025-12"])
     assert {r["month"] for r in one.collect()} == {"2025-12"}
+
+
+def test_scd2_merge(spark):
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.star import scd2_merge
+
+    d0 = dt.date(2025, 11, 1)
+    current = spark.createDataFrame(
+        [
+            ("TLM", "Dar", d0, None, True),
+            ("UPE", "Mwanza", d0, None, True),
+            ("OLD", "Gone", dt.date(2025, 1, 1), d0, False),  # history row
+        ],
+        "entity string, city string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [("TLM", "Dodoma"), ("UPE", "Mwanza"), ("NEW", "Arusha")],
+        "entity string, city string",
+    )
+    out = scd2_merge(current, updates, key="entity", attrs=["city"], effective_date="2025-12-01")
+    rows = {(r["entity"], r["is_current"]): r for r in out.collect()}
+    assert out.count() == 5
+    # changed: old TLM row closed, new open row
+    assert rows[("TLM", False)]["city"] == "Dar"
+    assert str(rows[("TLM", False)]["valid_to"]) == "2025-12-01"
+    assert rows[("TLM", True)]["city"] == "Dodoma"
+    # unchanged passes through open
+    assert rows[("UPE", True)]["city"] == "Mwanza" and rows[("UPE", True)]["valid_to"] is None
+    # new key opens
+    assert rows[("NEW", True)]["city"] == "Arusha"
+    # history untouched
+    assert rows[("OLD", False)]["city"] == "Gone"
