@@ -41,6 +41,8 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("payload_hash", T.LongType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -62,14 +64,17 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return base
 
 
-def decode_images(media: DataFrame, feature_dim: int = 8) -> DataFrame:
-    """STUB decoder with real Spark plumbing.
+def decode_images(
+    media: DataFrame, feature_dim: int = 8, resize_to: tuple[int, int] = (224, 224)
+) -> DataFrame:
+    """STUB decode + resize + feature-extract with real Spark plumbing.
 
     Iterates Arrow batches via ``mapInPandas`` exactly as a real
     decoder would; the 'features' are a deterministic function of the
-    payload bytes so tests can assert exact values. Swap the inner
-    loop for PIL/torchvision in a real deployment
-    (see ``decode_images_real``).
+    payload bytes so tests can assert exact values, and the resize
+    step is represented by emitting the target (out_width, out_height)
+    -- the real decoder swaps the inner loop for
+    PIL.Image.open(...).resize(resize_to) (see ``decode_images_real``).
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,6 +92,8 @@ def decode_images(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "n_bytes": n_bytes,
                     "payload_hash": payload_hash,
+                    "out_width": resize_to[0],
+                    "out_height": resize_to[1],
                     "feature": feats,
                 }
             )

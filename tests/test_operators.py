@@ -149,11 +149,12 @@ def test_fingerprint_order_insensitive_tokens(spark):
 
 def test_multimodal_decode_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=8)
-    out = multimodal.decode_images(media, feature_dim=4)
+    out = multimodal.decode_images(media, feature_dim=4, resize_to=(64, 48))
     rows = out.collect()
     assert len(rows) == 8
     for r in rows:
         assert len(r["feature"]) == 4
+        assert (r["out_width"], r["out_height"]) == (64, 48)
 
 
 def test_ivf_topk_recall_against_exact(spark):
