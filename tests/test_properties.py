@@ -116,3 +116,56 @@ def test_decimal_sum_partitioning_invariant(spark, cents, n_parts):
     got = df.agg(F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s")).first()["s"]
     want = float(sum(cents)) / 100.0
     assert got == want
+
+
+# --- KPI pivot conserves the fact total ------------------------------------
+
+_ACCOUNTS = [("40000001", "Revenue"), ("50000001", "COGS"), ("61000001", "Expense"), ("10000001", "Asset")]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["TLM", "UPE", "ZZZ"]),
+            st.integers(min_value=0, max_value=3),      # account index; 3 = unknown code
+            st.integers(min_value=-10**6, max_value=10**6),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kpi_pivot_conserves_amounts(spark, rows):
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.transforms import kpi_monthly
+
+    fact_rows = []
+    for i, (entity, acct_i, cents) in enumerate(rows):
+        code = _ACCOUNTS[acct_i][0] if acct_i < 3 else "99999999"
+        fact_rows.append(
+            (f"t{i}", dt.datetime(2025, 12, 1 + i % 28), entity, "sales", f"d{i}",
+             code, "USD", cents / 100.0, 1.0, cents / 100.0, "")
+        )
+    fact = spark.createDataFrame(
+        fact_rows,
+        "txn_id string, date timestamp, entity string, source string, document_id string,"
+        " account_code string, currency string, amount double, rate double,"
+        " amount_base double, description string",
+    )
+    coa = spark.createDataFrame(
+        [(c, c, t) for c, t in _ACCOUNTS],
+        "account_code string, account_name string, account_type string",
+    )
+    kpi = kpi_monthly(fact, coa).collect()
+
+    # every entity present in the fact appears in the KPI
+    assert {r["entity"] for r in kpi} == {e for e, _, _ in rows}
+
+    # the sum of typed KPI columns equals the sum of amount_base over
+    # rows whose account is in the COA (unknown codes excluded by the
+    # pivot, exactly like pandas pivot_table drops the NaN column)
+    typed_cents = sum(c for _, a, c in rows if a < 3)
+    typed_total = sum(
+        sum(r[t] or 0.0 for t in ("Revenue", "COGS", "Expense", "Asset") if t in r.asDict())
+        for r in kpi
+    )
+    assert abs(typed_total - typed_cents / 100.0) < 1e-6
