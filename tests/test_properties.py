@@ -19,14 +19,6 @@ from finance_etl_pipeline_monthly_close_dataset_spark.streaming.events import se
 
 BASE = dt.datetime(2025, 3, 1)
 
-_spark = None
-
-
-def _get_spark(spark):
-    global _spark
-    _spark = spark
-    return spark
-
 
 # --- as-of join vs pandas merge_asof ---------------------------------------
 
