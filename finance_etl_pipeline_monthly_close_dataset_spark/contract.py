@@ -1428,6 +1428,40 @@ GROUP BY 1, 2
 """
 
 
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key (dedup-by-recency): each customer's most
+    recent order -- the pattern for late-arriving corrections where the
+    newest version of a record wins. Deterministic total order via
+    (date desc, orderkey desc)."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("latest_total"),
+        )
+    )
+
+
+SQL_LATEST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS latest_total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
 def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates for interactive 100TB profiling:
     HLL++ distinct counts + approximate percentiles per group.
@@ -1496,6 +1530,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf_terms": q_docs_tfidf_terms,
     "docs_quality_deciles": q_docs_quality_deciles,
     "docs_train_val_split": q_docs_train_val_split,
+    "latest_order_per_customer": q_latest_order_per_customer,
 }
 
 ORACLES: dict[str, str] = {
@@ -1548,6 +1583,7 @@ ORACLES: dict[str, str] = {
     "docs_tfidf_terms": SQL_DOCS_TFIDF_TERMS,
     "docs_quality_deciles": SQL_DOCS_QUALITY_DECILES,
     "docs_train_val_split": SQL_DOCS_TRAIN_VAL_SPLIT,
+    "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
