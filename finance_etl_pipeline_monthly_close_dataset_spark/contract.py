@@ -1428,6 +1428,27 @@ GROUP BY 1, 2
 """
 
 
+def q_unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide status pivot back to long form -- the
+    KPI-pivot's inverse, for exporting wide curated tables to
+    long-form BI feeds."""
+    wide = q_status_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_F", "total_O", "total_P"],
+        variableColumnName="status_col",
+        valueColumnName="total_price",
+    )
+
+
+SQL_UNPIVOT_STATUS_TOTALS = """
+WITH wide AS ({wide})
+SELECT o_orderpriority, status_col, total_price
+FROM wide
+UNPIVOT (total_price FOR status_col IN (total_F, total_O, total_P))
+""".format(wide=SQL_STATUS_PIVOT.strip())
+
+
 def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-per-key (dedup-by-recency): each customer's most
     recent order -- the pattern for late-arriving corrections where the
@@ -1531,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_deciles": q_docs_quality_deciles,
     "docs_train_val_split": q_docs_train_val_split,
     "latest_order_per_customer": q_latest_order_per_customer,
+    "unpivot_status_totals": q_unpivot_status_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -1584,6 +1606,7 @@ ORACLES: dict[str, str] = {
     "docs_quality_deciles": SQL_DOCS_QUALITY_DECILES,
     "docs_train_val_split": SQL_DOCS_TRAIN_VAL_SPLIT,
     "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
+    "unpivot_status_totals": SQL_UNPIVOT_STATUS_TOTALS,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
