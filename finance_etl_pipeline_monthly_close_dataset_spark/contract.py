@@ -1428,6 +1428,29 @@ GROUP BY 1, 2
 """
 
 
+def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per group (sort-based percentile,
+    the exact counterpart to approx_distinct_quantiles' sketches)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_EXACT_QUARTILES = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS q3,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): the wide status pivot back to long form -- the
     KPI-pivot's inverse, for exporting wide curated tables to
@@ -1553,6 +1576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_train_val_split": q_docs_train_val_split,
     "latest_order_per_customer": q_latest_order_per_customer,
     "unpivot_status_totals": q_unpivot_status_totals,
+    "exact_quartiles": q_exact_quartiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1607,6 +1631,7 @@ ORACLES: dict[str, str] = {
     "docs_train_val_split": SQL_DOCS_TRAIN_VAL_SPLIT,
     "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
     "unpivot_status_totals": SQL_UNPIVOT_STATUS_TOTALS,
+    "exact_quartiles": SQL_EXACT_QUARTILES,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
