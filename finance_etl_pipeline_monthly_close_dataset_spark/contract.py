@@ -1428,6 +1428,35 @@ GROUP BY 1, 2
 """
 
 
+def q_events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing (from_json with explicit schema) -- the
+    idiomatic counterpart to events_json_props' regex extraction;
+    oracle uses DuckDB's JSON extraction operators."""
+    e = events_table(spark, sf_dir)
+    parsed = e.select(
+        F.from_json(F.col("props"), "k int").alias("p"), F.col("value")
+    )
+    return (
+        parsed.select(F.col("p.k").alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_TYPED = """
+SELECT CAST(props->>'$.k' AS INT) AS k,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE props->>'$.k' IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quartiles per group (sort-based percentile,
     the exact counterpart to approx_distinct_quantiles' sketches)."""
@@ -1577,6 +1606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "unpivot_status_totals": q_unpivot_status_totals,
     "exact_quartiles": q_exact_quartiles,
+    "events_json_typed": q_events_json_typed,
 }
 
 ORACLES: dict[str, str] = {
@@ -1632,6 +1662,7 @@ ORACLES: dict[str, str] = {
     "latest_order_per_customer": SQL_LATEST_ORDER_PER_CUSTOMER,
     "unpivot_status_totals": SQL_UNPIVOT_STATUS_TOTALS,
     "exact_quartiles": SQL_EXACT_QUARTILES,
+    "events_json_typed": SQL_EVENTS_JSON_TYPED,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
