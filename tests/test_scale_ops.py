@@ -119,3 +119,58 @@ def test_month_partitioned_lake_prunes_and_upserts(spark, tmp_path):
         df.filter(F.col("month") == "2025-12").explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(month" in plan
+
+
+def test_scd2_merge_is_idempotent(spark):
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.star import scd2_merge
+
+    current = spark.createDataFrame(
+        [("TLM", "Dar", dt.date(2025, 11, 1), None, True)],
+        "entity string, city string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame([("TLM", "Dodoma")], "entity string, city string")
+    once = scd2_merge(current, updates, "entity", ["city"], "2025-12-01")
+    twice = scd2_merge(once, updates, "entity", ["city"], "2025-12-02")
+    # second merge with identical attrs is a no-op
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_asof_empty_right_keeps_all_left(spark):
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2025, 1, 1))], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame([], "k string, ts timestamp, v double")
+    out = asof_join(left, right, on="k", value_cols=["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_range_join_empty_intervals(spark):
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.ranges import range_join
+
+    points = spark.createDataFrame(
+        [("p", dt.datetime(2025, 1, 1))], "pid string, ts timestamp"
+    )
+    intervals = spark.createDataFrame([], "iid string, start timestamp, end timestamp")
+    assert range_join(points, intervals, "ts", "start", "end").count() == 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "doc_id string")
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    # a chain of length 3 cannot settle in a single iteration
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ids, pairs, max_iter=1)
