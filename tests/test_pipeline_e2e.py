@@ -319,3 +319,19 @@ def test_scd2_merge(spark):
     assert rows[("NEW", True)]["city"] == "Arusha"
     # history untouched
     assert rows[("OLD", False)]["city"] == "Gone"
+
+
+def test_other_seed_month_passes_dq(spark, tmp_path):
+    """The generator must produce DQ-clean data for any seed, not just
+    the golden 42."""
+    raw = tmp_path / "raw_seed7"
+    ref = tmp_path / "ref_seed7"
+    generate_synthetic_raw(raw, month="2026-01", seed=7)
+    write_chart_of_accounts(ref)
+    paths = run_month(
+        spark, Settings(), month="2026-01", raw_dir=raw,
+        curated_dir=tmp_path / "curated_seed7", reference_dir=ref, fail_on="WARN",
+    )
+    assert spark.read.parquet(str(paths["fact"])).count() > 0
+    kpi = spark.read.parquet(str(paths["kpi"])).collect()
+    assert {r["month"] for r in kpi} == {"2026-01"}
