@@ -50,8 +50,12 @@ def start_rollup(
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        # batch_id rides along so a replayed micro-batch (failure after
+        # write, before checkpoint commit) cannot double-count: readers
+        # keep one partial row per (bucket, key, batch_id)
         (
             _partials(batch, width_seconds, key_col)
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("bucket_date")
             .parquet(rollup_dir)
@@ -66,8 +70,10 @@ def start_rollup(
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Final aggregates: fold the partials (decimal sums -- exact and
-    order-independent across however many batches contributed)."""
-    partials = spark.read.parquet(rollup_dir)
+    order-independent across however many batches contributed).
+    Duplicate partials from a replayed batch collapse via the
+    (bucket, key, batch_id) identity before folding."""
+    partials = spark.read.parquet(rollup_dir).dropDuplicates(["bucket", "key", "batch_id"])
     return (
         partials.groupBy("bucket", "key")
         .agg(
@@ -80,13 +86,14 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 def compact_rollup(spark: SparkSession, rollup_dir: str, out_dir: str) -> None:
     """Fold accumulated partials into one row per (bucket, key) --
     run occasionally to bound rollup-table growth under many batches."""
-    partials = spark.read.parquet(rollup_dir)
+    partials = spark.read.parquet(rollup_dir).dropDuplicates(["bucket", "key", "batch_id"])
     (
         partials.groupBy("bucket", "bucket_date", "key")
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("sum_value").alias("sum_value"),
         )
+        .withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
         .partitionBy("bucket_date")
         .parquet(out_dir)

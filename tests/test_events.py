@@ -350,3 +350,23 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, 1, 9.99)]
+
+
+def test_rollup_replayed_batch_does_not_double_count(spark, tmp_path):
+    """Simulate a micro-batch replay (same batch_id written twice):
+    read_rollup must count it once."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming import rollup as rl
+    from pyspark.sql import functions as F2
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    batch = spark.createDataFrame(
+        [(t0, "click", 2.0)], "ts timestamp, event_type string, value double"
+    )
+    out = str(tmp_path / "replay_rollup")
+    partials = rl._partials(batch, 3600, "event_type").withColumn("batch_id", F2.lit(0))
+    partials.write.mode("append").partitionBy("bucket_date").parquet(out)
+    partials.write.mode("append").partitionBy("bucket_date").parquet(out)  # replay
+
+    rows = rl.read_rollup(spark, out).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 1 and rows[0]["sum_value"] == 2.0
