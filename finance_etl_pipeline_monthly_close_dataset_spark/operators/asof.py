@@ -49,6 +49,12 @@ def asof_join(
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join value columns collide with left columns: {sorted(clash)}; "
+            "rename one side before joining"
+        )
 
     l_tag = left.select(
         F.col(on).alias("_k"),

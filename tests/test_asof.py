@@ -150,3 +150,12 @@ def test_range_join_matches_naive_between(spark):
         .collect()
     )
     assert fast == naive
+
+
+def test_asof_rejects_colliding_value_columns(spark):
+    import pytest as _pytest
+
+    trades = _trades(spark)  # has 'qty'
+    quotes = _quotes(spark).withColumnRenamed("px", "qty")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes, on="sym", value_cols=["qty"])
