@@ -1,0 +1,27 @@
+# Developer entry points (PYTHONPATH=repo root is assumed; all targets
+# run on local[32] Spark).
+
+.PHONY: test check check-all bench smoke e2e
+
+test:
+	python -m pytest tests/ -q
+
+check:            ## every contract query vs its DuckDB oracle at sf0.01
+	python tools/check_contract.py /root/testdata/sf0.01
+
+check-all:        ## the same at all three scale factors (catches float/cast divergence)
+	python tools/check_contract.py /root/testdata/sf0.001
+	python tools/check_contract.py /root/testdata/sf0.01
+	python tools/check_contract.py /root/testdata/sf0.1
+
+bench:            ## headline timings at sf0.1 -> one JSON line
+	python bench.py
+
+smoke:            ## driver entry smoke (sf0.001 flagship)
+	python -c "import __spark_entry__ as e; \
+	from finance_etl_pipeline_monthly_close_dataset_spark.session import get_spark; \
+	df = e.entry(get_spark()); print(df.count(), df.columns)"
+
+e2e:              ## seed-42 monthly close end-to-end into ./data
+	python -m finance_etl_pipeline_monthly_close_dataset_spark.cli generate --out-dir data/raw --reference-dir data/reference --month 2025-12
+	python -m finance_etl_pipeline_monthly_close_dataset_spark.cli run --month 2025-12 --raw-dir data/raw --curated-dir data/curated --reference-dir data/reference --fail-on ERROR

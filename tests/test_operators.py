@@ -301,3 +301,19 @@ def test_audio_chunk_plan(spark):
     # consecutive chunks overlap by 1s
     c = sorted(by_media[1])
     assert all(c[i][1] - c[i + 1][0] == 1_000 for i in range(len(c) - 2))
+
+
+def test_corpus_cli_simhash_and_exact(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "docs_sx")
+    _docs(spark).write.parquet(src)
+    out_s = str(tmp_path / "dedup_simhash")
+    assert cli.main(["corpus", "dedup", "--in", src, "--out", out_s,
+                     "--method", "simhash", "--max-hamming", "10"]) == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out_s).collect())
+    assert "d4" in kept and len(kept) < 4  # near-dups collapsed, outlier kept
+
+    out_e = str(tmp_path / "dedup_exact")
+    assert cli.main(["corpus", "dedup", "--in", src, "--out", out_e]) == 0
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out_e).collect()) == ["d1", "d3", "d4"]
