@@ -634,7 +634,7 @@ WITH base AS (
   SELECT doc_id, text,
          {_SQL_TOKENS} AS toks,
          length(text) AS n_chars,
-         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars
+         length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS punct_chars
   FROM documents
 )
 SELECT doc_id,
@@ -1338,7 +1338,7 @@ SQL_DOCS_QUALITY_DECILES = """
 WITH scored AS (
   SELECT doc_id,
          ROUND((LEAST(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)
-                + GREATEST(1.0 - (CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                + GREATEST(1.0 - (CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
                                   / length(text)) * 5.0, 0.0)) / 2.0, 4) AS quality_score
   FROM documents
 ), tiled AS (

@@ -67,7 +67,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         / n_tokens,
     ).otherwise(F.lit(0.0))
-    punct_chars = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    # unicode letter/digit classes: non-Latin scripts are text, not noise
+    punct_chars = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
     punct_ratio = F.when(n_chars > 0, punct_chars.cast("double") / n_chars).otherwise(F.lit(0.0))
     sw_hits = stopword_hits(text, "en")
     stopword_ratio = F.when(n_tokens > 0, sw_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
