@@ -32,7 +32,13 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language stopword-hit counts + predicted language (argmax,
-    ties broken by language code order)."""
+    ties broken by language code order).
+
+    Scope note: tokenization is whitespace-based, so unsegmented
+    scripts (zh/ja/th) only score when the text is pre-segmented; the
+    zh seed list exists for segmented input. A production language ID
+    would add char-n-gram profiles (see ``text.char_ngrams``) -- the
+    operator contract here is deterministic scoring."""
     out = df
     for lang in STOPWORDS:
         out = out.withColumn(f"hits_{lang}", stopword_hits(F.col(text_col), lang))
