@@ -47,7 +47,7 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.lit(None).cast("string")
     for lang in sorted(STOPWORDS):
         pred = F.coalesce(pred, F.when(F.col(f"hits_{lang}") == best, F.lit(lang)))
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn("pred_lang", pred).drop("_toks")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
