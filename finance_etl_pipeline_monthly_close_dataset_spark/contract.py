@@ -561,8 +561,8 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 
 def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + mean token length per document."""
-    docs = t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    docs = t(spark, sf_dir, "documents").withColumn("_toks", tokens(F.col("text")))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     mean_len = F.when(
         n_tokens > 0,
