@@ -76,8 +76,12 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import time
+
+    args = [a for a in sys.argv[1:] if a != "-t"]
+    show_time = "-t" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark(app_name="check-contract")
     con = duckdb.connect()
@@ -91,6 +95,7 @@ def main() -> int:
         if only and name not in only:
             continue
         sql = contract.ORACLES.get(name)
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sdf.columns
@@ -117,7 +122,8 @@ def main() -> int:
             for p in problems[1:]:
                 print(f"      {p}")
         else:
-            print(f"ok    {name}: {len(spark_rows)} rows match")
+            suffix = f"  [{time.perf_counter() - t0:.1f}s]" if show_time else ""
+            print(f"ok    {name}: {len(spark_rows)} rows match{suffix}")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
