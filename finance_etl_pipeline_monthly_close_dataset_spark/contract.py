@@ -1457,6 +1457,40 @@ GROUP BY 1
 """
 
 
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): revenue by nation through
+    a salted customer join -- the salt spreads hot keys across
+    reducers but cannot change the result, so the oracle is the plain
+    join."""
+    from .operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(orders.withColumnRenamed("o_custkey", "c_custkey"), cust, on="c_custkey", n_salts=4)
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "18,2").alias("total_price"),
+    )
+
+
+SQL_SALTED_JOIN_REVENUE = """
+SELECT c_nationkey AS nationkey, COUNT(*) AS n_orders, {s} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""".format(s=_sql_dsum("o_totalprice", "18,2"))
+
+
+def q_docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph connected components (iterative label
+    propagation -- non-SQL-expressible, rows-only check). Components
+    over the MinHash near-dup pairs; singleton docs map to themselves.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_minhash(docs, threshold=0.5)
+    ids = docs.select("doc_id")
+    return dedup.connected_components(ids, pairs).orderBy("doc_id")
+
+
 def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quartiles per group (sort-based percentile,
     the exact counterpart to approx_distinct_quantiles' sketches)."""
@@ -1607,6 +1641,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_status_totals": q_unpivot_status_totals,
     "exact_quartiles": q_exact_quartiles,
     "events_json_typed": q_events_json_typed,
+    "salted_join_revenue": q_salted_join_revenue,
+    "docs_dup_components": q_docs_dup_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -1663,6 +1699,7 @@ ORACLES: dict[str, str] = {
     "unpivot_status_totals": SQL_UNPIVOT_STATUS_TOTALS,
     "exact_quartiles": SQL_EXACT_QUARTILES,
     "events_json_typed": SQL_EVENTS_JSON_TYPED,
+    "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
