@@ -1457,6 +1457,46 @@ GROUP BY 1
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-merged event-time sessions;
+    window end = last event + gap). Same sessions as the islands
+    formulation in events_sessions, expressed with the built-in
+    operator; oracle reproduces the end-plus-gap convention."""
+    e = events_table(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR extract(epoch FROM ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
 def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join (operators/skew.py): revenue by nation through
     a salted customer join -- the salt spreads hot keys across
@@ -1642,6 +1682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_quartiles": q_exact_quartiles,
     "events_json_typed": q_events_json_typed,
     "salted_join_revenue": q_salted_join_revenue,
+    "events_session_window": q_events_session_window,
     "docs_dup_components": q_docs_dup_components,
 }
 
@@ -1700,6 +1741,7 @@ ORACLES: dict[str, str] = {
     "exact_quartiles": SQL_EXACT_QUARTILES,
     "events_json_typed": SQL_EVENTS_JSON_TYPED,
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
+    "events_session_window": SQL_EVENTS_SESSION_WINDOW,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
     # non-SQL-expressible).
