@@ -136,6 +136,18 @@ def run_month(
     # -- fact + KPI (one lazy plan until the writes) --------------------------
     fx = fx_to_base(v_fx, settings.base_currency)
     fact = to_fact_transactions(v_sales, v_exp, v_pay, v_inv, fx, settings.base_currency)
+
+    # close-run metrics ride the write action itself (Observation API):
+    # row count, base-amount total, and source breadth cost no extra scan
+    from pyspark.sql import Observation
+
+    obs = Observation("fact_stats")
+    fact = fact.observe(
+        obs,
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.sum(F.col("amount_base").cast("decimal(28,2)")).cast("double").alias("total_amount_base"),
+        F.approx_count_distinct("source").alias("n_sources"),
+    )
     kpi = kpi_monthly(fact, dim_accounts)
 
     out_fact = curated_dir / "fact_transactions.parquet"
@@ -156,13 +168,15 @@ def run_month(
 
     dq_exceptions.unpersist()
 
-    return {
+    outputs = {
         "dq_exceptions": dq_exceptions_path,
         "dq_summary": dq_summary_path,
         "fact": out_fact,
         "dim_accounts": out_dim,
         "kpi": out_kpi,
     }
+    outputs["metrics"] = dict(obs.get)
+    return outputs
 
 
 def kpi_from_lake(

@@ -335,3 +335,13 @@ def test_other_seed_month_passes_dq(spark, tmp_path):
     assert spark.read.parquet(str(paths["fact"])).count() > 0
     kpi = spark.read.parquet(str(paths["kpi"])).collect()
     assert {r["month"] for r in kpi} == {"2026-01"}
+
+
+def test_run_month_reports_observed_metrics(outputs):
+    """Close-run metrics come from the Observation API riding the
+    write action -- no extra scan of the fact."""
+    _, paths, _ = outputs
+    m = paths["metrics"]
+    assert m["fact_rows"] == GOLDEN_FACT_ROWS
+    assert m["n_sources"] == 4
+    assert abs(m["total_amount_base"]) > 0
