@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--train-pct", type=int, default=80, help="split")
     corpus_p.add_argument("--val-pct", type=int, default=10, help="split")
 
+    sql_p = sub.add_parser("sql", help="Run ad-hoc SQL over a directory of parquet tables")
+    sql_p.add_argument("query", help="SQL text; each <name>.parquet (or <name>/ dir) in --dir is a view")
+    sql_p.add_argument("--dir", dest="data_dir", required=True)
+    sql_p.add_argument("--limit", type=int, default=50)
+
     sub.add_parser("version", help="Print version")
 
     args = parser.parse_args(argv)
@@ -95,6 +100,22 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = build_dashboard(spark, args.curated_dir, args.month, args.out)
         print(str(out))
+        return 0
+
+    if args.command == "sql":
+        import os as _os
+
+        spark = get_spark()
+        for entry in sorted(_os.listdir(args.data_dir)):
+            path = _os.path.join(args.data_dir, entry)
+            name = entry[:-8] if entry.endswith(".parquet") else entry
+            if not name.isidentifier():
+                continue
+            try:
+                spark.read.parquet(path).createOrReplaceTempView(name)
+            except Exception:
+                continue
+        spark.sql(args.query).show(args.limit, truncate=False)
         return 0
 
     if args.command == "corpus":

@@ -317,3 +317,13 @@ def test_corpus_cli_simhash_and_exact(spark, tmp_path):
     out_e = str(tmp_path / "dedup_exact")
     assert cli.main(["corpus", "dedup", "--in", src, "--out", out_e]) == 0
     assert sorted(r["doc_id"] for r in spark.read.parquet(out_e).collect()) == ["d1", "d3", "d4"]
+
+
+def test_cli_sql_subcommand(spark, tmp_path, capsys):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    _docs(spark).write.parquet(str(tmp_path / "documents.parquet"))
+    rc = cli.main(["sql", "--dir", str(tmp_path),
+                   "SELECT count(*) AS n FROM documents"])
+    assert rc == 0
+    assert "4" in capsys.readouterr().out
