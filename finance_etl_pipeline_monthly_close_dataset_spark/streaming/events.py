@@ -160,6 +160,7 @@ def streamed_attribution_join(
     schema,
     attribution_window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ):
     """Stream-stream inner join: purchases attributed to the same
     user's click within the preceding attribution window.
@@ -189,6 +190,9 @@ def streamed_attribution_join(
         )
         .withWatermark("purchase_ts", watermark)
     )
+    # how="leftOuter": clicks with no purchase emit (with nulls) once
+    # the watermark passes their attribution horizon -- the state store
+    # can then prove no match can still arrive
     return clicks.join(
         purchases,
         on=F.expr(
@@ -196,6 +200,7 @@ def streamed_attribution_join(
                 purchase_ts >= click_ts AND
                 purchase_ts <= click_ts + INTERVAL {attribution_window}"""
         ),
+        how=how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",

@@ -370,3 +370,62 @@ def test_rollup_replayed_batch_does_not_double_count(spark, tmp_path):
     rows = rl.read_rollup(spark, out).collect()
     assert len(rows) == 1
     assert rows[0]["n_events"] == 1 and rows[0]["sum_value"] == 2.0
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "louter_src"
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        shutil.move(
+            glob.glob(str(tmp_path / name / "part-*.parquet"))[0], str(src / f"{name}.parquet")
+        )
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    out = ev.streamed_attribution_join(
+        spark, str(src), schema, attribution_window="1 hour", watermark="1 hour", how="leftOuter"
+    )
+    q = out.writeStream.format("memory").queryName("t_louter").outputMode("append").start()
+    try:
+        # click with no purchase + a matched pair
+        write_batch("b1", [
+            (1, t0, 1, "click", 0.0),
+            (2, t0, 2, "click", 0.0),
+            (3, t0 + dt.timedelta(minutes=10), 2, "purchase", 5.0),
+        ])
+        q.processAllAvailable()
+        # advance event time far past click 1's horizon ON BOTH branches:
+        # the global watermark is the MIN across the clicks and purchases
+        # watermarks, so a quiet purchases branch would pin it forever
+        write_batch("b2", [
+            (9, t0 + dt.timedelta(hours=6), 3, "click", 0.0),
+            (10, t0 + dt.timedelta(hours=6), 3, "purchase", 1.0),
+        ])
+        q.processAllAvailable()
+        write_batch("b3", [
+            (11, t0 + dt.timedelta(hours=12), 4, "click", 0.0),
+            (12, t0 + dt.timedelta(hours=12), 4, "purchase", 2.0),
+        ])
+        q.processAllAvailable()
+        rows = {r["click_id"]: r["purchase_value"] for r in
+                spark.sql("select * from t_louter").collect()}
+    finally:
+        q.stop()
+    assert rows.get(2) == 5.0       # matched pair
+    assert 1 in rows and rows[1] is None  # unmatched click emitted with null
