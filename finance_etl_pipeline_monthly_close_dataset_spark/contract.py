@@ -1497,6 +1497,31 @@ GROUP BY user_id, sid
 """
 
 
+def q_hot_keys_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid hot-key routing join (operators/skew.py): hot keys take
+    the broadcast path, the tail shuffles; routing cannot change the
+    aggregate, so the oracle is the plain join."""
+    from .operators.skew import broadcast_hot_keys_join
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = broadcast_hot_keys_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders, on="o_orderkey",
+        hot_key_threshold=5,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice"), "18,2").alias("total_price"),
+    )
+
+
+SQL_HOT_KEYS_JOIN_REVENUE = """
+SELECT o_orderpriority, COUNT(*) AS n_items, {s} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""".format(s=_sql_dsum("l_extendedprice", "18,2"))
+
+
 def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join (operators/skew.py): revenue by nation through
     a salted customer join -- the salt spreads hot keys across
@@ -1682,6 +1707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_quartiles": q_exact_quartiles,
     "events_json_typed": q_events_json_typed,
     "salted_join_revenue": q_salted_join_revenue,
+    "hot_keys_join_revenue": q_hot_keys_join_revenue,
     "events_session_window": q_events_session_window,
     "docs_dup_components": q_docs_dup_components,
 }
@@ -1741,6 +1767,7 @@ ORACLES: dict[str, str] = {
     "exact_quartiles": SQL_EXACT_QUARTILES,
     "events_json_typed": SQL_EVENTS_JSON_TYPED,
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
+    "hot_keys_join_revenue": SQL_HOT_KEYS_JOIN_REVENUE,
     "events_session_window": SQL_EVENTS_SESSION_WINDOW,
     # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
     # embedding_ivf_topk: intentionally no oracle (approximate /
