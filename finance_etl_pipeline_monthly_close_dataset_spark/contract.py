@@ -1313,19 +1313,23 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 
 
 def q_docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-score deciles via ntile window (corpus filtering by
-    quality band -- keep the top-N deciles for training).
+    """Quality-score deciles (corpus filtering by quality band -- keep
+    the top-N deciles for training) via operators/ranking.py's
+    distributed_ntile: range-repartition + per-partition rank +
+    metadata-sized offsets, bit-identical to ``ntile(10) OVER (ORDER
+    BY ...)`` (the DuckDB oracle) with NO single-partition window --
+    the global-sort form this replaces was the one plan in round 1
+    that would not survive 100x."""
+    from .operators.ranking import distributed_ntile
 
-    The exact global ntile needs a single-partition sort (required for
-    oracle equality); the 100 TB formulation computes decile CUTOFFS
-    with percentile_approx (distributed) and assigns bands by
-    comparison -- same bands, no global sort."""
     docs = t(spark, sf_dir, "documents")
     scored = text_analysis.quality_features(docs).select("doc_id", "quality_score")
-    w = Window.orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
+    tiled = distributed_ntile(
+        scored, 10, [F.col("quality_score").asc(), F.col("doc_id").asc()],
+        tile_col="decile",
+    )
     return (
-        scored.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.min("quality_score"), 6).alias("min_score"),
@@ -1641,9 +1645,12 @@ def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific -> rows-only check; distinct_counts is the exact
     baseline."""
     orders = t(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10_000)
     return orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10_000).alias("price_quantiles"),
+        F.element_at(q, 1).cast("double").alias("price_p50"),
+        F.element_at(q, 2).cast("double").alias("price_p95"),
+        F.element_at(q, 3).cast("double").alias("price_p99"),
     )
 
 

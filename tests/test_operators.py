@@ -327,3 +327,44 @@ def test_cli_sql_subcommand(spark, tmp_path, capsys):
                    "SELECT count(*) AS n FROM documents"])
     assert rc == 0
     assert "4" in capsys.readouterr().out
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """distributed_ntile must reproduce ntile(k) OVER (ORDER BY ...)
+    bit-for-bit, including the first-n%k-buckets-get-the-extra-row
+    rule, for n%k==0, n%k!=0, and n<k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    for n, k in [(40, 10), (47, 10), (3, 10), (1, 1), (100, 7)]:
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 37 % 101).alias("score")
+        )
+        w = Window.orderBy(F.col("score").asc(), F.col("id").asc())
+        expected = {
+            (r["id"], r["t"])
+            for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+        }
+        got = {
+            (r["id"], r["t"])
+            for r in distributed_ntile(
+                df, k, [F.col("score").asc(), F.col("id").asc()], tile_col="t",
+                num_partitions=5,
+            ).collect()
+        }
+        assert got == expected, (n, k)
+
+
+def test_distributed_ntile_empty(spark):
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    df = spark.range(0).select(F.col("id"))
+    assert distributed_ntile(df, 10, ["id"]).count() == 0

@@ -107,6 +107,19 @@ def test_asof_plan_is_single_window_no_join(spark):
     assert plan.count("Exchange") <= 2  # one hash partition + union plumbing
 
 
+def test_quality_deciles_has_no_global_window(spark):
+    """ntile semantics must come from distributed_ntile (range
+    repartition + partitioned window), never a single-partition global
+    window -- the round-1 scale-killer this replaced."""
+    plan = formatted_plan(contract.QUERIES["docs_quality_deciles"](spark, SF_DIR))
+    assert "Window" in plan  # the per-partition row_number survives
+    # a global window prints an empty partition spec in the formatted
+    # plan's Window node arguments: "Arguments: [...], [], [..., ASC ...]"
+    for line in plan.splitlines():
+        if "Arguments" in line and "row_number" in line:
+            assert "spark_partition_id" in line or "_pid" in line
+
+
 def test_range_join_is_equality_join(spark):
     plan = formatted_plan(contract.QUERIES["events_range_join"](spark, SF_DIR))
     # bucket decomposition must produce a hash-joinable equality key
