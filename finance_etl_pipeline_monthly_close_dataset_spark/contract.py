@@ -730,27 +730,165 @@ GROUP BY 1
 """
 
 
-# --- rows-only extension queries (no SQL oracle: approximate / non-SQL) ---
+# --- approximate-structure queries, made deterministically oracle-able ---
 
 
 def q_docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs (approximate; rows-only check)."""
-    return dedup.near_dup_minhash(t(spark, sf_dir, "documents"), threshold=0.5)
+    """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Oracle-able even though LSH banding is probabilistic: the emitted
+    pairs are exactly {pairs with shingle-Jaccard >= 0.5 that shared a
+    band}, and on this corpus every >=0.5 pair sits at >=0.88 Jaccard
+    -- deep inside the 32-hash/8-band recall-1 regime -- so the output
+    equals the all-pairs exact answer, which DuckDB computes via an
+    inverted shingle index (any Jaccard>0 pair shares a shingle).
+    Verified equal at sf0.001/0.01/0.1."""
+    out = dedup.near_dup_minhash(t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
-    sigs = dedup.simhash_signatures(t(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs within Hamming distance 3.
+
+    Fully oracle-exact: the pigeonhole chunk-blocking join has
+    GUARANTEED recall (any pair within distance 3 shares one of 4
+    chunks), so the output is all pairs with sig-Hamming <= 3; the
+    60-bit portable md5 token hash (dedup.portable_token_hash) lets
+    DuckDB rebuild the identical signatures bit-for-bit."""
+    sigs = dedup.simhash_signatures(
+        t(spark, sf_dir, "documents"), bits=60, hash_fn=dedup.portable_token_hash
+    )
     return dedup.simhash_near_pairs(sigs, max_hamming=3)
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k (scale path; rows-only)."""
+    """LSH-bucketed approximate cosine top-k (scale path).
+
+    Uses md5-derived +-1 Rademacher hyperplanes
+    (similarity.portable_hyperplanes), so the oracle reproduces the
+    exact bucket assignment and therefore the exact candidate set --
+    the approximation is deterministic, not un-checkable."""
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return similarity.lsh_bucketed_topk(emb, probes, dim=64, k=10, n_planes=6)
+    planes = similarity.portable_hyperplanes(dim=64, n_planes=6)
+    out = similarity.lsh_bucketed_topk(emb, probes, dim=64, k=10, planes=planes)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_DOCS_MINHASH_NEAR_DUP = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len({toks}) - 2, 1) + 1),
+           i -> array_to_string(({toks})[i:i+2], ' '))) AS s
+  FROM documents
+), inv AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT cand.id_a, cand.id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+  FROM cand
+  JOIN sh sa ON cand.id_a = sa.doc_id
+  JOIN sh sb ON cand.id_b = sb.doc_id
+)
+WHERE jaccard >= 0.5
+""".format(toks=_SQL_TOKENS)
+
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB replica of the portable-md5 simhash pipeline: per-token
+    60-bit hash -> per-bit +/-1 majority -> signature -> all-pairs
+    Hamming filter (exact; the Spark side's chunk blocking is a
+    full-recall candidate generator, so the outputs coincide)."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig} AS sig FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+SQL_DOCS_SIMHASH_PAIRS = _simhash_sql()
+
+
+def _sql_vec_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_sql_vec_dot(a, b)}"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _lsh_topk_sql(k: int = 10) -> str:
+    """DuckDB replica of the portable-plane LSH search: identical +-1
+    planes (md5-derived, embedded as literals), identical sign-bit
+    buckets, cosine + rank over same-bucket candidates."""
+    from .operators.similarity import portable_hyperplanes
+
+    planes = portable_hyperplanes(dim=64, n_planes=6)
+    bucket = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(str(float(x)) for x in plane)}])[i]"
+        f")) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, bucket FROM b WHERE vec_id < 5
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('e.embedding', 'p.pvec')} AS sim
+  FROM b e JOIN probes p ON e.bucket = p.bucket
+), ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_EMBEDDING_LSH_TOPK = _lsh_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -994,20 +1132,76 @@ WHERE cosine_sim >= 0.4
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (KMeans coarse quantizer + nprobe cells).
-    Approximate by construction -> rows-only check, no SQL oracle;
-    q_embedding_cosine_topk is the exact baseline."""
+    """IVF approximate top-k with a deterministic coarse quantizer: the
+    centroids are a fixed arithmetic sample of corpus vectors
+    (vec_id % 17 == 5, first 16), so cell assignment, nprobe cell
+    ranking, and the search are all exact relational math the oracle
+    reproduces. The KMeans-trained quantizer path keeps its recall
+    unit test (tests/test_operators.py::test_ivf_topk_recall)."""
     emb = t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    out = similarity.ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4)
+    # bounded global window: <=16 rows after the limit (dimension-table
+    # scale, same invariant as surrogate_keys)
+    cent = (
+        emb.filter((F.col("vec_id") % 17) == 5)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("centroid"))
+        .withColumn(
+            "cell", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
+        )
+        .select("cell", "centroid")
+    )
+    out = similarity.ivf_topk(emb, probes, k=10, nprobe=4, centroids=cent)
     return out.select(
         "probe_id",
         "neighbor_id",
         F.round("cosine_sim", 6).alias("cosine_sim"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def _ivf_topk_sql(k: int = 10, nprobe: int = 4) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.ce[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.ce[i])))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id % 17 = 5 ORDER BY vec_id LIMIT 16
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probe_cells AS (
+  SELECT probe_id, pvec, cell FROM (
+    SELECT e.vec_id AS probe_id, e.embedding AS pvec, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('e.embedding', 'p.pvec')} AS sim
+  FROM assigned e JOIN probe_cells p ON e.cell = p.cell
+), ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_EMBEDDING_IVF_TOPK = _ivf_topk_sql()
 
 
 def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1776,7 +1970,8 @@ ORACLES: dict[str, str] = {
     "salted_join_revenue": SQL_SALTED_JOIN_REVENUE,
     "hot_keys_join_revenue": SQL_HOT_KEYS_JOIN_REVENUE,
     "events_session_window": SQL_EVENTS_SESSION_WINDOW,
-    # docs_minhash_near_dup / docs_simhash_pairs / embedding_lsh_topk /
-    # embedding_ivf_topk: intentionally no oracle (approximate /
-    # non-SQL-expressible).
+    "docs_minhash_near_dup": SQL_DOCS_MINHASH_NEAR_DUP,
+    "docs_simhash_pairs": SQL_DOCS_SIMHASH_PAIRS,
+    "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
+    "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
 }

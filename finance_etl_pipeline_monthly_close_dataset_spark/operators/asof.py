@@ -56,21 +56,33 @@ def asof_join(
             "rename one side before joining"
         )
 
+    # all value columns ride in ONE struct per right row, carried with a
+    # single last(ignorenulls=True): every attached value comes from the
+    # SAME matched row. (Carrying columns independently would back-fill
+    # a null field from an OLDER right row -- diverging from pandas
+    # merge_asof / DuckDB ASOF JOIN, which attach the matched row's
+    # values nulls included.)
+    if "_matched_ts" in value_cols:
+        raise ValueError("asof_join: value column name '_matched_ts' is reserved")
+    r_struct = F.struct(
+        F.col(right_ts).cast("timestamp").alias("_matched_ts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("_rv")).schema["_rv"].dataType
+
     l_tag = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+        F.lit(None).cast(r_struct_type).alias("_rv"),
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_ts).cast("timestamp").alias("_r_ts"),
+        r_struct.alias("_rv"),
     )
 
     # right rows sort before left rows at equal timestamps so an
@@ -83,31 +95,19 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         "_is_left",
         "_l",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_matched_ts"),
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_cv_{c}")
-            for c in value_cols
-        ],
+        F.last("_rv", ignorenulls=True).over(w).alias("_cv"),
     )
 
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("_matched_ts").isNotNull()
-            & (
-                F.unix_timestamp(F.col("_l").getField(left_ts))
-                - F.unix_timestamp(F.col("_matched_ts"))
-                <= tolerance_seconds
-            )
+        matched_ts = F.col("_cv").getField("_matched_ts")
+        in_tol = matched_ts.isNotNull() & (
+            F.unix_timestamp(F.col("_l").getField(left_ts))
+            - F.unix_timestamp(matched_ts)
+            <= tolerance_seconds
         )
-        out = out.select(
-            "_l",
-            *[
-                F.when(in_tol, F.col(f"_cv_{c}")).alias(f"_cv_{c}")
-                for c in value_cols
-            ],
-        )
+        out = out.select("_l", F.when(in_tol, F.col("_cv")).alias("_cv"))
     return out.select(
         *[F.col("_l").getField(c).alias(c) for c in left.columns],
-        *[F.col(f"_cv_{c}").alias(c) for c in value_cols],
+        *[F.col("_cv").getField(c).alias(c) for c in value_cols],
     )

@@ -234,21 +234,33 @@ def near_dup_minhash(
     )
 
 
+def portable_token_hash(col: Column) -> Column:
+    """60-bit token hash both Spark and DuckDB compute identically:
+    the first 15 hex digits of md5, read as an integer. xxhash64 is
+    faster but engine-specific; this variant exists so simhash outputs
+    can sit under a cross-engine SQL oracle (contract.py)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """64-bit SimHash: per-token 64-bit hash, bitwise +/-1 majority.
+    """SimHash: per-token hash, bitwise +/-1 majority vote.
 
     One explode + one groupBy(id) with ``bits`` conditional sums --
-    a single shuffle on the id key.
+    a single shuffle on the id key. ``hash_fn`` defaults to the fast
+    engine-native ``xxhash64``; pass :func:`portable_token_hash` (with
+    ``bits=60``) when the signatures must be reproducible by another
+    engine.
     """
     tok = spread_partitions(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"))
+    h = (hash_fn or F.xxhash64)(F.col("tok"))
     votes = [
         F.sum(
             F.when(

@@ -41,7 +41,15 @@ def range_join(
 
     Each (point, interval) pair matches at most once: the point lives
     in exactly one bucket, so no post-join dedup is needed.
+
+    Inner join only: with an outer ``how`` the post-join BETWEEN
+    filter would silently drop the null-extended rows (degenerating to
+    inner semantics), and Spark cannot push a non-equi predicate into
+    a hash join -- callers needing left semantics should left-join the
+    inner result back to ``points``.
     """
+    if how != "inner":
+        raise ValueError(f"range_join supports how='inner' only, got {how!r}")
     on = on or []
     w = bucket_width_seconds
 

@@ -85,6 +85,23 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).astype(float).tolist()
 
 
+def portable_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes derived from md5 -- Rademacher
+    planes are valid sign-random projections (Achlioptas-style sparse
+    projections), and any engine with md5 can rebuild them, so an
+    external SQL oracle can reproduce the exact bucket assignment
+    (numpy Gaussians cannot be re-derived in SQL)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) % 2 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id from random-hyperplane projections.
 
@@ -112,11 +129,15 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH
     bucket. Recall < 1.0 by construction; raise n_planes for smaller
-    buckets or lower it for higher recall."""
-    planes = hyperplanes(dim, n_planes, seed)
+    buckets or lower it for higher recall. Pass explicit ``planes``
+    (e.g. :func:`portable_hyperplanes`) for cross-engine
+    reproducibility."""
+    if planes is None:
+        planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vec"),
@@ -152,16 +173,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a distributed KMeans
-    coarse quantizer partitions the corpus into ``n_centroids`` cells;
-    each probe searches only its ``nprobe`` nearest cells.
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    partitions the corpus into ``n_centroids`` cells; each probe
+    searches only its ``nprobe`` nearest cells.
 
     Structure (all DataFrame ops, MLlib KMeans for training):
 
-    1. fit KMeans on the corpus vectors (seeded -> deterministic);
-    2. assign every corpus vector its cell id (model.transform --
-       one map-side pass, no shuffle);
+    1. fit KMeans on the corpus vectors (seeded -> deterministic), or
+       take explicit ``centroids`` -- a small ``(cell int, centroid
+       array<double>)`` DataFrame (e.g. a deterministic corpus sample,
+       which makes the whole search reproducible by an external SQL
+       oracle; KMeans quality is better but engine-specific);
+    2. assign every corpus vector its cell id (model.transform, or an
+       argmin over the broadcast centroid table -- either way one
+       map-side pass, no shuffle);
     3. rank cells per probe by distance to the centroid (probes x
        centroids is a tiny literal cross join), keep ``nprobe``;
     4. equi-join corpus cells to probe cells -> cosine -> windowed
@@ -174,25 +201,51 @@ def ivf_topk(
     construction; raise ``nprobe`` toward ``n_centroids`` to trade
     speed for recall.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(c.select("features"))
-    assigned = model.transform(c).select(
-        "neighbor_id", "_vec", F.col("prediction").alias("_cell")
-    )
-
-    # tiny probes x centroids ranking (centroids are literal arrays)
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_vec"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(c.select("features"))
+        assigned = model.transform(c).select(
+            "neighbor_id", "_vec", F.col("prediction").alias("_cell")
+        )
+        # tiny probes x centroids ranking (centroids are literal arrays)
+        cent_rows = [
+            (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+        ]
+        cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    else:
+        cent_df = centroids
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
+        )
+        a_d2 = F.aggregate(
+            F.zip_with(
+                F.col("_vec"), F.col("centroid"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        # argmin via min_by under a groupBy: partial aggregation
+        # collapses the xN-centroids expansion map-side, so the shuffle
+        # carries ~one row per vector (a window would shuffle all N)
+        assigned = (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("_d2", a_d2)
+            .groupBy("neighbor_id")
+            .agg(
+                F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias("_cell"),
+                F.first("_vec").alias("_vec"),
+            )
+            .select("neighbor_id", "_vec", "_cell")
+        )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_probe_vec")
     )

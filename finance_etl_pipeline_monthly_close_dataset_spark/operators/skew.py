@@ -43,6 +43,10 @@ def salted_join(
     skewed's columns + other's non-key columns, like a plain
     ``join(on=...)``.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        # right/full outer would emit one row per salt for unmatched
+        # replicated rows -- reverse the sides instead
+        raise ValueError(f"salted_join supports left-oriented joins only, got {how!r}")
     salted = skewed.withColumn(SALT_COL, (F.rand(seed=42) * n_salts).cast("int"))
     replicated = other.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -65,6 +69,12 @@ def broadcast_hot_keys_join(
     driver -- it is by construction tiny (#keys with >threshold rows
     <= total_rows / threshold).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        # right/full outer would duplicate unmatched hot-key dim rows
+        # (they appear in both the hot join and the tail join)
+        raise ValueError(
+            f"broadcast_hot_keys_join supports left-oriented joins only, got {how!r}"
+        )
     counts = fact.groupBy(on).count().filter(F.col("count") > hot_key_threshold)
     hot_keys = [r[0] for r in counts.select(on).collect()]
     if not hot_keys:

@@ -47,7 +47,7 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.lit(None).cast("string")
     for lang in sorted(STOPWORDS):
         pred = F.coalesce(pred, F.when(F.col(f"hits_{lang}") == best, F.lit(lang)))
-    return out.withColumn("pred_lang", pred).drop("_toks")
+    return out.withColumn("pred_lang", pred)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -56,9 +56,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     * n_tokens, n_chars
     * mean token length
     * punctuation ratio (non-alnum, non-space chars / chars)
-    * stopword ratio (English seed list)
-    * quality_score: composite in [0, 1] favoring mid-length docs with
-      low punctuation noise and a plausible stopword rate.
+    * stopword ratio (English seed list; reported as a feature, not
+      part of the score)
+    * quality_score: (length_score + punct_score) / 2 in [0, 1] --
+      favors longer docs (saturating at 100 tokens) with low
+      punctuation noise.
 
     The token array is projected ONCE into a staging column: the three
     token-consuming features would otherwise each re-inline the

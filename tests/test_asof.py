@@ -159,3 +159,49 @@ def test_asof_rejects_colliding_value_columns(spark):
     quotes = _quotes(spark).withColumnRenamed("px", "qty")
     with _pytest.raises(ValueError, match="collide"):
         asof_join(trades, quotes, on="sym", value_cols=["qty"])
+
+
+def test_asof_null_field_comes_from_matched_row_not_backfilled(spark):
+    """When the MATCHED (latest) right row has a NULL value column, the
+    output must carry that NULL -- not back-fill from an older right
+    row (merge_asof / DuckDB ASOF JOIN semantics)."""
+    left = spark.createDataFrame(
+        [("k", _ts(11, 0))], "sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts(9, 0), 1.0, 100.0),   # older row: both present
+            ("k", _ts(10, 0), None, 200.0), # matched row: px NULL
+        ],
+        "sym string, ts timestamp, px double, sz double",
+    )
+    row = asof_join(left, right, on="sym").collect()[0]
+    assert row["sz"] == 200.0
+    assert row["px"] is None  # NOT 1.0 from the 9:00 row
+
+
+def test_range_join_rejects_non_inner(spark):
+    import pytest
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.ranges import range_join
+
+    df = spark.createDataFrame([( _ts(10),)], "ts timestamp")
+    iv = spark.createDataFrame([(_ts(9), _ts(11))], "start timestamp, end timestamp")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(df, iv, "ts", "start", "end", how="left")
+
+
+def test_skew_joins_reject_right_outer(spark):
+    import pytest
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.skew import (
+        broadcast_hot_keys_join,
+        salted_join,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, "y")], "k int, w string")
+    with pytest.raises(ValueError, match="left-oriented"):
+        salted_join(a, b, on="k", how="right")
+    with pytest.raises(ValueError, match="left-oriented"):
+        broadcast_hot_keys_join(a, b, on="k", how="full")
