@@ -1848,6 +1848,236 @@ def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the driver oracle (SURVEY §2.8): the
+    events table is replayed as a bounded MULTI-batch file stream
+    (three deterministic hash slices, maxFilesPerTrigger=1) through
+    readStream -> watermark -> tumbling window -> complete-mode memory
+    sink. Incremental per-batch state merging must converge to the
+    batch aggregation -- which is exactly what the DuckDB oracle
+    computes. Deterministic: complete mode aggregates every row
+    regardless of batch boundaries; the multi-batch split is what makes
+    the streaming path do real incremental work."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    e = events_table(spark, sf_dir).select("ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="contract_stream_")
+    src = os.path.join(tmp, "src")
+    # three appends -> three files -> three micro-batches at one file
+    # per trigger
+    for i in range(3):
+        e.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = ev.streamed_tumbling_counts(
+        spark, src, schema, width="1 hour", watermark="2 hours",
+        max_files_per_trigger=1,
+    )
+    qn = f"stream_hourly_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+        .localCheckpoint(eager=True)  # detach from the memory sink
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# DQ surface under the driver oracle (SURVEY §2.7 / reference
+# quality.py:16-249): the same collect_exceptions -> add_severity ->
+# dq_summary_table machinery the pipeline runs, applied to testdata
+# slices so every stage has a DuckDB-checkable shape.
+# --------------------------------------------------------------------------
+
+
+def q_dq_exceptions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exception-row collection (Q2/Q4/Q5/Q10/Q13/Q14) over an orders
+    slice: isin, range, and composite-key-uniqueness failures emitted
+    in the reference's exception-record shape with severities. not_null
+    checks are declared too (zero rows on this data -- same result in
+    the oracle)."""
+    from .plans.quality import (
+        ColumnCheck,
+        DatasetSpec,
+        _isin_check,
+        add_severity,
+        collect_exceptions,
+    )
+
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20000)
+    spec = DatasetSpec(
+        dataset="orders",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        not_null=["o_custkey", "o_orderdate"],
+        checks=[
+            _isin_check("o_orderstatus", ["O", "F"]),
+            ColumnCheck(
+                "o_totalprice",
+                "less_than_or_equal_to(350000)",
+                F.col("o_totalprice") > 350000,
+            ),
+        ],
+        unique_keys=[("o_custkey",)],
+    )
+    return add_severity(collect_exceptions(src, spec))
+
+
+SQL_DQ_EXCEPTIONS_ORDERS = """
+WITH src AS (SELECT * FROM orders WHERE o_orderkey <= 20000),
+ex AS (
+  SELECT 'o_orderstatus' AS "column", 'isin([''O'', ''F''])' AS "check",
+         CAST(o_orderstatus AS VARCHAR) AS failure_case, 'Column' AS schema_context
+  FROM src WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+  UNION ALL
+  SELECT 'o_totalprice', 'less_than_or_equal_to(350000)',
+         CAST(o_totalprice AS VARCHAR), 'Column'
+  FROM src WHERE o_totalprice > 350000
+  UNION ALL
+  SELECT NULL, 'unique_keys[''o_custkey'']',
+         CAST(o_custkey AS VARCHAR), 'DataFrameSchema'
+  FROM (SELECT o_custkey FROM src GROUP BY o_custkey HAVING COUNT(*) > 1)
+)
+SELECT 'orders' AS dataset, CAST(NULL AS BIGINT) AS "index",
+       "column", "check", failure_case, schema_context,
+       CAST(NULL AS INTEGER) AS check_number,
+       'WARN' AS severity
+FROM ex
+"""
+
+
+def _sales_shaped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice renamed into the reference's sales shape so the
+    severity rules (ERROR_COLUMNS / WARN default) both fire."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 20000)
+    return li.select(
+        F.col("l_shipdate").alias("date"),
+        F.col("l_orderkey").alias("invoice_id"),
+        F.col("l_returnflag").alias("currency"),
+        F.col("l_discount").alias("amount"),
+    )
+
+
+def _sales_shaped_spec():
+    from .plans.quality import ColumnCheck, DatasetSpec, _isin_check
+
+    return DatasetSpec(
+        dataset="sales",
+        columns=["date", "invoice_id", "currency", "amount"],
+        not_null=["date", "invoice_id", "currency", "amount"],
+        checks=[
+            _isin_check("currency", ["N", "R"]),
+            ColumnCheck("amount", "less_than(0.05)", F.col("amount") >= 0.05),
+        ],
+    )
+
+
+_SQL_SALES_SHAPED_EX = """
+WITH src AS (
+  SELECT l_returnflag AS currency, l_discount AS amount
+  FROM lineitem WHERE l_orderkey <= 20000
+), ex AS (
+  SELECT 'currency' AS "column", 'isin([''N'', ''R''])' AS "check", 'ERROR' AS severity
+  FROM src WHERE currency IS NOT NULL AND currency NOT IN ('N', 'R')
+  UNION ALL
+  SELECT 'amount', 'less_than(0.05)', 'WARN'
+  FROM src WHERE amount >= 0.05
+)
+"""
+
+
+def q_dq_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity assignment (Q14): currency failures escalate to ERROR
+    via ERROR_COLUMNS, amount failures stay WARN; grouped counts per
+    (column, check, severity)."""
+    from .plans.quality import add_severity, collect_exceptions
+
+    ex = add_severity(
+        collect_exceptions(_sales_shaped_lineitem(spark, sf_dir), _sales_shaped_spec())
+    )
+    return ex.groupBy("dataset", "column", "check", "severity").agg(
+        F.count(F.lit(1)).alias("n_exceptions")
+    )
+
+
+SQL_DQ_SEVERITY_COUNTS = (
+    _SQL_SALES_SHAPED_EX
+    + """
+SELECT 'sales' AS dataset, "column", "check", severity,
+       COUNT(*) AS n_exceptions
+FROM ex GROUP BY 1, 2, 3, 4
+"""
+)
+
+
+def q_dq_summary_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled per-dataset DQ summary with gate status (Q15/Q16):
+    the real dq_summary_table -- five-dataset scaffold, ERROR/WARN
+    pivot, FAIL iff errors under fail_on=ERROR -- fed from testdata
+    exceptions."""
+    from .plans.quality import add_severity, collect_exceptions, dq_summary_table
+
+    ex = add_severity(
+        collect_exceptions(_sales_shaped_lineitem(spark, sf_dir), _sales_shaped_spec())
+    )
+    return dq_summary_table(ex, fail_on="ERROR")
+
+
+SQL_DQ_SUMMARY_STATUS = (
+    _SQL_SALES_SHAPED_EX
+    + """, counts AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE severity = 'ERROR') AS BIGINT) AS e,
+         CAST(COUNT(*) FILTER (WHERE severity = 'WARN') AS BIGINT) AS w
+  FROM ex
+)
+SELECT d.dataset,
+       CASE WHEN d.dataset = 'sales' THEN counts.e ELSE 0 END AS error_count,
+       CASE WHEN d.dataset = 'sales' THEN counts.w ELSE 0 END AS warn_count,
+       CASE WHEN d.dataset = 'sales' THEN counts.e + counts.w ELSE 0 END AS issue_count,
+       CASE WHEN d.dataset = 'sales' AND counts.e > 0 THEN 'FAIL' ELSE 'PASS' END AS status
+FROM (VALUES ('sales'), ('expenses'), ('payroll'),
+             ('inventory_movements'), ('fx_rates')) d(dataset)
+CROSS JOIN counts
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -1911,6 +2141,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hot_keys_join_revenue": q_hot_keys_join_revenue,
     "events_session_window": q_events_session_window,
     "docs_dup_components": q_docs_dup_components,
+    "dq_exceptions_orders": q_dq_exceptions_orders,
+    "dq_severity_counts": q_dq_severity_counts,
+    "dq_summary_status": q_dq_summary_status,
+    "events_streamed_hourly": q_events_streamed_hourly,
 }
 
 ORACLES: dict[str, str] = {
@@ -1974,4 +2208,8 @@ ORACLES: dict[str, str] = {
     "docs_simhash_pairs": SQL_DOCS_SIMHASH_PAIRS,
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
+    "dq_exceptions_orders": SQL_DQ_EXCEPTIONS_ORDERS,
+    "dq_severity_counts": SQL_DQ_SEVERITY_COUNTS,
+    "dq_summary_status": SQL_DQ_SUMMARY_STATUS,
+    "events_streamed_hourly": SQL_EVENTS_STREAMED_HOURLY,
 }

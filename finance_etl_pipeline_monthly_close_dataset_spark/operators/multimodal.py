@@ -101,15 +101,66 @@ def decode_images(
     return media.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def decode_images_real(media: DataFrame) -> DataFrame:
-    """Integration point for a real image decoder (PIL / torchvision /
-    ffmpeg for video frames). Not available in this environment."""
-    raise NotImplementedError(
-        "Real media decoding requires image/audio libraries not present in "
-        "this container. Use decode_images (deterministic stub) for "
-        "plumbing; replace its inner loop with PIL.Image.open(io.BytesIO(b)) "
-        "+ resize/normalize for production."
-    )
+def decode_images_real(
+    media: DataFrame, feature_dim: int = 8, resize_to: tuple[int, int] = (224, 224)
+) -> DataFrame:
+    """Real image decode path, gated on an importable PIL: decode ->
+    resize -> channel-mean features over the same Arrow-batch plumbing
+    as ``decode_images``. In environments without PIL (this container)
+    it raises ``NotImplementedError`` -- use ``decode_images`` (the
+    deterministic stub) there; the Spark-side plan is identical."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - container lacks PIL
+        raise NotImplementedError(
+            "Real media decoding requires PIL, which is not present in this "
+            "container. Use decode_images (deterministic stub) for plumbing; "
+            "this function activates unchanged wherever PIL is installed."
+        ) from exc
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    rows.append((media_id, 0, 0, None, None, None))
+                    continue
+                img = Image.open(io.BytesIO(b)).convert("RGB").resize(resize_to)
+                arr = np.asarray(img, dtype=np.float32) / 255.0
+                # channel means + coarse grid means, truncated/padded
+                feat = list(arr.mean(axis=(0, 1)))
+                gh = max(1, int(np.sqrt(max(feature_dim - 3, 1))))
+                grid = arr.mean(axis=2)
+                h_step, w_step = max(1, grid.shape[0] // gh), max(1, grid.shape[1] // gh)
+                feat += [
+                    float(grid[i * h_step : (i + 1) * h_step, j * w_step : (j + 1) * w_step].mean())
+                    for i in range(gh)
+                    for j in range(gh)
+                ]
+                feat = [float(x) for x in feat[:feature_dim]]
+                feat += [0.0] * (feature_dim - len(feat))
+                rows.append(
+                    (
+                        media_id,
+                        len(b),
+                        int.from_bytes(b[:8], "big", signed=True),
+                        resize_to[0],
+                        resize_to[1],
+                        feat,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "payload_hash",
+                    "out_width", "out_height", "feature",
+                ],
+            )
+
+    return media.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -114,13 +114,21 @@ def streamed_tumbling_counts(
     width: str = "1 hour",
     watermark: str = "2 hours",
     key_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
 ):
     """The same tumbling aggregation as a Structured Streaming plan:
     file-source readStream + event-time watermark for late data.
     Returns the streaming DataFrame (caller starts it with
     ``.writeStream``; tests use a memory sink + processAllAvailable).
+
+    ``max_files_per_trigger=1`` forces a multi-batch replay over a
+    multi-file directory, exercising incremental state merging across
+    micro-batches instead of a single catch-all batch.
     """
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window(F.col("ts"), width).alias("w"), F.col(key_col))

@@ -368,3 +368,26 @@ def test_distributed_ntile_empty(spark):
 
     df = spark.range(0).select(F.col("id"))
     assert distributed_ntile(df, 10, ["id"]).count() == 0
+
+
+def test_decode_images_real_gates_on_pil(spark):
+    """Without PIL the real decoder must raise NotImplementedError at
+    call time (not at import); with PIL it must run the same plumbing
+    as the stub and produce the same schema."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=4)
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.decode_images_real(media)
+    else:
+        out = multimodal.decode_images_real(media)
+        assert out.schema == multimodal.IMAGE_FEATURES_SCHEMA
