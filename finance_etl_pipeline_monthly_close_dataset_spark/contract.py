@@ -1848,6 +1848,64 @@ def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({toks}) - 2, 1) + 1), "
+    "i -> array_to_string(({toks})[i:i+2], ' ')))"
+).format(toks=_SQL_TOKENS)
+
+
+def q_docs_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): concat-then-chunk
+    token packing into 512-token packs within 16 md5 hash buckets --
+    the GPT-style batching op; window cumsum per bucket, no global
+    sort."""
+    from .operators.packing import pack_documents
+
+    return pack_documents(
+        t(spark, sf_dir, "documents"), budget_tokens=512, n_buckets=16
+    )
+
+
+SQL_DOCS_PACK_BUDGET = """
+WITH staged AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 16 AS bucket,
+         len({toks}) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS INT) AS pack_id
+FROM staged
+""".format(toks=_SQL_TOKENS)
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_overlap): count
+    of distinct 3-shingles each corpus doc (doc_id >= 20) shares with
+    a held-out benchmark slice (doc_id < 20); broadcast benchmark
+    shingle set, corpus text never shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.contamination_overlap(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+
+
+SQL_DOCS_CONTAMINATION = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(sh) AS g
+  FROM (SELECT {_SQL_SHINGLES} AS sh FROM documents WHERE doc_id < 20)
+), corp AS (
+  SELECT doc_id, unnest(sh) AS g
+  FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents WHERE doc_id >= 20)
+)
+SELECT corp.doc_id, COUNT(*) AS n_overlapping_shingles
+FROM corp JOIN bench USING (g)
+GROUP BY 1
+"""
+
+
 def q_events_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming under the driver oracle (SURVEY §2.8): the
     events table is replayed as a bounded MULTI-batch file stream
@@ -2145,6 +2203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_severity_counts": q_dq_severity_counts,
     "dq_summary_status": q_dq_summary_status,
     "events_streamed_hourly": q_events_streamed_hourly,
+    "docs_pack_budget": q_docs_pack_budget,
+    "docs_contamination": q_docs_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -2212,4 +2272,6 @@ ORACLES: dict[str, str] = {
     "dq_severity_counts": SQL_DQ_SEVERITY_COUNTS,
     "dq_summary_status": SQL_DQ_SUMMARY_STATUS,
     "events_streamed_hourly": SQL_EVENTS_STREAMED_HOURLY,
+    "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
+    "docs_contamination": SQL_DOCS_CONTAMINATION,
 }

@@ -326,6 +326,37 @@ def simhash_near_pairs(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the number
+    of distinct k-shingles it shares with ANY benchmark document --
+    the screen a training pipeline runs before shipping a corpus
+    (docs with overlap above a threshold get dropped or audited).
+
+    The benchmark shingle set is deduped and broadcast (benchmarks are
+    small next to the corpus); the corpus side is one explode + one
+    broadcast semi-ish join + one groupBy on the id. The corpus text
+    never shuffles -- only (id, shingle) hits do.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), shingle_k)).alias("g"))
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("g")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), on="g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping_shingles"))
+    )
+
+
 def connected_components(
     ids: DataFrame,
     pairs: DataFrame,

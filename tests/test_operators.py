@@ -391,3 +391,46 @@ def test_decode_images_real_gates_on_pil(spark):
     else:
         out = multimodal.decode_images_real(media)
         assert out.schema == multimodal.IMAGE_FEATURES_SCHEMA
+
+
+def test_pack_documents_concat_then_chunk(spark):
+    """pack_id = floor(tokens_before/budget) within a bucket's
+    id-ordered stream; long docs straddle without shifting the grid."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.packing import (
+        pack_documents,
+        pack_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * t) for i, t in [(1, 6), (2, 6), (3, 20), (4, 2)]],
+        "doc_id long, text string",
+    )
+    out = pack_documents(docs, budget_tokens=10, n_buckets=1)
+    got = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in out.collect()}
+    # cum-before: d1=0, d2=6, d3=12, d4=32
+    assert got == {1: (6, 0), 2: (6, 0), 3: (20, 1), 4: (2, 3)}
+
+    stats = {r["pack_id"]: r["n_docs"] for r in pack_stats(out, 10).collect()}
+    assert stats == {0: 2, 1: 1, 3: 1}
+
+
+def test_contamination_overlap_counts_shared_shingles(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.dedup import (
+        contamination_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),   # shares 2 shingles
+            (2, "completely different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_overlapping_shingles"]
+           for r in contamination_overlap(corpus, bench).collect()}
+    assert got == {1: 2}  # doc 2 absent: no overlap
