@@ -53,7 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p = sub.add_parser(
         "corpus", help="Corpus operations over a documents table (parquet or JSONL)"
     )
-    corpus_p.add_argument("op", choices=["dedup", "quality-filter", "split"])
+    corpus_p.add_argument(
+        "op", choices=["dedup", "quality-filter", "split", "pack", "decontaminate"]
+    )
     corpus_p.add_argument("--in", dest="in_path", required=True)
     corpus_p.add_argument("--out", dest="out_path", required=True)
     corpus_p.add_argument("--id-col", default="doc_id")
@@ -67,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--max-hamming", type=int, default=3, help="dedup simhash")
     corpus_p.add_argument("--train-pct", type=int, default=80, help="split")
     corpus_p.add_argument("--val-pct", type=int, default=10, help="split")
+    corpus_p.add_argument("--budget-tokens", type=int, default=2048, help="pack")
+    corpus_p.add_argument("--n-buckets", type=int, default=64, help="pack")
+    corpus_p.add_argument("--benchmark", dest="benchmark_path", default=None,
+                          help="decontaminate: benchmark docs path")
+    corpus_p.add_argument("--max-overlap", type=int, default=1,
+                          help="decontaminate: drop docs with >= this many shared shingles")
 
     sql_p = sub.add_parser("sql", help="Run ad-hoc SQL over a directory of parquet tables")
     sql_p.add_argument("query", help="SQL text; each <name>.parquet (or <name>/ dir) in --dir is a view")

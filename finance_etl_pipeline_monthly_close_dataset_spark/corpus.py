@@ -45,6 +45,24 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
     elif args.op == "quality-filter":
         scored = text_analysis.quality_features(df, args.text_col)
         out = scored.filter(F.col("quality_score") >= args.threshold).select(*df.columns)
+    elif args.op == "pack":
+        from .operators.packing import pack_documents
+
+        packed = pack_documents(
+            df,
+            budget_tokens=args.budget_tokens,
+            n_buckets=args.n_buckets,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        out = df.join(packed, on=args.id_col)
+    elif args.op == "decontaminate":
+        bench = _read(spark, args.benchmark_path, args.id_col, args.text_col)
+        hits = dedup.contamination_overlap(df, bench, args.id_col, args.text_col)
+        contaminated = hits.filter(
+            F.col("n_overlapping_shingles") >= args.max_overlap
+        ).select(args.id_col)
+        out = df.join(contaminated, on=args.id_col, how="left_anti")
     elif args.op == "split":
         bucket = F.conv(
             F.substring(F.md5(F.col(args.id_col).cast("string")), 1, 2), 16, 10

@@ -434,3 +434,26 @@ def test_contamination_overlap_counts_shared_shingles(spark):
     got = {r["doc_id"]: r["n_overlapping_shingles"]
            for r in contamination_overlap(corpus, bench).collect()}
     assert got == {1: 2}  # doc 2 absent: no overlap
+
+
+def test_corpus_cli_pack_and_decontaminate(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "docs_pd")
+    _docs(spark).write.parquet(src)
+
+    out_p = str(tmp_path / "packed")
+    assert cli.main(["corpus", "pack", "--in", src, "--out", out_p,
+                     "--budget-tokens", "8", "--n-buckets", "1"]) == 0
+    packed = spark.read.parquet(out_p)
+    assert {"bucket", "n_tokens", "pack_id"} <= set(packed.columns)
+    assert packed.count() == 4
+
+    bench = str(tmp_path / "bench_docs")
+    _docs(spark).filter("doc_id = 'd1'").write.parquet(bench)
+    out_d = str(tmp_path / "decontaminated")
+    assert cli.main(["corpus", "decontaminate", "--in", src, "--out", out_d,
+                     "--benchmark", bench, "--max-overlap", "1"]) == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out_d).collect()}
+    assert "d1" not in kept      # overlaps itself
+    assert "d4" in kept          # the outlier survives

@@ -161,3 +161,32 @@ def test_kpi_pivot_conserves_amounts(spark, rows):
         for r in kpi
     )
     assert abs(typed_total - typed_cents / 100.0) < 1e-6
+
+
+# --- distributed ntile vs the SQL window on random inputs -------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    k=st.integers(min_value=1, max_value=12),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_distributed_ntile_matches_window_on_random_sizes(spark, n, k, n_parts):
+    from pyspark.sql.window import Window
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    df = spark.range(n).select(F.col("id"), (F.col("id") * 13 % 29).alias("s"))
+    order = [F.col("s").asc(), F.col("id").asc()]
+    got = {
+        (r["id"], r["t"])
+        for r in distributed_ntile(df, k, order, tile_col="t", num_partitions=n_parts).collect()
+    }
+    expected = {
+        (r["id"], r["t"])
+        for r in df.withColumn("t", F.ntile(k).over(Window.orderBy(*order))).collect()
+    }
+    assert got == expected
