@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
         "corpus", help="Corpus operations over a documents table (parquet or JSONL)"
     )
     corpus_p.add_argument(
-        "op", choices=["dedup", "quality-filter", "split", "pack", "decontaminate"]
+        "op",
+        choices=["dedup", "quality-filter", "split", "pack", "decontaminate", "sample"],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
     corpus_p.add_argument("--out", dest="out_path", required=True)
@@ -75,6 +76,8 @@ def main(argv: list[str] | None = None) -> int:
                           help="decontaminate: benchmark docs path")
     corpus_p.add_argument("--max-overlap", type=int, default=1,
                           help="decontaminate: drop docs with >= this many shared shingles")
+    corpus_p.add_argument("--fraction", type=float, default=0.1,
+                          help="sample: deterministic keep fraction")
 
     sql_p = sub.add_parser("sql", help="Run ad-hoc SQL over a directory of parquet tables")
     sql_p.add_argument("query", help="SQL text; each <name>.parquet (or <name>/ dir) in --dir is a view")

@@ -1906,6 +1906,59 @@ GROUP BY 1
 """
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition statistics
+    (text_analysis.repetition_features): type-token ratio + most
+    frequent bigram share per document -- the
+    boilerplate/degenerate-text filter."""
+    return text_analysis.repetition_features(t(spark, sf_dir, "documents"))
+
+
+SQL_DOCS_REPETITION = """
+WITH tk AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> array_to_string(toks[i:i+1], ' '))) AS g
+  FROM tk
+), counts AS (
+  SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, g, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS rn
+  FROM counts
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM tk
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INT) AS n_tokens,
+       round(b.n_distinct / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS distinct_ratio,
+       t.g AS top_bigram,
+       CAST(t.n AS INT) AS top_bigram_n,
+       round(t.n / CAST(greatest(b.n_tokens - 1, 1) AS DOUBLE), 6) AS top_bigram_frac
+FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+""".format(toks=_SQL_TOKENS)
+
+
+def q_docs_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample (corpus.sample_by_hash): the
+    reproducible 25% subset -- identical membership across engines,
+    runs, and partitionings, unlike rand()-based sampling."""
+    from .corpus import sample_by_hash
+
+    docs = t(spark, sf_dir, "documents")
+    return sample_by_hash(docs, 0.25).select("doc_id")
+
+
+SQL_DOCS_SAMPLE_DETERMINISTIC = """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < 16384
+"""
+
+
 def q_events_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming under the driver oracle (SURVEY §2.8): the
     events table is replayed as a bounded MULTI-batch file stream
@@ -2205,6 +2258,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_hourly": q_events_streamed_hourly,
     "docs_pack_budget": q_docs_pack_budget,
     "docs_contamination": q_docs_contamination,
+    "docs_repetition": q_docs_repetition,
+    "docs_sample_deterministic": q_docs_sample_deterministic,
 }
 
 ORACLES: dict[str, str] = {
@@ -2274,4 +2329,6 @@ ORACLES: dict[str, str] = {
     "events_streamed_hourly": SQL_EVENTS_STREAMED_HOURLY,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
+    "docs_repetition": SQL_DOCS_REPETITION,
+    "docs_sample_deterministic": SQL_DOCS_SAMPLE_DETERMINISTIC,
 }

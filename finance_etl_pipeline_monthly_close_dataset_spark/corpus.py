@@ -25,6 +25,20 @@ def _read(spark: SparkSession, path: str, id_col: str, text_col: str) -> DataFra
     return spark.read.parquet(path)
 
 
+def sample_by_hash(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fraction sample: keep rows whose 16-bit md5
+    bucket falls below ``fraction`` of the bucket space. Reproducible
+    across engines, runs, and partitionings (unlike ``df.sample``,
+    whose output depends on partitioning), and consistent across
+    tables sharing the id -- the reproducible-subset op every corpus
+    experiment needs."""
+    cutoff = int(fraction * 65536)
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return df.filter(bucket < cutoff)
+
+
 def run(spark: SparkSession, args) -> tuple[int, int]:
     df = _read(spark, args.in_path, args.id_col, args.text_col)
     n_in = df.count()
@@ -45,6 +59,8 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
     elif args.op == "quality-filter":
         scored = text_analysis.quality_features(df, args.text_col)
         out = scored.filter(F.col("quality_score") >= args.threshold).select(*df.columns)
+    elif args.op == "sample":
+        out = sample_by_hash(df, args.fraction, args.id_col)
     elif args.op == "pack":
         from .operators.packing import pack_documents
 

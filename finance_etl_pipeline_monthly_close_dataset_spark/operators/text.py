@@ -36,6 +36,18 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def ngrams(text: Column, k: int = 2) -> Column:
+    """ALL k-token n-grams in order (duplicates kept -- unlike
+    ``shingles``); the primitive repetition statistics need, since
+    repetition is exactly what ``array_distinct`` would erase."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
 def char_ngrams(text: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the lower-cased text."""
     s = F.lower(F.trim(text))

@@ -117,6 +117,49 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition statistics per document: type-token
+    ratio and the share of the document occupied by its most frequent
+    bigram (boilerplate / degenerate-generation filter; Rae et al.'s
+    'fraction of characters in most common n-gram' family).
+
+    One explode over NON-distinct bigrams -> per-(doc, gram) counts ->
+    per-doc argmax with a window PARTITIONED by doc (deterministic
+    tie-break on the gram); the shuffled data is the (doc, gram) grid,
+    never the corpus text. Deterministic and exactly SQL-expressible.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import ngrams
+
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.col(text_col)))).alias("n_distinct"),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(ngrams(F.col(text_col), 2)).alias("g")
+    )
+    counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("g").asc())
+    top = counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    safe_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
+    return base.join(top, on=id_col).select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("n_distinct") / safe_tokens.cast("double"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.col("g").alias("top_bigram"),
+        F.col("n").cast("int").alias("top_bigram_n"),
+        F.round(
+            F.col("n") / F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

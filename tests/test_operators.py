@@ -457,3 +457,34 @@ def test_corpus_cli_pack_and_decontaminate(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out_d).collect()}
     assert "d1" not in kept      # overlaps itself
     assert "d4" in kept          # the outlier survives
+
+
+def test_repetition_features_exact_values(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.text_analysis import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 6 tokens, 2 distinct; "a b" x3 of 5 bigrams
+            (2, "x y z"),             # all distinct; each bigram once, tie -> "x y"
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert abs(got[1]["distinct_ratio"] - round(2 / 6, 6)) < 1e-9
+    assert got[1]["top_bigram"] == "a b" and got[1]["top_bigram_n"] == 3
+    assert abs(got[1]["top_bigram_frac"] - 0.6) < 1e-9
+    assert got[2]["top_bigram"] == "x y" and got[2]["top_bigram_n"] == 1
+
+
+def test_sample_by_hash_deterministic_and_partition_independent(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.corpus import sample_by_hash
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sample_by_hash(df, 0.3).collect()}
+    b = {r["doc_id"] for r in sample_by_hash(df.repartition(13), 0.3).collect()}
+    assert a == b                       # membership ignores partitioning
+    assert 0.2 < len(a) / 1000 < 0.4    # fraction is approximately honored
+    assert sample_by_hash(df, 0.0).count() == 0

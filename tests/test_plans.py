@@ -125,3 +125,21 @@ def test_range_join_is_equality_join(spark):
     # bucket decomposition must produce a hash-joinable equality key
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark shingle set must broadcast; the corpus side must
+    not shuffle its text for the join."""
+    plan = formatted_plan(contract.QUERIES["docs_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_window_is_bucket_partitioned(spark):
+    """The packing cumsum window must be partitioned by the hash
+    bucket -- never a global (empty-partition-spec) window."""
+    plan = formatted_plan(contract.QUERIES["docs_pack_budget"](spark, SF_DIR))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Arguments" in line and "sum(n_tokens" in line:
+            assert "bucket" in line
