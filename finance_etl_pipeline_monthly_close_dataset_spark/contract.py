@@ -1744,14 +1744,52 @@ GROUP BY 1
 
 
 def q_docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup graph connected components (iterative label
-    propagation -- non-SQL-expressible, rows-only check). Components
-    over the MinHash near-dup pairs; singleton docs map to themselves.
-    """
+    """Near-dup graph connected components (iterative min-label
+    propagation) over the MinHash near-dup pairs; singleton docs map
+    to themselves. Oracle-exact: the pair set equals the all-pairs
+    Jaccard>=0.5 set (see docs_minhash_near_dup), and DuckDB computes
+    the components with a recursive transitive-closure CTE -- small
+    dense near-dup clusters keep the closure tiny."""
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.near_dup_minhash(docs, threshold=0.5)
     ids = docs.select("doc_id")
     return dedup.connected_components(ids, pairs).orderBy("doc_id")
+
+
+SQL_DOCS_DUP_COMPONENTS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len({toks}) - 2, 1) + 1),
+           i -> array_to_string(({toks})[i:i+2], ' '))) AS s
+  FROM documents
+), inv AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+), jpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT cand.id_a, cand.id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+    FROM cand
+    JOIN sh sa ON cand.id_a = sa.doc_id
+    JOIN sh sb ON cand.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b, id_a FROM jpairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.dst AS node, reach.r
+  FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS component
+FROM reach GROUP BY 1
+""".format(toks=_SQL_TOKENS)
 
 
 def q_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2017,6 +2055,7 @@ def q_events_streamed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # detach from the memory sink
     )
+    spark.catalog.dropTempView(qn)  # release the sink's driver memory
     shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -2331,4 +2370,5 @@ ORACLES: dict[str, str] = {
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_sample_deterministic": SQL_DOCS_SAMPLE_DETERMINISTIC,
+    "docs_dup_components": SQL_DOCS_DUP_COMPONENTS,
 }

@@ -73,6 +73,8 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         )
         out = df.join(packed, on=args.id_col)
     elif args.op == "decontaminate":
+        if not args.benchmark_path:
+            raise SystemExit("corpus decontaminate requires --benchmark <docs path>")
         bench = _read(spark, args.benchmark_path, args.id_col, args.text_col)
         hits = dedup.contamination_overlap(df, bench, args.id_col, args.text_col)
         contaminated = hits.filter(

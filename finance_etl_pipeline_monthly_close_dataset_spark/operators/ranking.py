@@ -44,16 +44,22 @@ def global_rank(
     order_cols,
     rank_col: str = "global_rank",
     num_partitions: int | None = None,
+    persist_intermediate: bool = True,
 ) -> Tuple[DataFrame, int]:
     """Exact 1-based global rank over ``order_cols`` with every stage
     distributed. Returns ``(df_with_rank, total_rows)`` -- the total is
     free (sum of the per-partition counts).
 
-    The ranged DataFrame is persisted (MEMORY_AND_DISK) so the offset
-    job and the consumer job see the identical partitioning; range
-    sampling is seeded deterministically, so even a cache-evicted
-    recompute reproduces the same boundaries for the same input.
+    The ranged DataFrame is persisted (MEMORY_AND_DISK, spills rather
+    than OOMs) so the offset job and the consumer job see the identical
+    partitioning; it stays cached until session end -- pass
+    ``persist_intermediate=False`` for one-shot jobs that prefer a
+    recompute over the cache footprint (range sampling is seeded
+    deterministically, so a recompute reproduces the same boundaries
+    for the same input either way).
     """
+    if "_pid" in df.columns:
+        raise ValueError("global_rank: input column name '_pid' is reserved")
     cols = _cols(order_cols)
     if num_partitions is None:
         num_partitions = int(
@@ -62,7 +68,8 @@ def global_rank(
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_intermediate:
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = sorted(
         (row["_pid"], row["n"])
         for row in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -97,6 +104,8 @@ def distributed_ntile(
     window: exact rank from :func:`global_rank`, then the SQL ntile
     bucket rule (first ``n % k`` buckets hold ``ceil(n/k)`` rows, the
     rest ``floor(n/k)``) applied as plain arithmetic."""
+    if "_grank" in df.columns:
+        raise ValueError("distributed_ntile: input column name '_grank' is reserved")
     ranked, total = global_rank(df, order_cols, rank_col="_grank", num_partitions=num_partitions)
     if total == 0:
         return ranked.withColumn(tile_col, F.lit(None).cast("int")).drop("_grank")

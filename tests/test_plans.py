@@ -115,9 +115,12 @@ def test_quality_deciles_has_no_global_window(spark):
     assert "Window" in plan  # the per-partition row_number survives
     # a global window prints an empty partition spec in the formatted
     # plan's Window node arguments: "Arguments: [...], [], [..., ASC ...]"
+    found = False
     for line in plan.splitlines():
         if "Arguments" in line and "row_number" in line:
+            found = True
             assert "spark_partition_id" in line or "_pid" in line
+    assert found  # the guard must actually have inspected the window node
 
 
 def test_range_join_is_equality_join(spark):
@@ -140,6 +143,9 @@ def test_packing_window_is_bucket_partitioned(spark):
     bucket -- never a global (empty-partition-spec) window."""
     plan = formatted_plan(contract.QUERIES["docs_pack_budget"](spark, SF_DIR))
     assert "Window" in plan
+    found = False
     for line in plan.splitlines():
         if "Arguments" in line and "sum(n_tokens" in line:
+            found = True
             assert "bucket" in line
+    assert found  # the guard must actually have inspected the window node

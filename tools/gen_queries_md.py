@@ -27,9 +27,12 @@ def main() -> None:
     ]
     for name, fn in contract.QUERIES.items():
         doc = (fn.__doc__ or "").strip().splitlines()
-        first = " ".join(
-            seg.strip() for seg in (doc[:2] if len(doc) > 1 and doc[1].strip() else doc[:1])
-        ).strip()
+        para: list[str] = []
+        for seg in doc:
+            if not seg.strip():
+                break
+            para.append(seg.strip())
+        first = " ".join(para).replace("|", "\\|")
         kind = "exact" if name in contract.ORACLES else "rows-only"
         lines.append(f"| `{name}` | {kind} | {first} |")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")
