@@ -2228,6 +2228,194 @@ CROSS JOIN counts
 )
 
 
+def q_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/scd.py): initial customer-
+    segment dimension load dated 1992-01-01, then an update batch
+    dated 1998-08-01 that moves every negative-balance customer to a
+    COLLECTIONS segment. Changed keys get their v1 row closed and a v2
+    row opened; everyone else carries through -- the warehouse pattern
+    the reference's rebuild-from-scratch dims grow into at scale."""
+    from .operators.scd import scd2_initial, scd2_merge
+
+    cust = t(spark, sf_dir, "customer")
+    dim = scd2_initial(
+        cust.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+        "1992-01-01",
+    )
+    updates = cust.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit("COLLECTIONS").alias("segment")
+    )
+    return scd2_merge(dim, updates, keys=["c_custkey"], batch_date="1998-08-01")
+
+
+SQL_CUSTOMER_SCD2 = """
+WITH upd AS (
+  SELECT c_custkey FROM customer
+  WHERE c_acctbal < 0 AND c_mktsegment <> 'COLLECTIONS'
+)
+SELECT c_custkey, c_mktsegment AS segment,
+       '1992-01-01' AS effective_from,
+       CASE WHEN c_custkey IN (SELECT c_custkey FROM upd)
+            THEN '1998-08-01' END AS effective_to,
+       c_custkey NOT IN (SELECT c_custkey FROM upd) AS is_current
+FROM customer
+UNION ALL
+SELECT c_custkey, 'COLLECTIONS', '1998-08-01', NULL, TRUE FROM upd
+"""
+
+
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() reorder-pattern: days between consecutive orders per
+    customer (window partitioned BY KEY -- stays distributed), rolled
+    up to per-segment purchase-cadence stats. avg is derived from the
+    exact integer gap sum so both engines do the same double division."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn(
+            "gap_days", F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").alias("total_gap_days"),
+            (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+
+
+SQL_ORDER_GAP_STATS = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_gaps,
+       SUM(gap_days) AS total_gap_days,
+       CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+       MAX(gap_days) AS max_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id: all four
+    aggregation levels in one shuffle (extends rollup_revenue's
+    hierarchy to the full lattice, the OLAP subtotal pattern)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("level_id"),
+            dsum(F.col("o_totalprice"), "18,2").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS level_id,
+       {s} AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""".format(s=_sql_dsum("o_totalprice", "18,2"))
+
+
+def q_group_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment statistics (mean / sample variance /
+    correlation) per group, derived from EXACT decimal power sums so
+    the result is order-independent: the shuffle carries six decimals
+    per group instead of raw rows, and both engines evaluate the same
+    IEEE double formula on identical exact sums. The portable
+    alternative to stddev_samp/corr, whose streaming accumulation is
+    engine- and partitioning-dependent in the last bits."""
+    li = t(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,4)")
+    dy = F.col("l_extendedprice").cast("decimal(18,4)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    mxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    myy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    mxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    # round the derived doubles: compilers may fuse a*b+c (FMA) so the
+    # last bit of the float formula is not portable across engines
+    return agg.select(
+        "l_returnflag",
+        n.alias("n_items"),
+        F.round(F.col("sx") / n, 6).alias("mean_qty"),
+        F.round(mxx / (n - 1), 6).alias("var_qty"),
+        F.round(mxy / F.sqrt(mxx * myy), 6).alias("corr_qty_price"),
+    )
+
+
+SQL_GROUP_STATS_EXACT = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       n AS n_items,
+       round(sx / n, 6) AS mean_qty,
+       round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+FROM s
+"""
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (corpus.stratified_sample_by_
+    hash): rebalance the language mix -- halve en, quarter fr, keep
+    10% of the rest -- with per-stratum md5 cutoffs. Verified by
+    per-lang doc counts and the n_chars sum (membership-sensitive)."""
+    from .corpus import stratified_sample_by_hash
+
+    docs = t(spark, sf_dir, "documents")
+    sampled = stratified_sample_by_hash(
+        docs, {"en": 0.5, "fr": 0.25}, strata_col="lang", default_fraction=0.1
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      < CASE lang WHEN 'en' THEN 32768 WHEN 'fr' THEN 16384 ELSE 6553 END
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -2299,6 +2487,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_contamination": q_docs_contamination,
     "docs_repetition": q_docs_repetition,
     "docs_sample_deterministic": q_docs_sample_deterministic,
+    "customer_scd2": q_customer_scd2,
+    "order_gap_stats": q_order_gap_stats,
+    "cube_revenue": q_cube_revenue,
+    "group_stats_exact": q_group_stats_exact,
+    "docs_stratified_sample": q_docs_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2371,4 +2564,9 @@ ORACLES: dict[str, str] = {
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_sample_deterministic": SQL_DOCS_SAMPLE_DETERMINISTIC,
     "docs_dup_components": SQL_DOCS_DUP_COMPONENTS,
+    "customer_scd2": SQL_CUSTOMER_SCD2,
+    "order_gap_stats": SQL_ORDER_GAP_STATS,
+    "cube_revenue": SQL_CUBE_REVENUE,
+    "group_stats_exact": SQL_GROUP_STATS_EXACT,
+    "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
 }

@@ -39,6 +39,27 @@ def sample_by_hash(df: DataFrame, fraction: float, id_col: str = "doc_id") -> Da
     return df.filter(bucket < cutoff)
 
 
+def stratified_sample_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction of the 16-bit md5 bucket space (downsample the dominant
+    language, keep all of a rare one -- the standard rebalancing move
+    for a training mix). Same reproducibility guarantees as
+    ``sample_by_hash``; a narrow map-side filter, no shuffle."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    cutoff = F.lit(int(default_fraction * 65536))
+    for value, fraction in sorted(fractions.items()):
+        cutoff = F.when(F.col(strata_col) == value, int(fraction * 65536)).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
+
+
 def run(spark: SparkSession, args) -> tuple[int, int]:
     df = _read(spark, args.in_path, args.id_col, args.text_col)
     n_in = df.count()

@@ -488,3 +488,75 @@ def test_sample_by_hash_deterministic_and_partition_independent(spark):
     assert a == b                       # membership ignores partitioning
     assert 0.2 < len(a) / 1000 < 0.4    # fraction is approximately honored
     assert sample_by_hash(df, 0.0).count() == 0
+
+
+def test_scd2_merge_versions_changed_keys(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.scd import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    dim = scd2_initial(
+        spark.createDataFrame(
+            [(1, "GOLD", "EU"), (2, "SILVER", "EU"), (3, "GOLD", "US")],
+            "k int, tier string, zone string",
+        ),
+        "2020-01-01",
+    )
+    updates = spark.createDataFrame(
+        [(2, "GOLD", "EU"),      # tier changed -> close + open
+         (3, "GOLD", "US"),      # identical -> carried
+         (4, "BRONZE", "APAC")], # new key -> inserted
+        "k int, tier string, zone string",
+    )
+    out = scd2_merge(dim, updates, keys=["k"], batch_date="2020-06-01")
+    rows = {(r.k, r.tier, r.effective_from, r.effective_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "GOLD", "2020-01-01", None, True),          # untouched
+        (2, "SILVER", "2020-01-01", "2020-06-01", False),
+        (2, "GOLD", "2020-06-01", None, True),
+        (3, "GOLD", "2020-01-01", None, True),          # no-op update
+        (4, "BRONZE", "2020-06-01", None, True),        # insert
+    }
+    # idempotence: re-applying the same batch changes nothing
+    again = scd2_merge(out, updates, keys=["k"], batch_date="2020-07-01")
+    assert again.count() == out.count()
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_scd2_merge_null_safe_change_detection(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.scd import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    dim = scd2_initial(
+        spark.createDataFrame([(1, None), (2, "X")], "k int, attr string"),
+        "2020-01-01",
+    )
+    updates = spark.createDataFrame([(1, None), (2, None)], "k int, attr string")
+    out = scd2_merge(dim, updates, keys=["k"], batch_date="2020-06-01")
+    rows = {(r.k, r.attr, r.is_current) for r in out.collect()}
+    # k=1: null == null (null-safe) -> carried; k=2: X -> null is a change
+    assert rows == {(1, None, True), (2, "X", False), (2, None, True)}
+
+
+def test_stratified_sample_by_hash_per_stratum_cutoffs(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.corpus import (
+        sample_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample_by_hash(df, {"en": 0.5}, default_fraction=0.1)
+    en = {r.doc_id for r in out.filter("lang = 'en'").collect()}
+    de = {r.doc_id for r in out.filter("lang = 'de'").collect()}
+    # each stratum matches the plain hash sample at its own fraction
+    en_ref = {r.doc_id for r in sample_by_hash(df.filter("lang = 'en'"), 0.5).collect()}
+    de_ref = {r.doc_id for r in sample_by_hash(df.filter("lang = 'de'"), 0.1).collect()}
+    assert en == en_ref and de == de_ref
+    assert stratified_sample_by_hash(df, {}, default_fraction=0.0).count() == 0
