@@ -149,3 +149,42 @@ def test_packing_window_is_bucket_partitioned(spark):
             found = True
             assert "bucket" in line
     assert found  # the guard must actually have inspected the window node
+
+
+def test_scd2_merge_is_keyed_join_no_cartesian(spark):
+    plan = formatted_plan(contract.QUERIES["customer_scd2"](spark, SF_DIR))
+    # full-outer merge must be a keyed join (both sides hash on the
+    # business key) -- never a nested-loop/cartesian fallback
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Catalyst specializes the full-outer per union branch (the
+    # has_cur/has_upd filters let it downgrade to outer/inner hash
+    # joins, broadcasting the update side) -- every join stays keyed
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_order_gap_window_is_key_partitioned(spark):
+    df = contract.QUERIES["order_gap_stats"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    ext = df._jdf.queryExecution().executedPlan().toString()
+    # the lag window partitions by customer key -- no global window
+    assert "windowspecdefinition(o_custkey" in ext
+    assert "BroadcastHashJoin" in plan  # customer dim broadcasts
+
+
+def test_cube_is_single_expand_aggregate(spark):
+    plan = formatted_plan(contract.QUERIES["cube_revenue"](spark, SF_DIR))
+    # CUBE compiles to one Expand feeding partial/final aggregation --
+    # one shuffle for all four lattice levels, not a union of 4 scans
+    assert plan.count("Expand") >= 1
+    # one scan node (formatted output names each node twice: tree + details)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_group_stats_is_pure_aggregate(spark):
+    plan = formatted_plan(contract.QUERIES["group_stats_exact"](spark, SF_DIR))
+    # moments come from one partial/final aggregate: no window, no
+    # second pass over the data, no Python
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 2
