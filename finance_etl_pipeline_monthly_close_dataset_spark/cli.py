@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus_p.add_argument(
         "op",
-        choices=["dedup", "quality-filter", "split", "pack", "decontaminate", "sample"],
+        choices=["dedup", "quality-filter", "split", "pack", "decontaminate", "sample", "redact"],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
     corpus_p.add_argument("--out", dest="out_path", required=True)

@@ -82,6 +82,8 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         out = scored.filter(F.col("quality_score") >= args.threshold).select(*df.columns)
     elif args.op == "sample":
         out = sample_by_hash(df, args.fraction, args.id_col)
+    elif args.op == "redact":
+        out = text_analysis.redact_pii(df, args.text_col)
     elif args.op == "pack":
         from .operators.packing import pack_documents
 

@@ -193,3 +193,56 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+# Order matters: emails first (their local part can contain digits a
+# phone pattern would half-match), then phones, then bare IPv4s.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    # no '.' in the phone class: dotted digit runs are IPv4/version
+    # shapes, not phones (415.555.0134 is the accepted false negative)
+    ("phone", r"\+?\d[\d\-\s()]{7,}\d"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+) -> DataFrame:
+    """Scrub common PII shapes from a text column before training.
+
+    Each kind is replaced by a ``[KIND]`` placeholder via chained
+    ``regexp_replace`` (JVM-side, whole-stage-codegen'd -- a pure map,
+    no shuffle, no Python). Adds ``n_redactions``: how many
+    placeholders the row received, so a downstream filter can drop
+    PII-dense documents entirely (the usual policy) instead of
+    keeping heavily-redacted text.
+
+    Regex-based scrubbing is a floor, not a guarantee -- names,
+    addresses, and free-form identifiers need an NER pass (model
+    inference via mapInPandas) that this container cannot host; the
+    operator seam is the same either way.
+    """
+    patterns = [(k, p) for k, p in PII_PATTERNS if k in kinds]
+    unknown = set(kinds) - {k for k, _ in PII_PATTERNS}
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = F.col(text_col)
+    for kind, pat in patterns:
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    redacted = df.withColumn("_redacted", out)
+    n = F.lit(0)
+    for kind, _ in patterns:
+        token = f"[{kind.upper()}]"
+        # count placeholder occurrences: (len - len(without)) / len(token)
+        n = n + (
+            F.length("_redacted")
+            - F.length(F.replace(F.col("_redacted"), F.lit(token), F.lit("")))
+        ) / len(token)
+    return (
+        redacted.withColumn("n_redactions", n.cast("int"))
+        .withColumn(text_col, F.col("_redacted"))
+        .drop("_redacted")
+    )

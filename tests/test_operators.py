@@ -560,3 +560,24 @@ def test_stratified_sample_by_hash_per_stratum_cutoffs(spark):
     de_ref = {r.doc_id for r in sample_by_hash(df.filter("lang = 'de'"), 0.1).collect()}
     assert en == en_ref and de == de_ref
     assert stratified_sample_by_hash(df, {}, default_fraction=0.0).count() == 0
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", "mail me at jane.doe+x@corp.example.org or call +1 (415) 555-0134."),
+            ("d2", "server 10.0.42.7 is fine; nothing sensitive here otherwise"),
+            ("d3", "plain text with no identifiers at all"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in text_analysis.redact_pii(df).collect()}
+    assert "[EMAIL]" in out["d1"].text and "[PHONE]" in out["d1"].text
+    assert "jane" not in out["d1"].text and "555" not in out["d1"].text
+    assert out["d1"].n_redactions == 2
+    assert out["d2"].text == "server [IPV4] is fine; nothing sensitive here otherwise"
+    assert out["d2"].n_redactions == 1
+    assert out["d3"].text.startswith("plain text") and out["d3"].n_redactions == 0
+    # selective kinds leave other shapes untouched
+    only_ip = {r.doc_id: r for r in text_analysis.redact_pii(df, kinds=("ipv4",)).collect()}
+    assert "@corp.example.org" in only_ip["d1"].text
