@@ -190,3 +190,48 @@ def test_distributed_ntile_matches_window_on_random_sizes(spark, n, k, n_parts):
         for r in df.withColumn("t", F.ntile(k).over(Window.orderBy(*order))).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.dictionaries(st.integers(0, 20), st.sampled_from(["A", "B", "C"]),
+                         min_size=1, max_size=12),
+    batches=st.lists(
+        st.dictionaries(st.integers(0, 20), st.sampled_from(["A", "B", "C", None]),
+                        max_size=8),
+        min_size=1, max_size=3,
+    ),
+)
+def test_scd2_invariants_over_random_batches(spark, base, batches):
+    """After any sequence of update batches: exactly one current row
+    per live key, the current value equals the last differing update,
+    and each key's version intervals chain without gaps."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.scd import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    dim = scd2_initial(
+        spark.createDataFrame(list(base.items()), "k int, attr string"),
+        "2020-01-01",
+    )
+    expected = dict(base)
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        date = f"2021-0{i + 1}-01"
+        updates = spark.createDataFrame(list(batch.items()), "k int, attr string")
+        dim = scd2_merge(dim, updates, keys=["k"], batch_date=date)
+        expected.update(batch)
+
+    rows = dim.collect()
+    cur = {r.k: r.attr for r in rows if r.is_current}
+    assert cur == expected  # newest attribute wins, inserts included
+    for k in {r.k for r in rows}:
+        versions = sorted(
+            (r for r in rows if r.k == k), key=lambda r: r.effective_from
+        )
+        assert sum(r.is_current for r in versions) == 1
+        assert versions[-1].is_current and versions[-1].effective_to is None
+        for a, b in zip(versions, versions[1:]):
+            assert a.effective_to == b.effective_from  # intervals chain

@@ -174,3 +174,43 @@ def test_connected_components_nonconvergence_raises(spark):
     # a chain of length 3 cannot settle in a single iteration
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(ids, pairs, max_iter=1)
+
+
+def test_hll_partials_merge_equals_direct_sketch(spark):
+    """The invariant that makes sketch partials safe to persist and
+    roll up: unioning per-increment sketches gives the SAME estimate
+    as sketching the raw data directly (associativity), and the
+    estimate is close to the exact distinct count."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
+        hll_partials,
+        hll_rollup,
+    )
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 12).alias("month"),
+        (F.col("id") % 7).alias("seg"),
+        # 9001 distinct users spread unevenly over months
+        (F.col("id") % 9001).alias("user_id"),
+    )
+    partials = hll_partials(df, ["month", "seg"], "user_id")
+    assert partials.count() == 84  # one ~2KB sketch per increment
+
+    merged = {r.seg: r.n_distinct_est
+              for r in hll_rollup(partials, ["seg"]).collect()}
+    direct = {
+        r.seg: r.est
+        for r in df.groupBy("seg")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    assert merged == direct  # merge-of-partials == sketch-of-raw, exactly
+
+    exact = {r.seg: r.n for r in df.groupBy("seg")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for seg, est in merged.items():
+        assert abs(est - exact[seg]) / exact[seg] < 0.05
+
+    # global rollup from the same partials, no raw re-scan
+    total = hll_rollup(partials, []).collect()[0].n_distinct_est
+    exact_total = df.select(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(total - exact_total) / exact_total < 0.05
