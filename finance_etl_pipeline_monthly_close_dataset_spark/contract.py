@@ -2416,6 +2416,40 @@ GROUP BY 1
 """
 
 
+def q_docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary statistics: top-25 tokens by corpus frequency
+    with document frequency -- the counting pass tokenizer training
+    (BPE/vocab selection) starts from. One explode, one aggregate;
+    top-k via TakeOrderedAndProject (no global sort materializes the
+    full vocabulary). Deterministic tie-break on the token itself."""
+    from .operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    term = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return (
+        term.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+SQL_DOCS_VOCABULARY = """
+SELECT token,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 25
+""".format(toks=_SQL_TOKENS)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -2492,6 +2526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": q_cube_revenue,
     "group_stats_exact": q_group_stats_exact,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_vocabulary": q_docs_vocabulary,
 }
 
 ORACLES: dict[str, str] = {
@@ -2569,4 +2604,5 @@ ORACLES: dict[str, str] = {
     "cube_revenue": SQL_CUBE_REVENUE,
     "group_stats_exact": SQL_GROUP_STATS_EXACT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
+    "docs_vocabulary": SQL_DOCS_VOCABULARY,
 }

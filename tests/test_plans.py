@@ -188,3 +188,11 @@ def test_group_stats_is_pure_aggregate(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_vocabulary_topk_uses_take_ordered(spark):
+    plan = formatted_plan(contract.QUERIES["docs_vocabulary"](spark, SF_DIR))
+    # orderBy+limit over the vocabulary must fuse into
+    # TakeOrderedAndProject -- never a global sort of all tokens
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
