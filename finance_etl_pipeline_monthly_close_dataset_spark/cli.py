@@ -78,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
                           help="decontaminate: drop docs with >= this many shared shingles")
     corpus_p.add_argument("--fraction", type=float, default=0.1,
                           help="sample: deterministic keep fraction")
+    corpus_p.add_argument("--stratify", default=None,
+                          help="sample: per-stratum fractions, e.g. 'lang:en=0.5,fr=0.25' "
+                               "(--fraction becomes the default for unlisted strata)")
 
     sql_p = sub.add_parser("sql", help="Run ad-hoc SQL over a directory of parquet tables")
     sql_p.add_argument("query", help="SQL text; each <name>.parquet (or <name>/ dir) in --dir is a view")

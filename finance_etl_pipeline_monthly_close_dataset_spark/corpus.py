@@ -81,7 +81,20 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         scored = text_analysis.quality_features(df, args.text_col)
         out = scored.filter(F.col("quality_score") >= args.threshold).select(*df.columns)
     elif args.op == "sample":
-        out = sample_by_hash(df, args.fraction, args.id_col)
+        if getattr(args, "stratify", None):
+            col, _, spec = args.stratify.partition(":")
+            if not spec:
+                raise SystemExit("--stratify wants 'column:value=frac,value=frac'")
+            fractions = {}
+            for pair in spec.split(","):
+                value, _, frac = pair.partition("=")
+                fractions[value] = float(frac)
+            out = stratified_sample_by_hash(
+                df, fractions, strata_col=col,
+                default_fraction=args.fraction, id_col=args.id_col,
+            )
+        else:
+            out = sample_by_hash(df, args.fraction, args.id_col)
     elif args.op == "redact":
         out = text_analysis.redact_pii(df, args.text_col)
     elif args.op == "pack":

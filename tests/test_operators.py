@@ -581,3 +581,25 @@ def test_redact_pii_scrubs_and_counts(spark):
     # selective kinds leave other shapes untouched
     only_ip = {r.doc_id: r for r in text_analysis.redact_pii(df, kinds=("ipv4",)).collect()}
     assert "@corp.example.org" in only_ip["d1"].text
+
+
+def test_corpus_cli_stratified_sample(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "docs_strat")
+    spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.lit("text body").alias("text"),
+    ).write.parquet(src)
+    out = str(tmp_path / "sampled")
+    assert cli.main(["corpus", "sample", "--in", src, "--out", out,
+                     "--fraction", "0.1", "--stratify", "lang:en=0.6"]) == 0
+    got = spark.read.parquet(out)
+    n_en = got.filter("lang = 'en'").count()
+    n_de = got.filter("lang = 'de'").count()
+    assert 80 < n_en <= 200 and 0 <= n_de < 60  # ~0.6 of 200 vs ~0.1 of 200
+    # malformed spec fails loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["corpus", "sample", "--in", src, "--out", out, "--stratify", "nocolon"])
