@@ -2301,7 +2301,7 @@ WITH gaps AS (
 )
 SELECT c_mktsegment,
        COUNT(*) AS n_gaps,
-       SUM(gap_days) AS total_gap_days,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
        CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
        MAX(gap_days) AS max_gap_days
 FROM gaps JOIN customer ON o_custkey = c_custkey
@@ -2408,7 +2408,7 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOCS_STRATIFIED_SAMPLE = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
       < CASE lang WHEN 'en' THEN 32768 WHEN 'fr' THEN 16384 ELSE 6553 END
