@@ -235,3 +235,38 @@ def test_scd2_invariants_over_random_batches(spark, base, batches):
         assert versions[-1].is_current and versions[-1].effective_to is None
         for a, b in zip(versions, versions[1:]):
             assert a.effective_to == b.effective_from  # intervals chain
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    cents=st.lists(st.tuples(st.integers(0, 2), st.integers(1, 5000), st.integers(1, 5000)),
+                   min_size=3, max_size=60),
+)
+def test_exact_power_sum_moments_match_numpy(spark, cents):
+    """The decimal-power-sum formulation in group_stats_exact must
+    agree with numpy's two-pass variance/correlation to float
+    precision, for any grouping and magnitudes."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.contract import (
+        q_group_stats_exact,
+    )
+
+    rows = [(g, x / 100.0, y / 100.0) for g, x, y in cents]
+    df = spark.createDataFrame(rows, "l_returnflag int, l_quantity double, l_extendedprice double")
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {r.l_returnflag: r for r in q_group_stats_exact(spark, d).collect()}
+    for g in {r[0] for r in cents}:
+        xs = np.array([x / 100.0 for gg, x, _ in cents if gg == g])
+        ys = np.array([y / 100.0 for gg, _, y in cents if gg == g])
+        r = out[g]
+        assert abs(r.mean_qty - xs.mean()) < 1e-6
+        if len(xs) > 1:
+            assert abs(r.var_qty - xs.var(ddof=1)) < 1e-6
+            denom = xs.std(ddof=1) * ys.std(ddof=1)
+            if denom > 1e-12:
+                expected = float(np.corrcoef(xs, ys)[0, 1])
+                if r.corr_qty_price is not None:
+                    assert abs(r.corr_qty_price - expected) < 1e-4
