@@ -50,6 +50,11 @@ def scd2_merge(
     tracked columns. Rows whose tracked attributes differ (null-safe)
     from the current version are closed at ``batch_date`` and reopened
     with the new values; unknown keys are inserted.
+
+    ``updates`` must carry at most one row per key (dedupe a CDC feed
+    with latest-record-per-key first -- see
+    ``q_latest_order_per_customer`` for the pattern); duplicate update
+    keys would fan out the join and open conflicting versions.
     """
     tracked = [c for c in dim.columns if c not in keys and c not in META_COLS]
     missing = [c for c in keys + tracked if c not in updates.columns]
