@@ -2450,6 +2450,33 @@ LIMIT 25
 """.format(toks=_SQL_TOKENS)
 
 
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (corpus.weighted_sample_by_
+    hash): keep probability proportional to document length
+    (min(1, n_chars/2000)) -- the quality-mix curation pattern.
+    Verified by per-lang counts and the membership-sensitive
+    n_chars sum."""
+    from .corpus import weighted_sample_by_hash
+
+    docs = t(spark, sf_dir, "documents")
+    sampled = weighted_sample_by_hash(
+        docs, F.col("n_chars") / F.lit(2000.0)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+      < least(1.0, greatest(0.0, CAST(n_chars AS DOUBLE) / 2000.0)) * 65536.0
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -2527,6 +2554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_stats_exact": q_group_stats_exact,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_vocabulary": q_docs_vocabulary,
+    "docs_weighted_sample": q_docs_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2605,4 +2633,5 @@ ORACLES: dict[str, str] = {
     "group_stats_exact": SQL_GROUP_STATS_EXACT,
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "docs_vocabulary": SQL_DOCS_VOCABULARY,
+    "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
 }

@@ -60,6 +60,27 @@ def stratified_sample_by_hash(
     return df.filter(bucket < cutoff)
 
 
+def weighted_sample_by_hash(
+    df: DataFrame,
+    weight: "F.Column | str",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling: each row is kept with
+    probability equal to its weight in [0, 1] (values outside are
+    clamped), decided by the same 16-bit md5 bucket as
+    ``sample_by_hash`` -- so membership is reproducible across
+    engines, runs, and partitionings, and a row's fate is stable as
+    long as its weight doesn't cross its bucket. Upweight high-quality
+    documents, downweight boilerplate -- the quality-mix curation step
+    between hard filtering and uniform sampling."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return df.filter(bucket < w * 65536.0)
+
+
 def run(spark: SparkSession, args) -> tuple[int, int]:
     df = _read(spark, args.in_path, args.id_col, args.text_col)
     n_in = df.count()

@@ -603,3 +603,21 @@ def test_corpus_cli_stratified_sample(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         cli.main(["corpus", "sample", "--in", src, "--out", out, "--stratify", "nocolon"])
+
+
+def test_weighted_sample_by_hash_probability_semantics(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.corpus import (
+        sample_by_hash,
+        weighted_sample_by_hash,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    assert weighted_sample_by_hash(df, F.lit(0.0)).count() == 0
+    assert weighted_sample_by_hash(df, F.lit(1.0)).count() == 2000
+    assert weighted_sample_by_hash(df, F.lit(7.5)).count() == 2000  # clamped
+    # constant weight w == plain hash sample at fraction w
+    w = {r.doc_id for r in weighted_sample_by_hash(df, F.lit(0.3)).collect()}
+    assert w == {r.doc_id for r in sample_by_hash(df, 0.3).collect()}
+    # monotone: raising any row's weight can only add rows, never drop
+    lo = {r.doc_id for r in weighted_sample_by_hash(df, F.lit(0.2)).collect()}
+    assert lo <= w
