@@ -2477,6 +2477,55 @@ GROUP BY 1
 """
 
 
+def q_events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection for monitoring: hours whose event
+    count deviates > 2 sample standard deviations from that event
+    type's hourly mean. Two aggregates (hourly counts, then per-type
+    exact power sums) and one broadcast-sized join back -- no window
+    over the full stream. The z formula runs on exact decimal sums so
+    both engines compute identical doubles (6-dp rounded, FMA-proof)."""
+    ev = events_table(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    c = F.col("n_events").cast("decimal(19,0)")
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(c).cast("double").alias("sc"),
+        F.sum(c * c).cast("double").alias("scc"),
+    )
+    n = F.col("n_hours")
+    mean = F.col("sc") / n
+    var = (F.col("scc") - F.col("sc") * F.col("sc") / n) / (n - 1)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), on="event_type")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("event_type", "hour", "n_events", "z")
+    )
+
+
+SQL_EVENTS_ANOMALY_HOURS = """
+WITH hourly AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         CAST(SUM(CAST(n_events AS DECIMAL(19,0))) AS DOUBLE) AS sc,
+         CAST(SUM(CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0))) AS DOUBLE) AS scc
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, hour, n_events,
+       round((n_events - sc / n_hours)
+             / sqrt((scc - sc * sc / n_hours) / (n_hours - 1)), 6) AS z
+FROM hourly JOIN stats USING (event_type)
+WHERE abs(round((n_events - sc / n_hours)
+                / sqrt((scc - sc * sc / n_hours) / (n_hours - 1)), 6)) > 2.0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -2555,6 +2604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_vocabulary": q_docs_vocabulary,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "events_anomaly_hours": q_events_anomaly_hours,
 }
 
 ORACLES: dict[str, str] = {
@@ -2634,4 +2684,5 @@ ORACLES: dict[str, str] = {
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "docs_vocabulary": SQL_DOCS_VOCABULARY,
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
+    "events_anomaly_hours": SQL_EVENTS_ANOMALY_HOURS,
 }
