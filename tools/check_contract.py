@@ -75,6 +75,39 @@ def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str
     return problems
 
 
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def dtype_parity(spark_dtypes, duck_types_by_col) -> list[str]:
+    """Numeric-class guard for the DRIVER's pandas canonicalization.
+
+    fetchall() yields Python ints for HUGEINT, so the value compare
+    passes -- but pandas renders HUGEINT as float64 (573850.0 vs
+    573850), a hash mismatch downstream. Flag HUGEINT oracle columns
+    (CAST the SUM AS BIGINT) and any int-vs-float class split between
+    engines. int32-vs-int64 width differences are fine."""
+    problems = []
+    duck_types = {c.lower(): t for c, t in duck_types_by_col.items()}
+    for col, sp_t in spark_dtypes:
+        du_t = duck_types.get(col.lower())
+        if du_t is None:
+            continue
+        if "HUGEINT" in du_t:
+            problems.append(
+                f"oracle column '{col}' is {du_t}: pandas floatifies it"
+                " -- CAST(... AS BIGINT) in the oracle SQL"
+            )
+        elif sp_t in _SPARK_INT and du_t in _DUCK_FLOAT:
+            problems.append(f"column '{col}' int on spark ({sp_t}) vs float on duckdb ({du_t})")
+        elif sp_t in _SPARK_FLOAT and du_t in _DUCK_INT:
+            problems.append(f"column '{col}' float on spark ({sp_t}) vs int on duckdb ({du_t})")
+    return problems
+
+
 def main() -> int:
     import time
 
@@ -116,6 +149,12 @@ def main() -> int:
             failures += 1
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        try:
+            rel = con.sql(sql)
+            duck_types = dict(zip(rel.columns, (str(t).upper() for t in rel.types)))
+        except Exception:  # noqa: BLE001
+            duck_types = {}
+        problems += dtype_parity(sdf.dtypes, duck_types)
         if problems:
             failures += 1
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
