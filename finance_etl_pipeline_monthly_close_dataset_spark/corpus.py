@@ -25,6 +25,16 @@ def _read(spark: SparkSession, path: str, id_col: str, text_col: str) -> DataFra
     return spark.read.parquet(path)
 
 
+def _hash_bucket(id_col: str) -> F.Column:
+    """The shared 16-bit md5 bucket every deterministic sampler keys
+    on. One definition: the samplers are documented to agree on
+    membership for the same id, so the hash scheme must never drift
+    between them (the SQL oracles encode this exact scheme)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+
+
 def sample_by_hash(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataFrame:
     """Deterministic fraction sample: keep rows whose 16-bit md5
     bucket falls below ``fraction`` of the bucket space. Reproducible
@@ -32,11 +42,7 @@ def sample_by_hash(df: DataFrame, fraction: float, id_col: str = "doc_id") -> Da
     whose output depends on partitioning), and consistent across
     tables sharing the id -- the reproducible-subset op every corpus
     experiment needs."""
-    cutoff = int(fraction * 65536)
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    return df.filter(bucket < cutoff)
+    return df.filter(_hash_bucket(id_col) < int(fraction * 65536))
 
 
 def stratified_sample_by_hash(
@@ -51,13 +57,10 @@ def stratified_sample_by_hash(
     language, keep all of a rare one -- the standard rebalancing move
     for a training mix). Same reproducibility guarantees as
     ``sample_by_hash``; a narrow map-side filter, no shuffle."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-    ).cast("int")
     cutoff = F.lit(int(default_fraction * 65536))
     for value, fraction in sorted(fractions.items()):
         cutoff = F.when(F.col(strata_col) == value, int(fraction * 65536)).otherwise(cutoff)
-    return df.filter(bucket < cutoff)
+    return df.filter(_hash_bucket(id_col) < cutoff)
 
 
 def weighted_sample_by_hash(
@@ -75,10 +78,7 @@ def weighted_sample_by_hash(
     between hard filtering and uniform sampling."""
     w = F.col(weight) if isinstance(weight, str) else weight
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    return df.filter(bucket < w * 65536.0)
+    return df.filter(_hash_bucket(id_col) < w * 65536.0)
 
 
 def run(spark: SparkSession, args) -> tuple[int, int]:
@@ -108,8 +108,15 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
                 raise SystemExit("--stratify wants 'column:value=frac,value=frac'")
             fractions = {}
             for pair in spec.split(","):
-                value, _, frac = pair.partition("=")
-                fractions[value] = float(frac)
+                value, eq, frac = pair.partition("=")
+                try:
+                    if not (value and eq):
+                        raise ValueError
+                    fractions[value] = float(frac)
+                except ValueError:
+                    raise SystemExit(
+                        f"--stratify: bad pair {pair!r} (want value=fraction)"
+                    ) from None
             out = stratified_sample_by_hash(
                 df, fractions, strata_col=col,
                 default_fraction=args.fraction, id_col=args.id_col,

@@ -199,9 +199,12 @@ def tfidf_top_terms(
 # phone pattern would half-match), then phones, then bare IPv4s.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
-    # no '.' in the phone class: dotted digit runs are IPv4/version
-    # shapes, not phones (415.555.0134 is the accepted false negative)
-    ("phone", r"\+?\d[\d\-\s()]{7,}\d"),
+    # phone must be SHAPED like a phone (optional +cc, then 3-3-4
+    # groups), not any long digit run: a finance corpus is full of
+    # ISO dates and id numbers that a loose [\d\s-]{7,} class would
+    # mangle. Dotted phones (415.555.0134) are the accepted false
+    # negative -- dots would collide with IPv4/version shapes.
+    ("phone", r"\+?\d{0,2}[\s-]?\(?\d{3}\)?[\s-]?\d{3}[\s-]?\d{4}\b"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
 )
 
@@ -229,20 +232,17 @@ def redact_pii(
     unknown = set(kinds) - {k for k, _ in PII_PATTERNS}
     if unknown:
         raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    # count each pattern against the stage-intermediate text (before
+    # its own replacement): counting placeholders afterwards would
+    # overcount documents that legitimately contain '[EMAIL]' etc.
     out = F.col(text_col)
-    for kind, pat in patterns:
-        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
-    redacted = df.withColumn("_redacted", out)
     n = F.lit(0)
-    for kind, _ in patterns:
-        token = f"[{kind.upper()}]"
-        # count placeholder occurrences: (len - len(without)) / len(token)
-        n = n + (
-            F.length("_redacted")
-            - F.length(F.replace(F.col("_redacted"), F.lit(token), F.lit("")))
-        ) / len(token)
+    for kind, pat in patterns:
+        n = n + F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
     return (
-        redacted.withColumn("n_redactions", n.cast("int"))
+        df.withColumn("_redacted", out)
+        .withColumn("n_redactions", n.cast("int"))
         .withColumn(text_col, F.col("_redacted"))
         .drop("_redacted")
     )

@@ -568,6 +568,10 @@ def test_redact_pii_scrubs_and_counts(spark):
             ("d1", "mail me at jane.doe+x@corp.example.org or call +1 (415) 555-0134."),
             ("d2", "server 10.0.42.7 is fine; nothing sensitive here otherwise"),
             ("d3", "plain text with no identifiers at all"),
+            # finance-corpus shapes that must NOT be treated as phones
+            ("d4", "invoice dated 2024-01-15 ref 123456789 for q3 2024 2025 2026"),
+            # a document that *talks about* placeholders is not PII
+            ("d5", "we replace addresses with [EMAIL] in exports"),
         ],
         "doc_id string, text string",
     )
@@ -578,6 +582,11 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert out["d2"].text == "server [IPV4] is fine; nothing sensitive here otherwise"
     assert out["d2"].n_redactions == 1
     assert out["d3"].text.startswith("plain text") and out["d3"].n_redactions == 0
+    # ISO dates, 9-digit references, and year runs survive untouched
+    assert out["d4"].text == "invoice dated 2024-01-15 ref 123456789 for q3 2024 2025 2026"
+    assert out["d4"].n_redactions == 0
+    # literal placeholders in the source text are not counted
+    assert out["d5"].n_redactions == 0
     # selective kinds leave other shapes untouched
     only_ip = {r.doc_id: r for r in text_analysis.redact_pii(df, kinds=("ipv4",)).collect()}
     assert "@corp.example.org" in only_ip["d1"].text
@@ -599,10 +608,11 @@ def test_corpus_cli_stratified_sample(spark, tmp_path):
     n_en = got.filter("lang = 'en'").count()
     n_de = got.filter("lang = 'de'").count()
     assert 80 < n_en <= 200 and 0 <= n_de < 60  # ~0.6 of 200 vs ~0.1 of 200
-    # malformed spec fails loudly
+    # malformed specs fail loudly (no raw ValueError tracebacks)
     import pytest as _pytest
-    with _pytest.raises(SystemExit):
-        cli.main(["corpus", "sample", "--in", src, "--out", out, "--stratify", "nocolon"])
+    for bad in ("nocolon", "lang:en", "lang:en=half", "lang:=0.5"):
+        with _pytest.raises(SystemExit):
+            cli.main(["corpus", "sample", "--in", src, "--out", out, "--stratify", bad])
 
 
 def test_weighted_sample_by_hash_probability_semantics(spark):
