@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators import dedup, similarity, text_analysis
+from .operators import cdc, dedup, similarity, sketches, text_analysis
 from .operators.text import tokens
 from .operators.text_analysis import STOPWORDS
 from .streaming import events as ev
@@ -2526,6 +2526,322 @@ WHERE abs(round((n_events - sc / n_hours)
 """
 
 
+def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.py): diff two derived
+    order snapshots on the business key and classify every key as
+    insert / delete / update. The 100 TB close-to-close pattern: one
+    full-outer join on the key, changed rows only flow downstream
+    (e.g. into the SCD2 merge). Snapshots are deterministic key-mod
+    slices; updates are an exact double ``+10.0`` so both engines
+    compare identical IEEE values."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return cdc.snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+SQL_SNAPSHOT_CDC_DIFF = """
+WITH snap_old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+), snap_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+), diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                THEN 'unchanged'
+              ELSE 'update' END AS change_type,
+         o.o_totalprice AS old_o_totalprice,
+         n.o_totalprice AS new_o_totalprice
+  FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM diff WHERE change_type <> 'unchanged'
+"""
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket table checksums (operators/sketches.py
+    bucket_checksums): XOR of a portable md5-derived 60-bit row hash
+    plus a row count, in 16 key-mod buckets -- the cross-cluster
+    reconciliation primitive (compare 16 (checksum, count) pairs
+    instead of moving 100 TB; a mismatch narrows the re-scan to one
+    bucket). Doubles enter the row string via a DECIMAL(18,2) cast so
+    both engines render identical text."""
+    orders = t(spark, sf_dir, "orders")
+    row_string = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    return sketches.bucket_checksums(
+        orders, row_string, F.col("o_orderkey"), n_buckets=16
+    )
+
+
+SQL_TABLE_FINGERPRINT = """
+WITH hashed AS (
+  SELECT o_orderkey % 16 AS bucket,
+         CAST(('0x' || substr(md5(concat_ws('|',
+             o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+             strftime(o_orderdate, '%Y-%m-%d'),
+             o_orderpriority)), 1, 15)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT bucket, bit_xor(h) AS checksum, COUNT(*) AS n_rows
+FROM hashed GROUP BY 1
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range moving aggregate: per-user trailing 1-hour event
+    sum/count via a RANGE frame over epoch seconds. Partitioned by
+    user_id -- no global window, scales with the key space. The
+    trailing sum accumulates in DECIMAL so distributed partial sums
+    equal DuckDB's serial window exactly."""
+    ev = events_table(spark, sf_dir).withColumn(
+        "_sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    trailing_sum = (
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        n.alias("n_in_hour"),
+        trailing_sum.alias("trailing_sum"),
+        F.round(trailing_sum / n, 6).alias("trailing_avg"),
+    )
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       COUNT(*) OVER w AS n_in_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS trailing_sum,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS trailing_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_ns(ts) // 1000000000
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube_revenue /
+    rollup_revenue): per-status totals, per-priority totals, and a
+    grand total in ONE pass -- Catalyst expands to a single Expand +
+    hash aggregate, so the fact table is scanned once instead of
+    three times. grouping() flags disambiguate subtotal NULLs from
+    data NULLs."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_grouping_sets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders_grouping_sets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion over the event stream: per-user first-touch
+    timestamps for view -> click -> purchase via conditional MIN
+    aggregates, then one global funnel row. Two aggregations, no
+    window, no self-join -- the n-stage funnel stays two shuffles no
+    matter how long the stream is. Timestamp comparisons are exact,
+    so the oracle matches bit-for-bit."""
+    ev = events_table(spark, sf_dir)
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), F.lit(1))
+        ).alias("n_view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                F.lit(1),
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+       COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click
+                  THEN 1 END) AS n_full_funnel
+FROM per_user
+"""
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated correlated subquery: orders priced above 1.5x
+    their customer's average order value. The classic rewrite --
+    aggregate once per customer, join back -- instead of a per-row
+    subquery. The 1.5x predicate runs in EXACT integer-scaled decimal
+    arithmetic (price*2*n > 3*sum), so no float threshold can split
+    the engines."""
+    orders = t(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s"),
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.join(stats, on="o_custkey")
+        .filter(price_dec * F.lit(2) * F.col("n_orders") > F.lit(3) * F.col("_s"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "n_orders",
+            F.col("_s").cast("double").alias("cust_total"),
+        )
+    )
+
+
+SQL_ORDERS_ABOVE_CUSTOMER_AVG = """
+WITH stats AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, st.n_orders,
+       CAST(st.s AS DOUBLE) AS cust_total
+FROM orders o JOIN stats st USING (o_custkey)
+WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * 2 * st.n_orders > 3 * st.s
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: floor-binned in one hash
+    aggregate (profiling / skew diagnosis primitive). floor(x / width)
+    on identical doubles is bit-portable; sums accumulate in
+    decimal."""
+    orders = t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("bigint")
+    return (
+        orders.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "18,2").alias("total_price"),
+        )
+        .withColumn("bin_lo", F.col("bin") * F.lit(25000.0))
+        .select("bin", "bin_lo", "n_orders", "total_price")
+    )
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+       CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_docs_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text_analysis.bigram_lift):
+    top-20 bigrams by lift = c_ab * N / (c_a * c_b) -- phrase
+    detection before tokenizer training. Exact integer counts; one
+    double division; count + string tie-breaks give a total order."""
+    docs = t(spark, sf_dir, "documents")
+    return text_analysis.bigram_lift(docs, "text", min_count=5, k=20)
+
+
+_SQL_BIGRAMS = (
+    "list_transform("
+    "range(1, greatest(len({toks}) - 1, 1) + 1), "
+    "i -> array_to_string(({toks})[i:i+1], ' '))"
+).format(toks=_SQL_TOKENS)
+
+SQL_DOCS_BIGRAM_LIFT = """
+WITH uni AS (
+  SELECT token, COUNT(*) AS c_tok
+  FROM (SELECT unnest({toks}) AS token FROM documents)
+  GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(len({toks})) AS BIGINT) AS n FROM documents
+), bi AS (
+  SELECT bigram, COUNT(*) AS c_ab
+  FROM (SELECT unnest({bigrams}) AS bigram FROM documents)
+  WHERE bigram LIKE '% %'
+  GROUP BY 1
+  HAVING COUNT(*) >= 5
+)
+SELECT b.bigram, b.c_ab, u1.c_tok AS c_a, u2.c_tok AS c_b,
+       round(CAST(b.c_ab * t.n AS DOUBLE)
+             / CAST(u1.c_tok * u2.c_tok AS DOUBLE), 6) AS lift
+FROM bi b
+CROSS JOIN total t
+JOIN uni u1 ON split_part(b.bigram, ' ', 1) = u1.token
+JOIN uni u2 ON split_part(b.bigram, ' ', 2) = u2.token
+ORDER BY lift DESC, c_ab DESC, bigram ASC
+LIMIT 20
+""".format(toks=_SQL_TOKENS, bigrams=_SQL_BIGRAMS)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -2605,6 +2921,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_vocabulary": q_docs_vocabulary,
     "docs_weighted_sample": q_docs_weighted_sample,
     "events_anomaly_hours": q_events_anomaly_hours,
+    "snapshot_cdc_diff": q_snapshot_cdc_diff,
+    "table_fingerprint": q_table_fingerprint,
+    "events_moving_avg": q_events_moving_avg,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "events_funnel": q_events_funnel,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
+    "price_histogram": q_price_histogram,
+    "docs_bigram_lift": q_docs_bigram_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -2685,4 +3009,12 @@ ORACLES: dict[str, str] = {
     "docs_vocabulary": SQL_DOCS_VOCABULARY,
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "events_anomaly_hours": SQL_EVENTS_ANOMALY_HOURS,
+    "snapshot_cdc_diff": SQL_SNAPSHOT_CDC_DIFF,
+    "table_fingerprint": SQL_TABLE_FINGERPRINT,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
+    "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "docs_bigram_lift": SQL_DOCS_BIGRAM_LIFT,
 }

@@ -21,6 +21,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def bucket_checksums(
+    df: DataFrame,
+    row_string: Column,
+    bucket: Column,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Order-independent per-bucket table fingerprints for cross-
+    cluster reconciliation: XOR of an md5-derived 60-bit row hash plus
+    a row count, per hash bucket.
+
+    At 100 TB you verify a replicated / migrated table by comparing
+    ``n_buckets`` (checksum, count) pairs instead of moving data; a
+    mismatched bucket narrows the re-scan to 1/n_buckets of the table.
+    XOR is associative, commutative and overflow-free, so partial
+    checksums from any partitioning merge to the same value -- and the
+    md5-via-string hash is portable (DuckDB:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` equals Spark's
+    ``conv(substring(md5(s), 1, 15), 16, 10)``).
+    """
+    h = F.conv(F.substring(F.md5(row_string), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select((bucket % n_buckets).alias("bucket"), h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.expr("bit_xor(_h)").alias("checksum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def hll_partials(
     df: DataFrame,
     increment_cols: list[str],

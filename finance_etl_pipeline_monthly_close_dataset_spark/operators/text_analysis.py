@@ -246,3 +246,60 @@ def redact_pii(
         .withColumn(text_col, F.col("_redacted"))
         .drop("_redacted")
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining: top-k bigrams by lift (the log-free PMI
+    core), ``lift = P(ab) / (P(a)·P(b)) = c_ab · N / (c_a · c_b)`` --
+    the phrase-detection pass (word2vec-style phrase merging, vocab
+    augmentation) a training-data pipeline runs before tokenization.
+
+    Scale shape: one explode for bigram counts, one for unigram
+    counts, then two joins keyed on the (vocabulary-sized, already
+    aggregated) token counts -- never on raw rows. All counts are
+    exact integers; the only float op is one double division, so the
+    ranking is portable across engines. Ties break on count then on
+    the bigram string (total order).
+    """
+    from .text import ngrams, tokens
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
+    # exact global token count WITHOUT an explode: per-doc sizes sum
+    n_total = df.select(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n")
+    ).first()["n"]
+
+    bi = (
+        df.select(F.explode(ngrams(F.col(text_col), 2)).alias("bigram"))
+        .filter(F.col("bigram").contains(" "))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    # c_ab * N and c_a * c_b stay exact in BIGINT; the single double
+    # division is bit-identical across engines
+    joined = (
+        bi.join(uni.withColumnRenamed("token", "w1").withColumnRenamed("c_tok", "c_a"), on="w1")
+        .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("c_tok", "c_b"), on="w2")
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("c_ab") * F.lit(n_total)).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return (
+        joined.select("bigram", "c_ab", "c_a", "c_b", "lift")
+        .orderBy(F.col("lift").desc(), F.col("c_ab").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
