@@ -2842,6 +2842,224 @@ LIMIT 20
 """.format(toks=_SQL_TOKENS, bigrams=_SQL_BIGRAMS)
 
 
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension vector profile (the pass scalar/product
+    quantization calibrates from): min / max / exact-decimal mean and
+    the int8 quantization step per dimension. posexplode multiplies
+    rows x64 but partial aggregation collapses them map-side, so the
+    shuffle carries 64 x n_partitions rows regardless of table size.
+    float32 -> double promotion is exact; the step is one double
+    division rounded to 8 dp."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), v.alias("v"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            (
+                F.sum(F.col("v").cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("vmean"),
+        )
+        .withColumn(
+            "int8_step", F.round((F.col("vmax") - F.col("vmin")) / F.lit(255.0), 8)
+        )
+    )
+
+
+SQL_EMBEDDING_DIM_PROFILE = """
+SELECT dim, COUNT(*) AS n,
+       MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS vmean,
+       round((MAX(v) - MIN(v)) / 255.0, 8) AS int8_step
+FROM (
+  SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings)
+GROUP BY 1
+"""
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day
+    (cohort), counted once per day they return (daily grain because
+    the testdata events span one month; the production grain is a
+    format-string swap). Two aggregations plus one join on user_id --
+    the product-analytics staple, shaped so the widest shuffle is the
+    per-user distinct day set, never a cross of cohorts x days."""
+    ev = events_table(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd")
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        active.join(cohort, on="user_id")
+        .groupBy("cohort_day", "active_day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION_COHORTS = """
+WITH cohort AS (
+  SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS cohort_day
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS active_day
+  FROM events
+)
+SELECT cohort_day, active_day, COUNT(*) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    scored against FIXED thresholds (a global-quantile scoring would
+    need a global sort; fixed cutpoints keep it one aggregation +
+    one CASE map). Monetary compares in exact decimal so no float
+    threshold splits the engines."""
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_m"),
+    )
+    r = (
+        F.when(F.col("last_order") >= F.lit("1998-01-01").cast("date"), 3)
+        .when(F.col("last_order") >= F.lit("1996-01-01").cast("date"), 2)
+        .otherwise(1)
+    )
+    f = F.when(F.col("n_orders") >= 25, 3).when(F.col("n_orders") >= 10, 2).otherwise(1)
+    m = (
+        F.when(F.col("_m") >= F.lit(3_000_000).cast("decimal(18,2)"), 3)
+        .when(F.col("_m") >= F.lit(1_000_000).cast("decimal(18,2)"), 2)
+        .otherwise(1)
+    )
+    return (
+        per_cust.select(
+            r.alias("r_score"), f.alias("f_score"), m.alias("m_score"), "_m"
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_m").cast("double").alias("segment_monetary"),
+        )
+    )
+
+
+SQL_CUSTOMER_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+  FROM orders GROUP BY 1
+)
+SELECT CASE WHEN last_order >= DATE '1998-01-01' THEN 3
+            WHEN last_order >= DATE '1996-01-01' THEN 2 ELSE 1 END AS r_score,
+       CASE WHEN n_orders >= 25 THEN 3
+            WHEN n_orders >= 10 THEN 2 ELSE 1 END AS f_score,
+       CASE WHEN m >= CAST(3000000 AS DECIMAL(18,2)) THEN 3
+            WHEN m >= CAST(1000000 AS DECIMAL(18,2)) THEN 2 ELSE 1 END AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(m) AS DOUBLE) AS segment_monetary
+FROM per_cust
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN under the driver oracle: purchases
+    attributed to the same user's click within the preceding hour,
+    replayed as a bounded multi-batch file stream through
+    streaming.events.streamed_attribution_join (readStream on both
+    sides, watermarks, time-bounded join condition, append-mode
+    memory sink).
+
+    Determinism: the replay watermark (30 days) exceeds the data span,
+    so no row is ever late and no state is evicted regardless of how
+    the three hash-slice files batch -- inner-join output is then
+    exactly the batch join the DuckDB oracle computes. Production
+    uses a tight watermark (state tracks rate x horizon); the
+    contract pins semantics, not the eviction schedule."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    e = events_table(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="contract_attr_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        e.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = ev.streamed_attribution_join(
+        spark, src, schema, attribution_window="1 hour", watermark="720 hours"
+    )
+    qn = f"stream_attr_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .select(
+            "user_id",
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_str"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts_str"
+            ),
+            "purchase_value",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(qn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_ATTRIBUTION = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_str,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -2929,6 +3147,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_above_customer_avg": q_orders_above_customer_avg,
     "price_histogram": q_price_histogram,
     "docs_bigram_lift": q_docs_bigram_lift,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "customer_rfm_segments": q_customer_rfm_segments,
+    "events_streamed_attribution": q_events_streamed_attribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -3017,4 +3239,8 @@ ORACLES: dict[str, str] = {
     "orders_above_customer_avg": SQL_ORDERS_ABOVE_CUSTOMER_AVG,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "docs_bigram_lift": SQL_DOCS_BIGRAM_LIFT,
+    "embedding_dim_profile": SQL_EMBEDDING_DIM_PROFILE,
+    "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
+    "customer_rfm_segments": SQL_CUSTOMER_RFM_SEGMENTS,
+    "events_streamed_attribution": SQL_EVENTS_STREAMED_ATTRIBUTION,
 }
