@@ -196,3 +196,45 @@ def test_vocabulary_topk_uses_take_ordered(spark):
     # TakeOrderedAndProject -- never a global sort of all tokens
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_cdc_diff_single_shuffle_join(spark):
+    plan = formatted_plan(contract.QUERIES["snapshot_cdc_diff"](spark, SF_DIR))
+    # one full-outer sort-merge join on the business key; filters on the
+    # snapshot slices push to the scans (formatted prints the node
+    # twice: tree + details)
+    assert plan.count("SortMergeJoin") == 2
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    plan = formatted_plan(contract.QUERIES["grouping_sets_revenue"](spark, SF_DIR))
+    # GROUPING SETS must compile to ONE Expand + aggregation, not a
+    # union of three scans
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 2  # formatted prints each scan twice
+
+
+def test_bigram_lift_no_cartesian_and_topk(spark):
+    plan = formatted_plan(contract.QUERIES["docs_bigram_lift"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # limit+orderBy fuses: the full collocation list never globally sorts
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_dim_profile_partial_aggregation(spark):
+    plan = formatted_plan(contract.QUERIES["embedding_dim_profile"](spark, SF_DIR))
+    # explode x64 collapses map-side: partial then final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # posexplode stays JVM-side
+    assert "BatchEvalPython" not in plan
+
+
+def test_moving_avg_windows_partition_by_user(spark):
+    plan = formatted_plan(contract.QUERIES["events_moving_avg"](spark, SF_DIR))
+    # the RANGE frame runs under a user_id partitioning -- never a
+    # single-partition global window
+    assert "Window" in plan
+    assert "user_id" in plan.split("Window")[1][:400]
