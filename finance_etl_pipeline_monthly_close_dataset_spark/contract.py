@@ -3060,6 +3060,144 @@ JOIN events p
 """
 
 
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the 10 most common 3-event paths
+    (lead() twice over the per-user timeline, then count). The window
+    partitions by user_id -- path extraction is embarrassingly
+    parallel per user; only (path, count) pairs shuffle into the
+    top-k, which fuses into TakeOrderedAndProject. (ts, event_id)
+    gives a total order so both engines see identical sequences."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    return (
+        ev.select(
+            path.alias("path"),
+            F.lead("event_type", 2).over(w).alias("_third"),
+        )
+        .filter(F.col("_third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+SQL_EVENTS_TOP_PATHS = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path ASC
+LIMIT 10
+"""
+
+
+def q_brand_part_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by lineitem revenue: dense ranking inside
+    a keyed window (partitioned by brand -- distributed across the
+    brand space, never global). Revenue accumulates in exact decimal;
+    the (revenue desc, partkey asc) order is total so rank ties cannot
+    differ across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("_rev")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("_rev").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        rev.withColumn("part_rank", F.row_number().over(w))
+        .filter(F.col("part_rank") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("_rev").cast("double").alias("part_revenue"),
+            "part_rank",
+        )
+    )
+
+
+SQL_BRAND_PART_RANK = """
+WITH rev AS (
+  SELECT p.p_brand, p.p_partkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, p_partkey, r,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY r DESC, p_partkey ASC) AS part_rank
+  FROM rev
+)
+SELECT p_brand, p_partkey, CAST(r AS DOUBLE) AS part_revenue, part_rank
+FROM ranked WHERE part_rank <= 3
+"""
+
+
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: yearly
+    decimal sums, then lag() over the (tiny) per-priority year series.
+    The window runs on aggregated rows -- bounded by years x
+    priorities, not the fact table. Growth is one double division of
+    exact sums, rounded."""
+    orders = t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.col("o_orderpriority"), F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("order_year")
+    prev = F.lag("_rev").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "order_year",
+        F.col("_rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.round(
+            (F.col("_rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("yoy_growth"),
+    )
+
+
+SQL_ORDERS_YOY_GROWTH = """
+WITH yearly AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) AS INT) AS order_year,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, order_year,
+       CAST(rev AS DOUBLE) AS revenue, n_orders,
+       round(CAST(rev - lag(rev) OVER w AS DOUBLE)
+             / CAST(lag(rev) OVER w AS DOUBLE), 6) AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_year)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -3151,6 +3289,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention_cohorts": q_events_retention_cohorts,
     "customer_rfm_segments": q_customer_rfm_segments,
     "events_streamed_attribution": q_events_streamed_attribution,
+    "events_top_paths": q_events_top_paths,
+    "brand_part_rank": q_brand_part_rank,
+    "orders_yoy_growth": q_orders_yoy_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -3243,4 +3384,7 @@ ORACLES: dict[str, str] = {
     "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
     "customer_rfm_segments": SQL_CUSTOMER_RFM_SEGMENTS,
     "events_streamed_attribution": SQL_EVENTS_STREAMED_ATTRIBUTION,
+    "events_top_paths": SQL_EVENTS_TOP_PATHS,
+    "brand_part_rank": SQL_BRAND_PART_RANK,
+    "orders_yoy_growth": SQL_ORDERS_YOY_GROWTH,
 }
