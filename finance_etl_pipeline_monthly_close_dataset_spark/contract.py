@@ -3198,6 +3198,65 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_year)
 """
 
 
+def q_docs_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup curation: cluster (MinHash pairs ->
+    connected components), then keep each multi-doc cluster's
+    highest-quality document -- the "dedup keeps the BEST copy, not
+    an arbitrary one" policy. The argmax is a row_number window
+    partitioned by component (distributed across clusters); ties
+    break on doc_id, and quality_score is the 4-dp-rounded portable
+    score, so the winner is identical in both engines."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_minhash(docs, threshold=0.5)
+    comp = dedup.connected_components(docs.select("doc_id"), pairs)
+    qual = text_analysis.quality_features(docs).select("doc_id", "quality_score")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(qual, on="doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(sizes, on="component")
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "component",
+            F.col("doc_id").alias("best_doc_id"),
+            "quality_score",
+            "n_docs",
+        )
+    )
+
+
+SQL_DOCS_CLUSTER_BEST = (
+    SQL_DOCS_DUP_COMPONENTS.replace(
+        "SELECT node AS doc_id, MIN(r) AS component\nFROM reach GROUP BY 1",
+        """, comp AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY 1
+), qual AS (
+  SELECT doc_id,
+         ROUND((LEAST(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)
+                + GREATEST(1.0 - (CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                            / length(text)
+                       ELSE 0.0 END) * 5.0, 0.0)) / 2.0, 4) AS quality_score
+  FROM documents
+), sized AS (
+  SELECT component, COUNT(*) AS n_docs FROM comp GROUP BY 1
+), ranked AS (
+  SELECT c.component, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN qual q USING (doc_id)
+)
+SELECT r.component, r.doc_id AS best_doc_id, r.quality_score, s.n_docs
+FROM ranked r JOIN sized s USING (component)
+WHERE r.rn = 1 AND s.n_docs >= 2""",
+    ).format(toks=_SQL_TOKENS)
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -3292,6 +3351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_paths": q_events_top_paths,
     "brand_part_rank": q_brand_part_rank,
     "orders_yoy_growth": q_orders_yoy_growth,
+    "docs_cluster_best": q_docs_cluster_best,
 }
 
 ORACLES: dict[str, str] = {
@@ -3387,4 +3447,5 @@ ORACLES: dict[str, str] = {
     "events_top_paths": SQL_EVENTS_TOP_PATHS,
     "brand_part_rank": SQL_BRAND_PART_RANK,
     "orders_yoy_growth": SQL_ORDERS_YOY_GROWTH,
+    "docs_cluster_best": SQL_DOCS_CLUSTER_BEST,
 }
