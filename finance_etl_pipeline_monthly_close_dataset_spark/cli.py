@@ -55,7 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus_p.add_argument(
         "op",
-        choices=["dedup", "quality-filter", "split", "pack", "decontaminate", "sample", "redact"],
+        choices=[
+            "dedup", "quality-filter", "split", "pack", "decontaminate",
+            "sample", "redact", "collocations",
+        ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
     corpus_p.add_argument("--out", dest="out_path", required=True)
@@ -81,6 +84,30 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--stratify", default=None,
                           help="sample: per-stratum fractions, e.g. 'lang:en=0.5,fr=0.25' "
                                "(--fraction becomes the default for unlisted strata)")
+    corpus_p.add_argument("--min-count", type=int, default=5,
+                          help="collocations: minimum bigram count")
+    corpus_p.add_argument("--top-k", type=int, default=100,
+                          help="collocations: bigrams to keep")
+
+    diff_p = sub.add_parser(
+        "diff", help="Snapshot CDC diff of two parquet tables on a business key"
+    )
+    diff_p.add_argument("--old", dest="old_path", required=True)
+    diff_p.add_argument("--new", dest="new_path", required=True)
+    diff_p.add_argument("--keys", required=True, help="comma-separated key columns")
+    diff_p.add_argument("--compare", default=None,
+                        help="comma-separated compare columns (default: all non-key)")
+    diff_p.add_argument("--out", dest="out_path", default=None,
+                        help="write the row-level diff as parquet")
+
+    csum_p = sub.add_parser(
+        "checksum", help="Per-bucket XOR table checksums for reconciliation"
+    )
+    csum_p.add_argument("--in", dest="in_path", required=True)
+    csum_p.add_argument("--key-col", required=True, help="integer key column for bucketing")
+    csum_p.add_argument("--cols", default=None,
+                        help="comma-separated columns in the row string (default: all)")
+    csum_p.add_argument("--n-buckets", type=int, default=16)
 
     sql_p = sub.add_parser("sql", help="Run ad-hoc SQL over a directory of parquet tables")
     sql_p.add_argument("query", help="SQL text; each <name>.parquet (or <name>/ dir) in --dir is a view")
@@ -138,6 +165,48 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark()
         n_in, n_out = corpus.run(spark, args)
         print(f"{args.op}: {n_in} -> {n_out} rows ({args.out_path})")
+        return 0
+
+    if args.command == "diff":
+        from pyspark.sql import functions as F
+
+        from .operators.cdc import snapshot_diff
+
+        spark = get_spark()
+        old = spark.read.parquet(args.old_path)
+        new = spark.read.parquet(args.new_path)
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        if args.compare:
+            compare = [c.strip() for c in args.compare.split(",") if c.strip()]
+        else:
+            compare = [c for c in new.columns if c not in keys and c in old.columns]
+        out = snapshot_diff(old, new, keys, compare)
+        if args.out_path:
+            out.write.mode("overwrite").parquet(args.out_path)
+        counts = {
+            r["change_type"]: r["n"]
+            for r in out.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for kind in ("insert", "delete", "update"):
+            print(f"{kind}: {counts.get(kind, 0)}")
+        return 0
+
+    if args.command == "checksum":
+        from pyspark.sql import functions as F
+
+        from .operators.sketches import bucket_checksums
+
+        spark = get_spark()
+        df = spark.read.parquet(args.in_path)
+        cols = (
+            [c.strip() for c in args.cols.split(",") if c.strip()]
+            if args.cols
+            else list(df.columns)
+        )
+        row_string = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        out = bucket_checksums(df, row_string, F.col(args.key_col), args.n_buckets)
+        for r in out.orderBy("bucket").collect():
+            print(f"{r['bucket']}\t{r['checksum']}\t{r['n_rows']}")
         return 0
 
     settings = Settings(base_currency=args.base_currency)

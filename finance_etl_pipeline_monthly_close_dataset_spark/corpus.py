@@ -157,6 +157,13 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
             .otherwise(F.lit("test"))
         )
         out = df.withColumn("split", split)
+    elif args.op == "collocations":
+        out = text_analysis.bigram_lift(
+            df,
+            args.text_col,
+            min_count=getattr(args, "min_count", 5),
+            k=getattr(args, "top_k", 100),
+        )
     else:  # pragma: no cover
         raise ValueError(args.op)
 

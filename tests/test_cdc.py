@@ -60,3 +60,37 @@ def test_bucket_checksums_order_and_partitioning_invariant(spark):
     )
     diff = [a for a, b in zip(base, sums(tweaked)) if a != b]
     assert len(diff) == 1 and diff[0][0] == 500 % 8
+
+
+def test_cli_diff_and_checksum_and_collocations(spark, tmp_path, capsys):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    _snap(spark, [(1, 10.0, "A"), (2, 20.0, "B")]).write.parquet(old_p)
+    _snap(spark, [(2, 21.0, "B"), (3, 30.0, "C")]).write.parquet(new_p)
+
+    out = str(tmp_path / "diff")
+    rc = cli.main(["diff", "--old", old_p, "--new", new_p, "--keys", "k", "--out", out])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "insert: 1" in captured and "delete: 1" in captured and "update: 1" in captured
+    back = {r["k"]: r["change_type"] for r in spark.read.parquet(out).collect()}
+    assert back == {1: "delete", 2: "update", 3: "insert"}
+
+    rc = cli.main(["checksum", "--in", old_p, "--key-col", "k", "--n-buckets", "2"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if "\t" in l]
+    assert len(lines) == 2 and sum(int(l.split("\t")[2]) for l in lines) == 2
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    coll = str(tmp_path / "coll")
+    rc = cli.main(["corpus", "collocations", "--in", src, "--out", coll,
+                   "--min-count", "2", "--top-k", "5"])
+    assert rc == 0
+    rows = {r["bigram"]: r for r in spark.read.parquet(coll).collect()}
+    assert "alpha beta" in rows and rows["alpha beta"]["c_ab"] == 20
