@@ -3257,6 +3257,111 @@ WHERE r.rn = 1 AND s.n_docs >= 2""",
 )
 
 
+def q_part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocked fuzzy matching: near-identical
+    part names by Levenshtein distance, compared only WITHIN blocks
+    keyed on (first token, name length) -- the canonical blocking
+    pattern that keeps fuzzy matching off the all-pairs cliff. The
+    block join is an equality join; levenshtein() is an exact integer
+    both engines agree on."""
+    part = t(spark, sf_dir, "part")
+    blocked = part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("_b1"),
+        F.length("p_name").alias("_b2"),
+    )
+    a = blocked.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "_b1", "_b2"
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "_b1", "_b2"
+    )
+    return (
+        a.join(b, on=["_b1", "_b2"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_distance") <= 2)
+        .groupBy("name_a", "name_b", "edit_distance")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SQL_PART_FUZZY_PAIRS = """
+WITH blocked AS (
+  SELECT p_partkey, p_name,
+         split_part(p_name, ' ', 1) AS b1,
+         length(p_name) AS b2
+  FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_distance,
+       COUNT(*) AS n_pairs
+FROM blocked a JOIN blocked b
+  ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend (least-squares slope/intercept of hourly
+    event counts over the hour index), derived from EXACT decimal
+    power sums -- the same portable-moments technique as
+    group_stats_exact, applied to regression. Two aggregations, no
+    window; both engines evaluate the identical closed form on
+    identical exact sums."""
+    ev = events_table(spark, sf_dir)
+    hour0 = F.lit(473352)  # 2024-01-01 00:00 in epoch-hours
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") - hour0).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    sums = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n = F.col("n_hours")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return sums.select(
+        "event_type",
+        "n_hours",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+SQL_EVENTS_HOURLY_TREND = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_ns(ts) // 3600000000000 - 473352 AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), sums AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n_hours,
+       round((n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx), 6)
+         AS slope_per_hour,
+       round((sy - ((n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx)) * sx)
+             / n_hours, 6) AS intercept
+FROM sums
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -3352,6 +3457,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_part_rank": q_brand_part_rank,
     "orders_yoy_growth": q_orders_yoy_growth,
     "docs_cluster_best": q_docs_cluster_best,
+    "part_fuzzy_pairs": q_part_fuzzy_pairs,
+    "events_hourly_trend": q_events_hourly_trend,
 }
 
 ORACLES: dict[str, str] = {
@@ -3448,4 +3555,6 @@ ORACLES: dict[str, str] = {
     "brand_part_rank": SQL_BRAND_PART_RANK,
     "orders_yoy_growth": SQL_ORDERS_YOY_GROWTH,
     "docs_cluster_best": SQL_DOCS_CLUSTER_BEST,
+    "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
+    "events_hourly_trend": SQL_EVENTS_HOURLY_TREND,
 }
