@@ -3362,6 +3362,124 @@ FROM sums
 """
 
 
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU stickiness: distinct active users per day joined to
+    the month's distinct-user count -- the engagement KPI. Two
+    count-distinct aggregations and one broadcast-sized join; the
+    ratio is one double division of exact integers, rounded."""
+    ev = events_table(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd")
+    month = F.date_format("ts", "yyyy-MM")
+    dau = ev.groupBy(month.alias("month"), day.alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy(month.alias("month")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    return dau.join(F.broadcast(mau), on="month").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+SQL_EVENTS_STICKINESS = """
+WITH dau AS (
+  SELECT strftime(ts, '%Y-%m') AS month, strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+), mau AS (
+  SELECT strftime(ts, '%Y-%m') AS month, COUNT(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT day, dau, mau,
+       round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+FROM dau JOIN mau USING (month)
+"""
+
+
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still open ('O') bucketed by
+    age at the 1998-08-01 reference date -- the finance close's AR
+    aging scaffold. CASE buckets over an exact datediff; decimal
+    value sums."""
+    orders = t(spark, sf_dir, "orders")
+    asof = F.lit("1998-08-01").cast("date")
+    age = F.datediff(asof, F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 180, "0-180d")
+        .when(age <= 365, "181-365d")
+        .when(age <= 730, "366-730d")
+        .otherwise("730d+")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "18,2").alias("backlog_value"),
+        )
+    )
+
+
+SQL_ORDERS_BACKLOG_AGING = """
+SELECT CASE
+         WHEN datediff('day', CAST(o_orderdate AS DATE), DATE '1998-08-01') <= 180
+           THEN '0-180d'
+         WHEN datediff('day', CAST(o_orderdate AS DATE), DATE '1998-08-01') <= 365
+           THEN '181-365d'
+         WHEN datediff('day', CAST(o_orderdate AS DATE), DATE '1998-08-01') <= 730
+           THEN '366-730d'
+         ELSE '730d+' END AS age_bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS backlog_value
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY 1
+"""
+
+
+def q_supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of its nation's account
+    balance via a window SUM over already-aggregated rows (partitioned
+    by nation -- distributed across the nation space; the window input
+    is supplier-grained, not fact-grained). Decimal sums; one double
+    division."""
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name")
+    bal = F.col("s_acctbal").cast("decimal(18,2)")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", bal.alias("_bal"))
+        .withColumn("_total", F.sum("_bal").over(w))
+        .select(
+            "n_name",
+            "s_suppkey",
+            F.col("_bal").cast("double").alias("acctbal"),
+            F.col("_total").cast("double").alias("nation_total"),
+            F.round(
+                F.col("_bal").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+SQL_SUPPLIER_NATION_SHARE = """
+WITH j AS (
+  SELECT n.n_name, s.s_suppkey, CAST(s.s_acctbal AS DECIMAL(18,2)) AS bal
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT n_name, s_suppkey,
+       CAST(bal AS DOUBLE) AS acctbal,
+       CAST(SUM(bal) OVER (PARTITION BY n_name) AS DOUBLE) AS nation_total,
+       round(CAST(bal AS DOUBLE)
+             / CAST(SUM(bal) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS share
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
     "month_window_filter": q_month_window_filter,
@@ -3459,6 +3577,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_cluster_best": q_docs_cluster_best,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "events_hourly_trend": q_events_hourly_trend,
+    "events_stickiness": q_events_stickiness,
+    "orders_backlog_aging": q_orders_backlog_aging,
+    "supplier_nation_share": q_supplier_nation_share,
 }
 
 ORACLES: dict[str, str] = {
@@ -3557,4 +3678,7 @@ ORACLES: dict[str, str] = {
     "docs_cluster_best": SQL_DOCS_CLUSTER_BEST,
     "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
     "events_hourly_trend": SQL_EVENTS_HOURLY_TREND,
+    "events_stickiness": SQL_EVENTS_STICKINESS,
+    "orders_backlog_aging": SQL_ORDERS_BACKLOG_AGING,
+    "supplier_nation_share": SQL_SUPPLIER_NATION_SHARE,
 }
