@@ -1,12 +1,15 @@
 # Developer entry points (PYTHONPATH=repo root is assumed; all targets
 # run on local[32] Spark).
 
-.PHONY: test check check-all bench smoke e2e
+.PHONY: test check check-all bench smoke e2e preflight
+
+preflight:        ## fail loudly if testdata parquet schemas drifted
+	python tools/preflight.py
 
 test:
 	python -m pytest tests/ -q
 
-check:            ## every contract query vs its DuckDB oracle at sf0.01
+check: preflight  ## every contract query vs its DuckDB oracle at sf0.01
 	python tools/check_contract.py /root/testdata/sf0.01
 
 check-all:        ## the same at all three scale factors (catches float/cast divergence)

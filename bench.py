@@ -67,33 +67,44 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:
-        contract.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        try:
+            contract.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - warmup failure is the timed run's problem
+            print(f"warmup {name}: {type(exc).__name__}", file=sys.stderr)
 
     # best-of-3 per query: single passes carry scheduler noise on a
-    # 32-thread local master; the min is the steady-state figure
+    # 32-thread local master; the min is the steady-state figure.
+    # A query that raises records an "err:" marker instead of aborting
+    # the whole bench (a broken query must cost one row, not the
+    # round's entire perf evidence).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = contract.QUERIES[name]
         best = None
         for _ in range(3):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
+            try:
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - start
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
             best = elapsed if best is None or elapsed < best else best
-        timings[name] = round(best, 3)
+        if best is not None:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
