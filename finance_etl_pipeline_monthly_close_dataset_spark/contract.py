@@ -1106,6 +1106,18 @@ GROUP BY 1
 """
 
 
+SQL_APPROX_DISTINCT_QUANTILES = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       TRUE AS approx_distinct_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok,
+       TRUE AS p99_ok
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact threshold scan).
 
@@ -1883,18 +1895,41 @@ WHERE rn = 1
 
 
 def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates for interactive 100TB profiling:
-    HLL++ distinct counts + approximate percentiles per group.
-    Deterministic for fixed input (both sketches are), but
-    engine-specific -> rows-only check; distinct_counts is the exact
-    baseline."""
+    """Approximate aggregates for interactive 100TB profiling: HLL++
+    distinct counts + approximate percentiles per group. Sketch values
+    are engine-specific, so the contract emits exact counts plus
+    SELF-VERIFYING accuracy flags: each flag compares the sketch to the
+    exact statistic computed in the same aggregate, inside bounds far
+    looser than the sketches' guarantees (HLL rsd=2% checked at ±5%;
+    percentile_approx accuracy=10k checked against the exact ±5-rank
+    percentile band). A sketch regression flips a flag to false and the
+    oracle (which asserts TRUE) hash-mismatches -- making this
+    driver-checkable without demanding cross-engine sketch equality."""
     orders = t(spark, sf_dir, "orders")
     q = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10_000)
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
-        F.element_at(q, 1).cast("double").alias("price_p50"),
-        F.element_at(q, 2).cast("double").alias("price_p95"),
-        F.element_at(q, 3).cast("double").alias("price_p99"),
+    exact = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in
+                                                   [0.45, 0.55, 0.90, 0.999, 0.98, 1.0]]))
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+        F.element_at(q, 1).cast("double").alias("ap50"),
+        F.element_at(q, 2).cast("double").alias("ap95"),
+        F.element_at(q, 3).cast("double").alias("ap99"),
+        F.element_at(exact, 1).alias("e45"),
+        F.element_at(exact, 2).alias("e55"),
+        F.element_at(exact, 3).alias("e90"),
+        F.element_at(exact, 4).alias("e999"),
+        F.element_at(exact, 5).alias("e98"),
+        F.element_at(exact, 6).alias("emax"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_customers",
+        (F.abs(F.col("n_approx") - F.col("n_customers"))
+         <= 0.05 * F.col("n_customers") + F.lit(2)).alias("approx_distinct_ok"),
+        F.col("ap50").between(F.col("e45"), F.col("e55")).alias("p50_ok"),
+        F.col("ap95").between(F.col("e90"), F.col("e999")).alias("p95_ok"),
+        F.col("ap99").between(F.col("e98"), F.col("emax")).alias("p99_ok"),
     )
 
 
@@ -3652,6 +3687,7 @@ ORACLES: dict[str, str] = {
     "order_priority_exists": SQL_ORDER_PRIORITY_EXISTS,
     "regional_supplier_volume": SQL_REGIONAL_SUPPLIER_VOLUME,
     "top_supplier": SQL_TOP_SUPPLIER,
+    "approx_distinct_quantiles": SQL_APPROX_DISTINCT_QUANTILES,
     "set_operations": SQL_SET_OPERATIONS,
     "events_resampled": SQL_EVENTS_RESAMPLED,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
