@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
-from .operators import cdc, dedup, similarity, sketches, text_analysis
+from .operators import cdc, chunking, dedup, similarity, sketches, text_analysis
 from .operators.text import tokens
 from .operators.text_analysis import STOPWORDS
 from .streaming import events as ev
@@ -3527,6 +3527,96 @@ FROM j
 """
 
 
+def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 64, stride 48) with portable md5
+    chunk fingerprints -- the context-window preparation step of an
+    LLM training pipeline. Pure per-row flatMap, zero shuffle."""
+    return chunking.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+
+
+SQL_DOCS_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+), counted AS (
+  SELECT doc_id, tk,
+         CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS INT) + 1 AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       CAST(k * 48 + 1 AS INT) AS start_token,
+       CAST(len(tk[(k * 48 + 1):(k * 48 + 64)]) AS INT) AS chunk_tokens,
+       md5(array_to_string(tk[(k * 48 + 1):(k * 48 + 64)], ' ')) AS chunk_hash
+FROM counted, UNNEST(range(0, n_chunks)) AS u(k)
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 min/max quantization of the embedding column, summarized
+    as exact integer statistics per vector (sum/min/max of codes) so
+    the check is float-hash-safe across engines. The 4x storage-cut
+    step before ANN indexing at 100 TB."""
+    return chunking.quantize_embeddings_int8(t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_min(e) AS mn,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v
+), c AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> CAST(CASE WHEN scale = 0 THEN 0
+             ELSE least(255, greatest(0, floor((x - mn) / scale + 0.5)))
+             END AS INT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(e) AS INT) AS n_dims,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       list_min(codes) AS code_min,
+       list_max(codes) AS code_max
+FROM c
+"""
+
+
+def q_docs_normalized_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning for dedup keys: lowercase, strip non-alphanumeric,
+    collapse runs of spaces, then fingerprint -- the canonicalization
+    pass that runs before exact dedup in a crawl pipeline. Pure
+    regexp_replace map, codegen'd, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_norm_chars"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+SQL_DOCS_NORMALIZED_FINGERPRINT = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm) AS INT) AS n_norm_chars,
+       md5(norm) AS norm_hash
+FROM n
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window --
 # one representative per SURVEY §2 family plus the flagship analytics
@@ -3641,6 +3731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stickiness": q_events_stickiness,
     "orders_backlog_aging": q_orders_backlog_aging,
     "supplier_nation_share": q_supplier_nation_share,
+    "docs_chunks": q_docs_chunks,
+    "embedding_quantize": q_embedding_quantize,
+    "docs_normalized_fingerprint": q_docs_normalized_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -3743,4 +3836,7 @@ ORACLES: dict[str, str] = {
     "events_stickiness": SQL_EVENTS_STICKINESS,
     "orders_backlog_aging": SQL_ORDERS_BACKLOG_AGING,
     "supplier_nation_share": SQL_SUPPLIER_NATION_SHARE,
+    "docs_chunks": SQL_DOCS_CHUNKS,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "docs_normalized_fingerprint": SQL_DOCS_NORMALIZED_FINGERPRINT,
 }
