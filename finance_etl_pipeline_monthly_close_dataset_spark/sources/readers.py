@@ -55,6 +55,13 @@ def read_parquet_or_empty(
     return spark.createDataFrame([], schema or T.StructType([]))
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan -- same columnar pushdown/pruning contract as parquet
+    (Spark's native vectorized ORC reader), for lakes standardized on
+    ORC rather than parquet."""
+    return spark.read.orc(path)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -75,6 +75,19 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same partitionBy contract as the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Multi-file JSON-lines sink (one file per partition -- the
     distributed counterpart of the single-file CSV sink; JSONL

@@ -631,3 +631,33 @@ def test_weighted_sample_by_hash_probability_semantics(spark):
     # monotone: raising any row's weight can only add rows, never drop
     lo = {r.doc_id for r in weighted_sample_by_hash(df, F.lit(0.2)).collect()}
     assert lo <= w
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.readers import read_orc
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.writers import write_orc
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    out = str(tmp_path / "orc_lake")
+    write_orc(df, out, partition_by=["bucket"])
+
+    back = read_orc(spark, out)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["bucket", "id", "val"]
+
+    # partition pruning: a bucket filter must reach the scan as a
+    # PartitionFilter, not a post-scan Filter over all 4 directories
+    pruned = back.filter(F.col("bucket") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+    assert pruned.count() == 25
+
+    # predicate pushdown on a data column reaches the ORC scan
+    plan2 = back.filter(F.col("id") > 90)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)" in plan2

@@ -304,3 +304,41 @@ def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.select("k", "v", "s").collect())
     )
+
+
+# --- chunking invariants ----------------------------------------------------
+
+from finance_etl_pipeline_monthly_close_dataset_spark.operators.chunking import (  # noqa: E402
+    chunk_count,
+    chunk_documents,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    params=st.sampled_from([(4, 3), (8, 8), (16, 4), (64, 48)]),
+)
+def test_chunking_covers_every_token_exactly_once_per_window(spark, n_tokens, params):
+    chunk_size, stride = params
+    text = " ".join(f"tok{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_size=chunk_size, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+
+    # count formula: max(ceil((n - c)/s), 0) + 1
+    expected = max(-(-(n_tokens - chunk_size) // stride), 0) + 1
+    assert len(rows) == expected
+
+    # every token position is covered by at least one window, and no
+    # window starts beyond the document (except the single chunk of an
+    # empty/short doc at position 1)
+    covered = set()
+    for r in rows:
+        assert r.start_token == r.chunk_idx * stride + 1
+        covered.update(range(r.start_token, r.start_token + r.chunk_tokens))
+        if n_tokens > 0:
+            assert r.start_token <= max(n_tokens, 1)
+    assert covered == set(range(1, n_tokens + 1))
