@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles, tokens
+from .text import shingles_of, tokens
 
 
 def content_digest(text: Column) -> Column:
@@ -85,11 +85,15 @@ def minhash_signatures(
     uses multi-argument ``xxhash64(seed, shingle)`` -- no per-hash
     string concatenation, and the shingle expression is not re-inlined
     per hash function (which is what makes the naive
-    one-column-per-hash formulation ~30x slower).
+    one-column-per-hash formulation ~30x slower). Tokens are staged
+    through a projection so the shingle build is O(n) per document
+    (see ``text.shingles_of``).
     """
-    df = spread_partitions(df)
-    sig = _minhash_sig(shingles(F.col(text_col), shingle_k), num_hashes)
-    return df.select(F.col(id_col), sig.alias("signature"))
+    staged = spread_partitions(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    sig = _minhash_sig(shingles_of(F.col("_toks"), shingle_k), num_hashes)
+    return staged.select(F.col(id_col), sig.alias("signature"))
 
 
 def _minhash_sig(sh: Column, num_hashes: int) -> Column:
@@ -170,8 +174,10 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
     jaccard >= threshold. Two broadcast-or-shuffle hash joins against
     the (id, shingle-set) projection -- never an O(n^2) cross join."""
-    sets_df = spread_partitions(df).select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    sets_df = (
+        spread_partitions(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("sh"))
     )
     a = sets_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -210,8 +216,10 @@ def near_dup_minhash(
     """
     from pyspark import StorageLevel
 
-    base = spread_partitions(df).select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("sh")
+    base = (
+        spread_partitions(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("sh"))
     )
     if persist_intermediates:
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -344,12 +352,13 @@ def contamination_overlap(
     never shuffles -- only (id, shingle) hits do.
     """
     bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), shingle_k)).alias("g"))
+        benchmark.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(shingles_of(F.col("_toks"), shingle_k)).alias("g"))
         .distinct()
     )
     corpus_sh = corpus.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("g")
-    )
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), F.explode(shingles_of(F.col("_toks"), shingle_k)).alias("g"))
     return (
         corpus_sh.join(F.broadcast(bench_sh), on="g")
         .groupBy(id_col)

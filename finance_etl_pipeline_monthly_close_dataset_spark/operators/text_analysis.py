@@ -132,15 +132,16 @@ def repetition_features(
     """
     from pyspark.sql.window import Window
 
-    from .text import ngrams
+    from .text import ngrams_of
 
-    base = df.select(
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    base = staged.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
-        F.size(F.array_distinct(tokens(F.col(text_col)))).alias("n_distinct"),
+        F.size(F.col("_toks")).alias("n_tokens"),
+        F.size(F.array_distinct(F.col("_toks"))).alias("n_distinct"),
     )
-    grams = df.select(
-        F.col(id_col), F.explode(ngrams(F.col(text_col), 2)).alias("g")
+    grams = staged.select(
+        F.col(id_col), F.explode(ngrams_of(F.col("_toks"), 2)).alias("g")
     )
     counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("g").asc())
@@ -266,7 +267,7 @@ def bigram_lift(
     ranking is portable across engines. Ties break on count then on
     the bigram string (total order).
     """
-    from .text import ngrams, tokens
+    from .text import ngrams_of, tokens
 
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
@@ -276,7 +277,8 @@ def bigram_lift(
     ).first()["n"]
 
     bi = (
-        df.select(F.explode(ngrams(F.col(text_col), 2)).alias("bigram"))
+        df.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(ngrams_of(F.col("_toks"), 2)).alias("bigram"))
         .filter(F.col("bigram").contains(" "))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
