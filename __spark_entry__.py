@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for approximate /
-    non-SQL-expressible operators -> rows-only check)."""
+    """DuckDB-equivalent SQL per query. As of round 3 every registered
+    query has an oracle (approximate operators emit exact statistics
+    plus self-verifying accuracy flags the oracle asserts TRUE)."""
     return dict(contract.ORACLES)
