@@ -3602,6 +3602,56 @@ FROM j
 """
 
 
+def q_orders_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-document-number audit (the finance-close 'gap in the
+    invoice sequence' check): ranges of absent o_orderkey values,
+    detected WITHIN 4096-key blocks so the window partitions by block
+    -- a keyed window over the key projection, never a global sort.
+    A gap spanning a block boundary surfaces as one range per block
+    (documented block semantics, identical in the oracle); at 100 TB
+    the shuffled data is the distinct-key projection only. The audit
+    slice is finalized orders ('F'): the testdata key space is dense
+    over ALL orders, so the status filter is what gives the check a
+    non-trivial gap surface (same shape as auditing one source's
+    document-number range in the reference's close)."""
+    orders = t(spark, sf_dir, "orders")
+    keys = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .distinct()
+        .withColumn("blk", F.floor(F.col("o_orderkey") / 4096))
+    )
+    w = Window.partitionBy("blk").orderBy("o_orderkey")
+    nxt = F.lead("o_orderkey").over(w)
+    return (
+        keys.withColumn("_next", nxt)
+        .filter(F.col("_next") > F.col("o_orderkey") + 1)
+        .select(
+            (F.col("o_orderkey") + 1).alias("gap_start"),
+            (F.col("_next") - 1).alias("gap_end"),
+            (F.col("_next") - F.col("o_orderkey") - 1).alias("n_missing"),
+        )
+    )
+
+
+SQL_ORDERS_KEY_GAPS = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey, CAST(floor(o_orderkey / 4096) AS BIGINT) AS blk
+  FROM orders
+  WHERE o_orderstatus = 'F'
+), nn AS (
+  SELECT o_orderkey,
+         lead(o_orderkey) OVER (PARTITION BY blk ORDER BY o_orderkey) AS nxt
+  FROM keys
+)
+SELECT o_orderkey + 1 AS gap_start,
+       nxt - 1 AS gap_end,
+       nxt - o_orderkey - 1 AS n_missing
+FROM nn
+WHERE nxt > o_orderkey + 1
+"""
+
+
 def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (size 64, stride 48) with portable md5
     chunk fingerprints -- the context-window preparation step of an
@@ -3853,6 +3903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "docs_normalized_fingerprint": q_docs_normalized_fingerprint,
     "embedding_lsh_recall": q_embedding_lsh_recall,
+    "orders_key_gaps": q_orders_key_gaps,
 }
 
 ORACLES: dict[str, str] = {
@@ -3960,4 +4011,5 @@ ORACLES: dict[str, str] = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "docs_normalized_fingerprint": SQL_DOCS_NORMALIZED_FINGERPRINT,
     "embedding_lsh_recall": SQL_EMBEDDING_LSH_RECALL,
+    "orders_key_gaps": SQL_ORDERS_KEY_GAPS,
 }

@@ -342,3 +342,37 @@ def test_chunking_covers_every_token_exactly_once_per_window(spark, n_tokens, pa
         if n_tokens > 0:
             assert r.start_token <= max(n_tokens, 1)
     assert covered == set(range(1, n_tokens + 1))
+
+
+# --- int8 quantization vs numpy --------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from finance_etl_pipeline_monthly_close_dataset_spark.operators.chunking import (  # noqa: E402
+    quantize_embeddings_int8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_quantize_matches_numpy_reference(spark, vec):
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = quantize_embeddings_int8(df).collect()[0]
+
+    v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+    mn, mx = v.min(), v.max()
+    if mx == mn:
+        codes = np.zeros(len(v), dtype=np.int64)
+    else:
+        scale = (mx - mn) / 255.0
+        codes = np.clip(np.floor((v - mn) / scale + 0.5), 0, 255).astype(np.int64)
+    assert row.n_dims == len(v)
+    assert row.code_sum == int(codes.sum())
+    assert row.code_min == int(codes.min())
+    assert row.code_max == int(codes.max())
