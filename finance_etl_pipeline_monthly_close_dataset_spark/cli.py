@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
-            "sample", "redact", "collocations",
+            "sample", "redact", "collocations", "chunk",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                           help="collocations: minimum bigram count")
     corpus_p.add_argument("--top-k", type=int, default=100,
                           help="collocations: bigrams to keep")
+    corpus_p.add_argument("--chunk-size", type=int, default=64,
+                          help="chunk: tokens per window")
+    corpus_p.add_argument("--stride", type=int, default=48,
+                          help="chunk: window stride (overlap = size - stride)")
 
     diff_p = sub.add_parser(
         "diff", help="Snapshot CDC diff of two parquet tables on a business key"

@@ -157,6 +157,16 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
             .otherwise(F.lit("test"))
         )
         out = df.withColumn("split", split)
+    elif args.op == "chunk":
+        from .operators.chunking import chunk_documents
+
+        out = chunk_documents(
+            df,
+            chunk_size=getattr(args, "chunk_size", 64),
+            stride=getattr(args, "stride", 48),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
     elif args.op == "collocations":
         out = text_analysis.bigram_lift(
             df,

@@ -661,3 +661,23 @@ def test_orc_roundtrip_partitioned_with_pushdown(spark, tmp_path):
     # predicate pushdown on a data column reaches the ORC scan
     plan2 = back.filter(F.col("id") > 90)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)" in plan2
+
+
+def test_corpus_cli_chunk(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "docs_chunk_in")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "chunked")
+    rc = cli.main(["corpus", "chunk", "--in", src, "--out", out,
+                   "--chunk-size", "4", "--stride", "3"])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    # doc 1: ceil((10-4)/3)+1 = 3 windows; doc 2: 1 short window
+    assert back.count() == 4
+    cols = set(back.columns)
+    assert {"doc_id", "chunk_idx", "start_token", "chunk_tokens", "chunk_hash"} <= cols
