@@ -3602,6 +3602,39 @@ FROM j
 """
 
 
+def q_docs_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (hashing trick, signed counts over 8
+    dims) -- the model-free vectorize step feeding ANN/quantization.
+    Portable md5-derived hashes make the exact integer vectors
+    reproducible by the oracle. operators/text_analysis.py:
+    feature_hash_embedding."""
+    return text_analysis.feature_hash_embedding(
+        t(spark, sf_dir, "documents"), dim=8
+    )
+
+
+SQL_DOCS_HASH_EMBEDDING = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+), h AS (
+  SELECT doc_id,
+         h & 7 AS bucket,
+         CASE WHEN (h >> 3) & 1 = 0 THEN 1 ELSE -1 END AS sign
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN bucket = {d} THEN sign ELSE 0 END) AS BIGINT) AS f{d}"
+           for d in range(8)
+       )}
+FROM h
+GROUP BY 1
+"""
+
+
 def q_orders_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-document-number audit (the finance-close 'gap in the
     invoice sequence' check): ranges of absent o_orderkey values,
@@ -3904,6 +3937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_normalized_fingerprint": q_docs_normalized_fingerprint,
     "embedding_lsh_recall": q_embedding_lsh_recall,
     "orders_key_gaps": q_orders_key_gaps,
+    "docs_hash_embedding": q_docs_hash_embedding,
 }
 
 ORACLES: dict[str, str] = {
@@ -4012,4 +4046,5 @@ ORACLES: dict[str, str] = {
     "docs_normalized_fingerprint": SQL_DOCS_NORMALIZED_FINGERPRINT,
     "embedding_lsh_recall": SQL_EMBEDDING_LSH_RECALL,
     "orders_key_gaps": SQL_ORDERS_KEY_GAPS,
+    "docs_hash_embedding": SQL_DOCS_HASH_EMBEDDING,
 }

@@ -161,6 +161,46 @@ def repetition_features(
     )
 
 
+def feature_hash_embedding(
+    df: DataFrame,
+    dim: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic feature-hashing document embedding: each token is
+    hashed to a dimension (``hash % dim``) with a +/-1 sign from the
+    next hash bit, and the signed counts form a dense integer vector
+    (Weinberger et al.'s hashing trick). The cheap, model-free
+    'vectorize text' step that bridges the documents table to the
+    ANN/quantization operators when no learned embedder is available.
+
+    Uses the portable 60-bit md5 hash so any engine reproduces the
+    vector exactly. One explode + one groupBy(id) with ``dim``
+    conditional sums -- a single shuffle on the id key, same scale
+    shape as simhash. Emits the vector as ``dim`` integer columns
+    (f0..f{dim-1}) plus the token count; exact integers, so the result
+    is hash-safe cross-engine.
+    """
+    from .dedup import portable_token_hash
+
+    if dim & (dim - 1):
+        raise ValueError("dim must be a power of two (bucket = low hash bits)")
+    shift = dim.bit_length() - 1
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = portable_token_hash(F.col("tok"))
+    # bucket from the low bits, sign from the next bit -- bit ops stay
+    # exact on the 60-bit hash (float division would lose precision)
+    bucket = h.bitwiseAND(F.lit(dim - 1))
+    sign = F.when(
+        F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = [
+        F.sum(F.when(bucket == d, sign).otherwise(F.lit(0))).alias(f"f{d}")
+        for d in range(dim)
+    ]
+    return tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"), *sums)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

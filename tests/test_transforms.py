@@ -209,3 +209,27 @@ def test_fx_to_base_filters_quote_currency(spark):
     fx = _fx(spark, [(TS, "EUR", "USD", 1.1), (TS, "USD", "EUR", 0.9)])
     out = fx_to_base(fx, "USD").collect()
     assert len(out) == 1 and out[0]["from_currency"] == "EUR"
+
+
+def test_feature_hash_embedding_deterministic_and_guarded(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.text_analysis import (
+        feature_hash_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in feature_hash_embedding(df, dim=8).collect()}
+    # identical text -> identical vector; empty doc emits no row (no tokens)
+    assert [out[1][f"f{d}"] for d in range(8)] == [out[2][f"f{d}"] for d in range(8)]
+    assert out[1].n_tokens == 3
+    assert 3 not in out
+    # signed counts are bounded by token count
+    assert sum(abs(out[1][f"f{d}"]) for d in range(8)) <= 3
+
+    with pytest.raises(ValueError):
+        feature_hash_embedding(df, dim=12)
