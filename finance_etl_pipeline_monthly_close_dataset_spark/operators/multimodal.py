@@ -2,11 +2,17 @@
 columns with typed metadata.
 
 The Spark-side architecture is real and tested -- schemas, Arrow-batch
-iteration via ``mapInPandas``, partition behavior -- while the actual
-media decoding is STUBBED (image/audio libraries are not in this
-container): ``decode_images`` ships a deterministic fake decoder and
-``decode_images_real`` raises ``NotImplementedError`` with the
-intended integration point documented.
+iteration via ``mapInPandas``, partition behavior. Decode paths, by
+format family:
+
+- ``decode_images_numpy``: REAL decode for uncompressed formats
+  (P6 PPM, 24-bit BMP) in pure numpy -- parse, nearest-neighbor
+  resize, channel/grid-mean features; corrupt payloads yield null
+  rows, never failed batches.
+- ``decode_images_real``: PIL-gated path for compressed formats
+  (JPEG/PNG); raises ``NotImplementedError`` where PIL is absent
+  (this container) and activates unchanged where it is installed.
+- ``decode_images``: deterministic stub for plumbing tests.
 
 At 100 TB: binary payloads stay in executor-local Arrow batches; only
 fixed-size features/metadata come back, so the shuffle volume is the
@@ -152,6 +158,151 @@ def decode_images_real(
                         feat,
                     )
                 )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "payload_hash",
+                    "out_width", "out_height", "feature",
+                ],
+            )
+
+    return media.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def _decode_ppm(b: bytes):
+    """Pure-numpy P6 PPM decode -> HxWx3 uint8 (binary PPM: ASCII
+    header 'P6 <w> <h> <maxval>' with whitespace/comments, then raw
+    RGB bytes)."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    arr = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3)
+
+
+def _decode_bmp(b: bytes):
+    """Pure-numpy uncompressed 24-bit BMP decode -> HxWx3 uint8 RGB
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    arr = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_offset)
+    arr = arr.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, ::-1]  # BGR -> RGB
+
+
+def _resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize via numpy index selection."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[rows][:, cols]
+
+
+def _image_features(arr, feature_dim: int) -> list[float]:
+    """Channel means + coarse grid means, truncated/zero-padded to
+    ``feature_dim`` (same shape as the PIL path's features)."""
+    import numpy as np
+
+    a = arr.astype(np.float64) / 255.0
+    feat = [float(x) for x in a.mean(axis=(0, 1))]
+    gh = max(1, int(np.sqrt(max(feature_dim - 3, 1))))
+    grid = a.mean(axis=2)
+    h_step = max(1, grid.shape[0] // gh)
+    w_step = max(1, grid.shape[1] // gh)
+    feat += [
+        float(grid[i * h_step : (i + 1) * h_step, j * w_step : (j + 1) * w_step].mean())
+        for i in range(gh)
+        for j in range(gh)
+    ]
+    feat = feat[:feature_dim]
+    return feat + [0.0] * (feature_dim - len(feat))
+
+
+def decode_images_numpy(
+    media: DataFrame, feature_dim: int = 8, resize_to: tuple[int, int] = (224, 224)
+) -> DataFrame:
+    """REAL image decode for uncompressed formats, no external libs:
+    P6 PPM and 24-bit BMP payloads are parsed with numpy
+    (``_decode_ppm`` / ``_decode_bmp``), nearest-neighbor resized, and
+    reduced to channel-mean + grid-mean features -- over the same
+    Arrow-batch ``mapInPandas`` plumbing as the stub and PIL paths.
+    Compressed formats (JPEG/PNG) still require PIL
+    (``decode_images_real``); rows whose payload fails to parse come
+    back with null dimensions instead of failing the batch, exactly
+    how a 100 TB decode job must treat corrupt media."""
+    import numpy as np  # noqa: F401 - fail fast on the driver if absent
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    rows.append((media_id, 0, 0, None, None, None))
+                    continue
+                try:
+                    if bytes(b[:2]) == b"P6":
+                        arr = _decode_ppm(bytes(b))
+                    else:
+                        arr = _decode_bmp(bytes(b))
+                    arr = _resize_nearest(arr, resize_to[0], resize_to[1])
+                    feat = _image_features(arr, feature_dim)
+                    rows.append(
+                        (
+                            media_id,
+                            len(b),
+                            int.from_bytes(bytes(b[:8]), "big", signed=True),
+                            resize_to[0],
+                            resize_to[1],
+                            feat,
+                        )
+                    )
+                except (ValueError, IndexError, OverflowError):
+                    rows.append(
+                        (
+                            media_id,
+                            len(b),
+                            int.from_bytes(bytes(b[:8]), "big", signed=True),
+                            None,
+                            None,
+                            None,
+                        )
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[

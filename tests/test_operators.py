@@ -681,3 +681,84 @@ def test_corpus_cli_chunk(spark, tmp_path):
     assert back.count() == 4
     cols = set(back.columns)
     assert {"doc_id", "chunk_idx", "start_token", "chunk_tokens", "chunk_hash"} <= cols
+
+
+def _make_ppm(pixels):
+    # pixels: list of rows of (r, g, b)
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(c for row in pixels for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def _make_bmp(pixels):
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    # bottom-up rows, BGR order
+    body = b"".join(
+        bytes(c for px in row for c in (px[2], px[1], px[0])) + pad
+        for row in reversed(pixels)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return header + info + body
+
+
+def test_decode_images_numpy_real_ppm_and_bmp(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        decode_images_numpy,
+    )
+
+    px = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    rows = [
+        (1, "image", bytearray(_make_ppm(px)), "image/x-portable-pixmap", 2, 2, None),
+        (2, "image", bytearray(_make_bmp(px)), "image/bmp", 2, 2, None),
+        (3, "image", bytearray(b"\x89PNG not really"), "image/png", 2, 2, None),
+    ]
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in decode_images_numpy(media, feature_dim=8, resize_to=(2, 2)).collect()
+    }
+
+    # both containers decode to the SAME image -> identical features
+    assert out[1].feature == out[2].feature
+    f = out[1].feature
+    # channel means: R=G=B=(255+0+0+255)/4/255 = 0.5
+    assert all(abs(x - 0.5) < 1e-6 for x in f[:3])
+    # 2x2 grid means over per-pixel channel means: 1/3,1/3,1/3,1.0
+    expect = [85.0 / 255.0] * 3 + [1.0]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(f[3:7], expect))
+    assert f[7] == 0.0
+    assert (out[1].out_width, out[1].out_height) == (2, 2)
+
+    # unsupported/corrupt payload -> null dims, batch survives
+    assert out[3].out_width is None and out[3].feature is None
+    assert out[3].n_bytes == len(b"\x89PNG not really")
+
+
+def test_decode_images_numpy_resizes_larger_image(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images_numpy,
+    )
+
+    # 8x6 gradient PPM resized down to 4x4
+    px = [[(r * 30, c * 30, 128) for c in range(8)] for r in range(6)]
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(_make_ppm(px)), "image/x-portable-pixmap", 8, 6, None)],
+        MEDIA_SCHEMA,
+    )
+    r = decode_images_numpy(media, feature_dim=8, resize_to=(4, 4)).collect()[0]
+    assert (r.out_width, r.out_height) == (4, 4)
+    assert len(r.feature) == 8
+    assert all(0.0 <= x <= 1.0 for x in r.feature)
