@@ -762,3 +762,42 @@ def test_decode_images_numpy_resizes_larger_image(spark):
     assert (r.out_width, r.out_height) == (4, 4)
     assert len(r.feature) == 8
     assert all(0.0 <= x <= 1.0 for x in r.feature)
+
+
+def _make_wav(samples16, rate=8000, channels=1):
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def test_decode_audio_wav_real(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_wav,
+    )
+
+    # 8000 Hz square wave alternating +/- half-scale for 0.5 s
+    sq = [16384 if i % 2 == 0 else -16384 for i in range(4000)]
+    silent = [0] * 4000
+    rows = [
+        (1, "audio", bytearray(_make_wav(sq)), "audio/wav", None, None, None),
+        (2, "audio", bytearray(_make_wav(silent)), "audio/wav", None, None, None),
+        (3, "audio", bytearray(b"not audio"), "audio/wav", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_audio_wav(media).collect()}
+
+    r1 = out[1]
+    assert (r1.sample_rate, r1.n_channels, r1.duration_ms) == (8000, 1, 500)
+    assert abs(r1.rms - 0.5) < 1e-6          # constant |amplitude| 16384/32768
+    assert abs(r1.peak - 0.5) < 1e-6
+    assert abs(r1.zero_crossing_rate - 1.0) < 1e-6  # alternates every sample
+
+    assert out[2].rms == 0.0 and out[2].peak == 0.0
+    assert out[3].sample_rate is None and out[3].n_bytes == len(b"not audio")
