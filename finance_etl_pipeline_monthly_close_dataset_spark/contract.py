@@ -3602,6 +3602,48 @@ FROM j
 """
 
 
+def q_orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions (percent_rank +
+    cume_dist) partitioned by order priority -- the 'where does this
+    order sit in its class' analytic. Keyed window, no global sort;
+    both functions are rank arithmetic over ints, so the doubles are
+    engine-identical. Summarized per priority x decile to keep the
+    contract row count bounded."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    decile = F.least(F.floor(F.col("pr") * 10), F.lit(9)).cast("int")
+    return (
+        ranked.groupBy("o_orderpriority", decile.alias("pr_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+            F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        )
+    )
+
+
+SQL_ORDERS_PRICE_PERCENTILES = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr,
+         cume_dist()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(least(floor(pr * 10), 9) AS INT) AS pr_decile,
+       COUNT(*) AS n_orders,
+       round(AVG(cd), 6) AS avg_cume_dist,
+       round(MAX(pr), 6) AS max_percent_rank
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
 def q_docs_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (hashing trick, signed counts over 8
     dims) -- the model-free vectorize step feeding ANN/quantization.
@@ -3938,6 +3980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_recall": q_embedding_lsh_recall,
     "orders_key_gaps": q_orders_key_gaps,
     "docs_hash_embedding": q_docs_hash_embedding,
+    "orders_price_percentiles": q_orders_price_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4047,4 +4090,5 @@ ORACLES: dict[str, str] = {
     "embedding_lsh_recall": SQL_EMBEDDING_LSH_RECALL,
     "orders_key_gaps": SQL_ORDERS_KEY_GAPS,
     "docs_hash_embedding": SQL_DOCS_HASH_EMBEDDING,
+    "orders_price_percentiles": SQL_ORDERS_PRICE_PERCENTILES,
 }
