@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
-            "sample", "redact", "collocations", "chunk",
+            "sample", "redact", "collocations", "chunk", "embed",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -92,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
                           help="chunk: tokens per window")
     corpus_p.add_argument("--stride", type=int, default=48,
                           help="chunk: window stride (overlap = size - stride)")
+    corpus_p.add_argument("--dim", type=int, default=8,
+                          help="embed: feature-hash dimensions (power of two)")
 
     diff_p = sub.add_parser(
         "diff", help="Snapshot CDC diff of two parquet tables on a business key"

@@ -157,6 +157,13 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
             .otherwise(F.lit("test"))
         )
         out = df.withColumn("split", split)
+    elif args.op == "embed":
+        out = text_analysis.feature_hash_embedding(
+            df,
+            dim=getattr(args, "dim", 8),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
     elif args.op == "chunk":
         from .operators.chunking import chunk_documents
 

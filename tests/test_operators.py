@@ -801,3 +801,21 @@ def test_decode_audio_wav_real(spark):
 
     assert out[2].rms == 0.0 and out[2].peak == 0.0
     assert out[3].sample_rate is None and out[3].n_bytes == len(b"not audio")
+
+
+def test_corpus_cli_embed(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "docs_embed_in")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "embedded")
+    rc = cli.main(["corpus", "embed", "--in", src, "--out", out, "--dim", "4"])
+    assert rc == 0
+    back = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(back) == {1, 2}
+    assert [back[1][f"f{d}"] for d in range(4)] == [back[2][f"f{d}"] for d in range(4)]
+    assert back[1].n_tokens == 3
