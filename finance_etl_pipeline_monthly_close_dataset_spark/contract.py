@@ -3859,6 +3859,154 @@ FROM n
 """
 
 
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day -- the windowed
+    COUNT DISTINCT that window frames cannot express (distinct is not
+    mergeable across frame slides, so ``RANGE BETWEEN`` is out).
+
+    Scale path: dedup to (user, day) pairs first (map-side partial
+    dedup collapses the event stream to at most users x days rows),
+    then EXPLODE each pair into the <=7 window-end days it contributes
+    to -- a bounded 7x expansion of the *deduped* pairs, not a 7-day
+    range self-join of the raw stream -- and count-distinct per window
+    end. Window ends are trimmed to days present via a broadcast join
+    with the (tiny) day spine, so the output is one row per observed
+    day, each counting users active in [day-6, day]."""
+    e = events_table(spark, sf_dir)
+    user_days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_end"),
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib["window_end"] == days["day"])
+        .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )
+
+
+SQL_EVENTS_ROLLING_ACTIVE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT u.user_id) AS active_users_7d
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""
+
+
+def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: mean per-token surprisal under
+    the corpus's own add-one-smoothed unigram LM (high = gibberish
+    candidate, very low = boilerplate). The model-free version of the
+    LM-perplexity stage in crawl-curation pipelines.
+    operators/text_analysis.py::unigram_logprob."""
+    return text_analysis.unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+SQL_DOCS_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM freq
+), lm AS (
+  SELECT token,
+         CAST(round(-ln((cnt + 1.0) / (n_total + vocab)), 9)
+              AS DECIMAL(18,9)) AS neg_logp
+  FROM freq, tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(CAST(SUM(neg_logp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+FROM tok JOIN lm USING (token)
+GROUP BY 1
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: for revenue from orders
+    placed by ASIA customers, each supplier nation's share per order
+    year. Six-table join -- Catalyst reorders freely because it is
+    declared flat; nation/region (and the derived ASIA filter) are
+    explicit broadcasts, customer/supplier joins are left to AQE
+    (dim-sized here, shuffle joins at 100 TB), and only
+    lineitem-orders shuffles on a fact key. Year totals come from an
+    exact decimal window sum over the tiny (year, nation) aggregate --
+    no second scan, no self-join; the share divides doubles only at
+    the end (order-independent)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    asia_nations = (
+        nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_natkey"))
+    )
+    supp_nations = nat.select(
+        F.col("n_nationkey").alias("s_natkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(asia_nations), cust["c_nationkey"] == F.col("c_natkey"))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(supp_nations), supp["s_nationkey"] == F.col("s_natkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"), F.col("supp_nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("rev_dec")
+        )
+    )
+    year_total = F.sum("rev_dec").over(Window.partitionBy("order_year"))
+    return rev.select(
+        "order_year",
+        "supp_nation",
+        F.col("rev_dec").cast("double").alias("nation_revenue"),
+        F.round(
+            F.col("rev_dec").cast("double") / year_total.cast("double"), 6
+        ).alias("market_share"),
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+WITH rev AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+         n2.n_name AS supp_nation,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT CAST(order_year AS INT) AS order_year, supp_nation,
+       CAST(rev_dec AS DOUBLE) AS nation_revenue,
+       round(CAST(rev_dec AS DOUBLE) /
+             CAST(SUM(rev_dec) OVER (PARTITION BY order_year) AS DOUBLE),
+             6) AS market_share
+FROM rev
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window --
 # one representative per SURVEY §2 family plus the flagship analytics
@@ -3981,6 +4129,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_key_gaps": q_orders_key_gaps,
     "docs_hash_embedding": q_docs_hash_embedding,
     "orders_price_percentiles": q_orders_price_percentiles,
+    "events_rolling_active": q_events_rolling_active,
+    "docs_unigram_logprob": q_docs_unigram_logprob,
+    "nation_market_share": q_nation_market_share,
 }
 
 ORACLES: dict[str, str] = {
@@ -4091,4 +4242,7 @@ ORACLES: dict[str, str] = {
     "orders_key_gaps": SQL_ORDERS_KEY_GAPS,
     "docs_hash_embedding": SQL_DOCS_HASH_EMBEDDING,
     "orders_price_percentiles": SQL_ORDERS_PRICE_PERCENTILES,
+    "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,
+    "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
+    "nation_market_share": SQL_NATION_MARKET_SHARE,
 }

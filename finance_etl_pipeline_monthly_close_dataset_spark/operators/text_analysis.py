@@ -250,6 +250,53 @@ PII_PATTERNS = (
 )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean per-token surprisal under the corpus's own add-one-smoothed
+    unigram language model -- the model-free stand-in for perplexity
+    filtering (documents the corpus itself finds surprising are
+    gibberish/noise candidates; very low surprisal flags boilerplate).
+
+    p(t) = (c_t + 1) / (N + V); each token contributes -ln p(t).
+
+    Determinism: ln yields doubles whose summation order would differ
+    between engines, so each token's surprisal is rounded to 9 dp and
+    accumulated as exact DECIMAL (order-independent); the per-doc mean
+    divides doubles and rounds to 6 dp, so a last-ulp ln disagreement
+    (<=1e-9 after the 9 dp round, <=1e-11 of the mean) cannot move the
+    reported value.
+
+    Scale shape: one explode -> token-frequency aggregate (vocab-sized),
+    joined back to the (doc, token) stream on token (shuffle hash join;
+    only hashes/counts shuffle beyond the first explode), one keyed
+    aggregate. N and V are a bounded 1-row driver scalar, same pattern
+    as ``tfidf_top_terms``'s ``n_docs``.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    freq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    denom = float(int(totals["n_total"]) + int(totals["vocab"]))
+    neg_logp = F.round(-F.log((F.col("cnt") + 1.0) / F.lit(denom)), 9).cast(
+        "decimal(18,9)"
+    )
+    lm = freq.select("token", neg_logp.alias("neg_logp"))
+    return (
+        terms.join(lm, on="token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -819,3 +819,22 @@ def test_corpus_cli_embed(spark, tmp_path):
     assert set(back) == {1, 2}
     assert [back[1][f"f{d}"] for d in range(4)] == [back[2][f"f{d}"] for d in range(4)]
     assert back[1].n_tokens == 3
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+
+    # corpus counts: a=2, b=2, c=1 -> N=5, V=3, denom=8
+    # -ln p: a,b -> ln(8/3); c -> ln 4
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp_ab = round(math.log(8 / 3), 9)
+    lp_c = round(math.log(4.0), 9)
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["avg_neg_logprob"] - round(lp_ab, 6)) < 1e-9
+    assert got[2]["n_tokens"] == 2
+    assert abs(got[2]["avg_neg_logprob"] - round((lp_ab + lp_c) / 2, 6)) < 1e-9
