@@ -4007,6 +4007,51 @@ FROM rev
 """
 
 
+def q_lineitem_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a self-verifying sketch: exact frequent
+    customers (count > N/1000) plus an ``in_sketch`` flag asserting
+    the single-pass ``freqItems`` sketch (Karp/Misra-Gries family)
+    contained each of them -- the sketch's containment guarantee
+    (every item above the support threshold is returned, possibly
+    with false positives) is itself the checked quantity, the same
+    pattern as ``approx_distinct_quantiles``. The oracle expects
+    ``in_sketch`` = true everywhere, so a sketch miss is a hash
+    mismatch, not a silent degradation.
+
+    Scale shape: the sketch is one map-side pass with a bounded
+    (<= 1/support entries) driver-side result; the exact side is one
+    group-by. At 100 TB the sketch replaces the exact group-by when
+    only the hot keys are needed (skew detection feeding the salted
+    join path)."""
+    li = t(spark, sf_dir, "lineitem")
+    support = 1.0 / 1000.0
+    total = li.count()
+    thresh = int(total * support)
+    # bounded driver scalar: freqItems returns at most 1/support items
+    sketch_items = list(
+        li.stat.freqItems(["l_suppkey"], support=support).first()[0]
+    )
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > thresh)
+        .select(
+            "l_suppkey",
+            "n_items",
+            F.col("l_suppkey").isin(sketch_items).alias("in_sketch"),
+        )
+    )
+
+
+SQL_LINEITEM_HEAVY_HITTERS = """
+WITH tot AS (SELECT COUNT(*) AS n FROM lineitem)
+SELECT l_suppkey, COUNT(*) AS n_items, TRUE AS in_sketch
+FROM lineitem, tot
+GROUP BY l_suppkey, tot.n
+HAVING COUNT(*) > CAST(floor(n * 0.001) AS BIGINT)
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window --
 # one representative per SURVEY §2 family plus the flagship analytics
@@ -4132,6 +4177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_active": q_events_rolling_active,
     "docs_unigram_logprob": q_docs_unigram_logprob,
     "nation_market_share": q_nation_market_share,
+    "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -4245,4 +4291,5 @@ ORACLES: dict[str, str] = {
     "events_rolling_active": SQL_EVENTS_ROLLING_ACTIVE,
     "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
+    "lineitem_heavy_hitters": SQL_LINEITEM_HEAVY_HITTERS,
 }

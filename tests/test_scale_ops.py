@@ -214,3 +214,56 @@ def test_hll_partials_merge_equals_direct_sketch(spark):
     total = hll_rollup(partials, []).collect()[0].n_distinct_est
     exact_total = df.select(F.count_distinct("user_id")).collect()[0][0]
     assert abs(total - exact_total) / exact_total < 0.05
+
+
+def test_z_value_interleaves_bits(spark):
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.layout import z_value
+
+    df = spark.createDataFrame(
+        [(0b11, 0b00), (0b00, 0b11), (0b11, 0b11), (0b10, 0b01)], "a long, b long"
+    )
+    got = [r[0] for r in df.select(z_value(F.col("a"), F.col("b"), bits=2)).collect()]
+    # bit 2i <- a's bit i, bit 2i+1 <- b's bit i
+    assert got == [0b0101, 0b1010, 0b1111, 0b0110]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """A single-column sort leaves every file spanning the full range
+    of the OTHER column (its parquet stats prune nothing for a
+    predicate on it); the z-ordered layout keeps both columns' ranges
+    tight per file, so footer min/max skip most files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.layout import (
+        write_zordered,
+    )
+
+    n = 256  # 256x256 grid of (a, b)
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), F.floor(F.col("id") / n).alias("b")
+    )
+    zp = str(tmp_path / "zorder")
+    ap = str(tmp_path / "asorted")
+    write_zordered(grid, zp, "a", "b", bits=8, num_files=16)
+    grid.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(ap)
+
+    def files_overlapping_b(path, lo, hi):
+        keep = 0
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("b")
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            if min(mins) <= hi and max(maxs) >= lo:
+                keep += 1
+        return keep
+
+    # box predicate on b (the non-leading dimension): b in [0, 15]
+    # ideal tile-aligned layout = 4 files; repartitionByRange samples its
+    # boundaries, so allow straddler files -- still >60% of files skipped
+    assert files_overlapping_b(ap, 0, 15) == 16   # a-sort: zero pruning
+    assert files_overlapping_b(zp, 0, 15) <= 6    # z-order: most skipped
+    # and the data survives the layout intact
+    assert spark.read.parquet(zp).count() == n * n
