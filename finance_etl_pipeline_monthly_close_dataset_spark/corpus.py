@@ -81,6 +81,44 @@ def weighted_sample_by_hash(
     return df.filter(_hash_bucket(id_col) < w * 65536.0)
 
 
+def incremental_ingest(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    lake_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a new batch to a corpus lake, exact-deduped both within
+    the batch and against everything already published -- the
+    continuous-crawl ingest loop (each day's crawl is mostly re-crawls
+    of yesterday's pages).
+
+    Within-batch: keep the min-id representative per md5(text)
+    fingerprint. Cross-batch: anti-join the batch's fingerprints
+    against the lake's. The lake read projects ONLY the fingerprint
+    column, so column pruning keeps the history pass cheap (at 100 TB
+    the fingerprint column is ~1/1000 of the table bytes); the
+    fingerprint is persisted with each row precisely so later ingests
+    never re-read text. Returns the number of rows appended."""
+    import os
+
+    fp = F.md5(F.col(text_col)).alias("fingerprint")
+    batch = new_docs.select(F.col(id_col), F.col(text_col), fp)
+    best = batch.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    batch = batch.join(best, on=["fingerprint", id_col], how="left_semi")
+    if os.path.exists(lake_dir):
+        published = spark.read.parquet(lake_dir).select("fingerprint")
+        batch = batch.join(published, on="fingerprint", how="left_anti")
+    # one materialization feeds both the count and the write
+    batch = batch.persist()
+    try:
+        appended = batch.count()
+        batch.write.mode("append").parquet(lake_dir)
+    finally:
+        batch.unpersist()
+    return appended
+
+
 def run(spark: SparkSession, args) -> tuple[int, int]:
     df = _read(spark, args.in_path, args.id_col, args.text_col)
     n_in = df.count()

@@ -127,3 +127,14 @@ def read_csv_typed(
     if with_row_id:
         out = out.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
     return out
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across schema versions (``mergeSchema``): a lake
+    table written over months gains columns; files written before a
+    column existed surface it as null. Spark merges all footer schemas
+    instead of trusting the first file, so old and new batches stay
+    readable in one scan -- the append-only schema-evolution contract
+    (add-only; renames/retypes are a rewrite, not an evolution).
+    Pushdown and pruning still apply per-file."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -93,3 +93,41 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     distributed counterpart of the single-file CSV sink; JSONL
     consumers glob directories natively)."""
     df.write.mode(mode).json(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files --
+    the small-files compaction chore every streaming / incremental
+    ingest lake needs (a 100 TB table fed by micro-batches degrades
+    into millions of KB-size files whose open cost dominates scans).
+
+    Sizing comes from the directory's actual on-disk bytes, not a row
+    guess, so compression ratio is accounted for. The rewrite is a
+    shuffle-free coalesce when shrinking file count (the common case);
+    it goes through a temp directory + atomic rename so a failed
+    rewrite never destroys the source. Returns the new file count.
+    """
+    import math
+
+    data_files = [
+        f
+        for f in glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in data_files)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+    )

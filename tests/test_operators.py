@@ -838,3 +838,50 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(got[1]["avg_neg_logprob"] - round(lp_ab, 6)) < 1e-9
     assert got[2]["n_tokens"] == 2
     assert abs(got[2]["avg_neg_logprob"] - round((lp_ab + lp_c) / 2, 6)) < 1e-9
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "fragmented")
+    spark.range(10_000).repartition(64).write.parquet(p)
+    import glob as g
+    assert len(g.glob(p + "/*.parquet")) == 64
+    n_files = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert n_files == 1
+    assert spark.read.parquet(p).count() == 10_000
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, text string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).write.mode("append").parquet(p)
+    got = {r["id"]: r for r in read_parquet_evolved(spark, p).collect()}
+    assert set(got[1].asDict()) == {"id", "text", "lang"}
+    assert got[1]["lang"] is None and got[2]["lang"] == "en"
+
+
+def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark.corpus import (
+        incremental_ingest,
+    )
+
+    lake = str(tmp_path / "lake")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    assert incremental_ingest(spark, b1, lake) == 2  # in-batch dup dropped
+    b2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma"), (6, "gamma")], "doc_id long, text string"
+    )
+    assert incremental_ingest(spark, b2, lake) == 1  # only gamma is new
+    rows = {r["text"]: r["doc_id"] for r in spark.read.parquet(lake).collect()}
+    assert rows == {"alpha": 1, "beta": 2, "gamma": 5}  # min-id representatives
