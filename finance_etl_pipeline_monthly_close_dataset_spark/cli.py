@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
         "op",
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
-            "sample", "redact", "collocations", "chunk", "embed",
+            "sample", "redact", "collocations", "chunk", "embed", "ingest",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)

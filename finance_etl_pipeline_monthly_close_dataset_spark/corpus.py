@@ -123,6 +123,13 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
     df = _read(spark, args.in_path, args.id_col, args.text_col)
     n_in = df.count()
 
+    if args.op == "ingest":
+        # append-dedup into the lake at --out; reports rows actually added
+        appended = incremental_ingest(
+            spark, df, args.out_path, args.id_col, args.text_col
+        )
+        return n_in, appended
+
     if args.op == "dedup":
         if args.method == "exact":
             keep = dedup.exact_dedup(df, args.id_col, args.text_col)

@@ -885,3 +885,22 @@ def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
     assert incremental_ingest(spark, b2, lake) == 1  # only gamma is new
     rows = {r["text"]: r["doc_id"] for r in spark.read.parquet(lake).collect()}
     assert rows == {"alpha": 1, "beta": 2, "gamma": 5}  # min-id representatives
+
+
+def test_corpus_cli_ingest(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    b1 = str(tmp_path / "batch1")
+    b2 = str(tmp_path / "batch2")
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(3, "beta"), (4, "gamma")], "doc_id long, text string"
+    ).write.parquet(b2)
+    assert cli.main(["corpus", "ingest", "--in", b1, "--out", lake]) == 0
+    assert cli.main(["corpus", "ingest", "--in", b2, "--out", lake]) == 0
+    assert {r["text"] for r in spark.read.parquet(lake).collect()} == {
+        "alpha", "beta", "gamma",
+    }
