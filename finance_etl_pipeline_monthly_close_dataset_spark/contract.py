@@ -4052,6 +4052,58 @@ HAVING COUNT(*) > CAST(floor(n * 0.001) AS BIGINT)
 """
 
 
+def q_nation_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (set containment) in count-comparison form:
+    which nations' suppliers collectively cover ALL parts of a divisor
+    set (Brand#11, size <= 5). One row per nation with any coverage;
+    ``covers_all`` is the division answer, so the result is non-empty
+    and the semantics stay checkable even when no nation divides.
+
+    Scale shape: the divisor is filtered at the part scan (predicate
+    pushdown) and broadcast to the fact; coverage is one distinct-count
+    per nation. The count-comparison form replaces the classic double
+    anti-join (NOT EXISTS of NOT EXISTS) with a single aggregate --
+    no correlated subquery, no row explosion; the divisor cardinality
+    is a bounded 1-row driver scalar."""
+    part = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 5))
+        .select("p_partkey")
+    )
+    n_div = part.count()
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("supp_nation"))
+        .agg(F.count_distinct("l_partkey").alias("n_covered"))
+        .select(
+            "supp_nation",
+            "n_covered",
+            (F.col("n_covered") == F.lit(n_div)).alias("covers_all"),
+        )
+    )
+
+
+SQL_NATION_PART_COVERAGE = """
+WITH div AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11' AND p_size <= 5
+), nd AS (SELECT COUNT(*) AS n FROM div)
+SELECT n_name AS supp_nation,
+       COUNT(DISTINCT l_partkey) AS n_covered,
+       COUNT(DISTINCT l_partkey) = MAX(nd.n) AS covers_all
+FROM lineitem
+JOIN div ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+CROSS JOIN nd
+GROUP BY 1
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window --
 # one representative per SURVEY §2 family plus the flagship analytics
@@ -4178,6 +4230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_unigram_logprob": q_docs_unigram_logprob,
     "nation_market_share": q_nation_market_share,
     "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
+    "nation_part_coverage": q_nation_part_coverage,
 }
 
 ORACLES: dict[str, str] = {
@@ -4292,4 +4345,5 @@ ORACLES: dict[str, str] = {
     "docs_unigram_logprob": SQL_DOCS_UNIGRAM_LOGPROB,
     "nation_market_share": SQL_NATION_MARKET_SHARE,
     "lineitem_heavy_hitters": SQL_LINEITEM_HEAVY_HITTERS,
+    "nation_part_coverage": SQL_NATION_PART_COVERAGE,
 }
