@@ -216,3 +216,68 @@ def streamed_attribution_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def streamed_upsert_sink(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    lake_dir: str,
+    key_col: str = "event_id",
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming upsert into a keyed parquet lake via ``foreachBatch``
+    -- the canonical merge-sink pattern when the target is a plain
+    parquet table (no transactional format available).
+
+    Each micro-batch is merged with the current lake contents and the
+    latest row per key wins (by event time, batch beating lake on
+    ties); the result is rewritten through a temp directory + atomic
+    rename so a crashed batch never leaves a half-written lake, and
+    re-processing the same batch is idempotent (last-writer-wins is
+    insensitive to replay). At 100 TB the same ``foreachBatch`` body
+    targets a transactional MERGE (Delta/Iceberg) instead of the
+    rewrite; the batch-side dedup and latest-per-key logic carry over
+    unchanged.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops it).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        target = batch.sparkSession
+        if os.path.exists(lake_dir):
+            current = target.read.parquet(lake_dir).withColumn(
+                "__is_new", F.lit(0)
+            )
+            merged = batch.withColumn("__is_new", F.lit(1)).unionByName(current)
+        else:
+            merged = batch.withColumn("__is_new", F.lit(1))
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).desc(), F.col("__is_new").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__is_new")
+        )
+        tmp = lake_dir.rstrip("/") + "__merging"
+        latest.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(lake_dir):
+            shutil.rmtree(lake_dir)
+        os.rename(tmp, lake_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_dir)
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", lake_dir.rstrip("/") + "__checkpoint")
+        .outputMode("update")
+        .start()
+    )

@@ -429,3 +429,44 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
         q.stop()
     assert rows.get(2) == 5.0       # matched pair
     assert 1 in rows and rows[1] is None  # unmatched click emitted with null
+
+
+def test_streamed_upsert_sink_latest_per_key_wins(spark, tmp_path):
+    """Three micro-batches (maxFilesPerTrigger=1) with overlapping keys:
+    the lake must equal the batch latest-per-key recompute, and a key
+    updated in a later batch must carry the later value."""
+    import datetime as dt
+
+    src = str(tmp_path / "upsert_src")
+    lake = str(tmp_path / "upsert_lake")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def _ts(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    batches = [
+        [(1, _ts(0), 1.0), (2, _ts(0), 2.0)],
+        [(2, _ts(5), 20.0), (3, _ts(5), 3.0)],   # update key 2
+        [(1, _ts(9), 10.0), (4, _ts(9), 4.0)],   # update key 1
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = ev.streamed_upsert_sink(
+        spark, src, schema, lake, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(lake).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 3.0, 4: 4.0}
