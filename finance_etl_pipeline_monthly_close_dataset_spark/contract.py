@@ -428,19 +428,26 @@ GROUP BY 1
 
 
 def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentage-of-total ratios (F18) via a window aggregate."""
+    """Percentage-of-total ratios (F18) via a broadcast 1-row total.
+
+    The share-of-total is the grouped result cross-joined with its own
+    global sum (broadcast, 1 row) rather than ``SUM() OVER ()`` -- the
+    empty-frame window funnels all rows through one task and spams
+    ``WindowExec: No Partition Defined`` warnings; the broadcast form
+    keeps the per-group rows distributed and reuses the group-by
+    exchange for the total (one scan, one shuffle)."""
     cust, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
     seg = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(dsum(F.col("o_totalprice"), "18,2").alias("segment_revenue"))
     )
-    total = Window.partitionBy()
-    return seg.select(
+    total = seg.agg(F.sum("segment_revenue").alias("__total"))
+    return seg.crossJoin(F.broadcast(total)).select(
         "c_mktsegment",
         "segment_revenue",
         F.round(
-            F.col("segment_revenue") / F.sum("segment_revenue").over(total) * 100.0, 6
+            F.col("segment_revenue") / F.col("__total") * 100.0, 6
         ).alias("revenue_share_pct"),
     )
 
@@ -4009,7 +4016,7 @@ FROM rev
 
 def q_lineitem_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters with a self-verifying sketch: exact frequent
-    customers (count > N/1000) plus an ``in_sketch`` flag asserting
+    suppliers (count > N/1000) plus an ``in_sketch`` flag asserting
     the single-pass ``freqItems`` sketch (Karp/Misra-Gries family)
     contained each of them -- the sketch's containment guarantee
     (every item above the support threshold is returned, possibly
@@ -4019,22 +4026,27 @@ def q_lineitem_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch, not a silent degradation.
 
     Scale shape: the sketch is one map-side pass with a bounded
-    (<= 1/support entries) driver-side result; the exact side is one
-    group-by. At 100 TB the sketch replaces the exact group-by when
-    only the hot keys are needed (skew detection feeding the salted
-    join path)."""
+    (<= 1/support entries) driver-side result, executed once at
+    plan-build time; the returned plan itself is a SINGLE job -- the
+    total comes from summing the grouped counts (broadcast back as a
+    1-row scalar), and exchange reuse means both the counts branch and
+    the total branch read ONE shuffle of ONE lineitem scan. At 100 TB
+    the sketch replaces the exact group-by when only the hot keys are
+    needed (skew detection feeding the salted join path)."""
     li = t(spark, sf_dir, "lineitem")
     support = 1.0 / 1000.0
-    total = li.count()
-    thresh = int(total * support)
     # bounded driver scalar: freqItems returns at most 1/support items
     sketch_items = list(
         li.stat.freqItems(["l_suppkey"], support=support).first()[0]
     )
+    grouped = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_items"))
+    total = grouped.agg(F.sum("n_items").alias("__total"))
     return (
-        li.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items") > thresh)
+        grouped.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_items")
+            > F.floor(F.col("__total") * F.lit(support)).cast("bigint")
+        )
         .select(
             "l_suppkey",
             "n_items",

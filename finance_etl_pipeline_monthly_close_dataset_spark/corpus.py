@@ -109,13 +109,17 @@ def incremental_ingest(
     if os.path.exists(lake_dir):
         published = spark.read.parquet(lake_dir).select("fingerprint")
         batch = batch.join(published, on="fingerprint", how="left_anti")
-    # one materialization feeds both the count and the write
-    batch = batch.persist()
-    try:
-        appended = batch.count()
-        batch.write.mode("append").parquet(lake_dir)
-    finally:
-        batch.unpersist()
+    # localCheckpoint severs the lineage BEFORE the append: the plan
+    # above lazily reads lake_dir (the anti-join), and a mere persist()
+    # can be evicted / recomputed by executor loss mid-append, which
+    # would re-scan the lake while it is being written to. After the
+    # checkpoint the deduped batch is materialized rows with no
+    # reference to the lake path, so the append cannot race its own
+    # input. (On a real cluster with unreliable executors, a
+    # reliable checkpoint() to HDFS/S3 is the same call.)
+    batch = batch.localCheckpoint(eager=True)
+    appended = batch.count()
+    batch.write.mode("append").parquet(lake_dir)
     return appended
 
 

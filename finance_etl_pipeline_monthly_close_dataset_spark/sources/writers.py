@@ -105,29 +105,69 @@ def compact_parquet(
     ingest lake needs (a 100 TB table fed by micro-batches degrades
     into millions of KB-size files whose open cost dominates scans).
 
-    Sizing comes from the directory's actual on-disk bytes, not a row
-    guess, so compression ratio is accounted for. The rewrite is a
-    shuffle-free coalesce when shrinking file count (the common case);
-    it goes through a temp directory + atomic rename so a failed
-    rewrite never destroys the source. Returns the new file count.
+    Sizing comes from the directory's actual on-disk bytes (walked
+    recursively, so Hive-partitioned layouts size correctly), not a
+    row guess, so compression ratio is accounted for. Flat tables
+    compact via a shuffle-free coalesce; Hive-partitioned tables
+    (``col=value`` subdirectories) are rewritten with the SAME
+    ``partitionBy`` layout, hash-colocating each partition value so
+    every leaf directory collapses to ~1 file. Promotion is
+    rename-aside (old dir moved, new dir renamed in, old dir deleted)
+    so no crash point leaves the table missing or half-written.
+    Returns the new data-file count.
     """
     import math
 
-    data_files = [
-        f
-        for f in glob.glob(os.path.join(path, "*"))
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-    ]
+    data_files: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                data_files.append(os.path.join(root, f))
     total = sum(os.path.getsize(f) for f in data_files)
     n_files = max(1, math.ceil(total / target_file_bytes))
+
+    # Hive-style partition dirs (key=value) mean the table's layout is
+    # part of its contract -- a flat coalesce(1) rewrite would silently
+    # drop it. Detect the partition columns from the first level of
+    # directory names; Spark re-infers the same columns on read.
+    part_cols: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d
+            for d in glob.glob(os.path.join(probe, "*"))
+            if os.path.isdir(d) and "=" in os.path.basename(d)
+        ]
+        if not subdirs:
+            break
+        part_cols.append(os.path.basename(subdirs[0]).split("=", 1)[0])
+        probe = subdirs[0]
+
+    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__precompact"
+    if part_cols:
+        # repartition on the partition columns hash-routes all rows of
+        # one partition value to one task -> one output file per leaf
+        # (modulo hash collisions), preserving the directory layout.
+        (
+            df.repartition(n_files, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(
         [
-            f
-            for f in glob.glob(os.path.join(path, "*.parquet"))
-            if not os.path.basename(f).startswith(("_", "."))
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
     )

@@ -248,7 +248,29 @@ def streamed_upsert_sink(
 
     from pyspark.sql.window import Window
 
+    tmp = lake_dir.rstrip("/") + "__merging"
+    old = lake_dir.rstrip("/") + "__old"
+
+    def recover() -> None:
+        # Crash-window recovery. Promotion is: write tmp -> rename
+        # lake aside to old -> rename tmp into place -> delete old.
+        # Every interruption point leaves exactly one of these states:
+        #   old + lake present  -> crashed after promotion: drop old.
+        #   old present, no lake -> crashed between the two renames:
+        #       restore old as the lake (the replayed batch re-merges
+        #       idempotently -- last-writer-wins is replay-insensitive).
+        #   tmp present -> possibly half-written merge output: drop it;
+        #       the replayed batch rewrites it from scratch.
+        if os.path.exists(old):
+            if os.path.exists(lake_dir):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, lake_dir)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        recover()
         target = batch.sparkSession
         if os.path.exists(lake_dir):
             current = target.read.parquet(lake_dir).withColumn(
@@ -265,11 +287,16 @@ def streamed_upsert_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__is_new")
         )
-        tmp = lake_dir.rstrip("/") + "__merging"
         latest.write.mode("overwrite").parquet(tmp)
+        # Rename-aside promotion: the previous lake is moved, not
+        # deleted, before the new one lands -- at no instant is the
+        # lake path the only copy missing, so a crash anywhere in this
+        # sequence is repaired by recover() above.
         if os.path.exists(lake_dir):
-            shutil.rmtree(lake_dir)
+            os.rename(lake_dir, old)
         os.rename(tmp, lake_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

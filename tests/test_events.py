@@ -470,3 +470,62 @@ def test_streamed_upsert_sink_latest_per_key_wins(spark, tmp_path):
 
     got = {r["event_id"]: r["value"] for r in spark.read.parquet(lake).collect()}
     assert got == {1: 10.0, 2: 20.0, 3: 3.0, 4: 4.0}
+
+
+def test_streamed_upsert_sink_recovers_crash_windows(spark, tmp_path):
+    """Simulate both promotion crash points before replaying a batch:
+    (a) lake renamed aside but new lake not yet in place (only __old
+    exists) -- the old lake must be restored and merged against, so no
+    previously upserted key is lost; (b) a half-written __merging dir
+    left behind -- it must be discarded, not promoted."""
+    import datetime as dt
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    lake = str(tmp_path / "lake")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    # Seed the lake through the sink itself (batch 1).
+    spark.createDataFrame([(1, t0, 1.0), (2, t0, 2.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = ev.streamed_upsert_sink(spark, src, schema, lake)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Crash state (a): promotion died between the two renames -- the
+    # lake path is gone, everything lives in __old. Also leave a stale
+    # half-written __merging dir (crash state b) with garbage content.
+    os.rename(lake, lake + "__old")
+    os.makedirs(lake + "__merging")
+    with open(os.path.join(lake + "__merging", "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    # Batch 2 replays into the crashed state: key 2 updates, key 3 new.
+    spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=5), 20.0),
+         (3, t0 + dt.timedelta(minutes=5), 3.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = ev.streamed_upsert_sink(spark, src, schema, lake)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(lake).collect()}
+    # key 1 (only ever in the pre-crash lake) survives the recovery
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+    assert not os.path.exists(lake + "__old")
+    assert not os.path.exists(lake + "__merging")
+    shutil.rmtree(lake + "__checkpoint", ignore_errors=True)

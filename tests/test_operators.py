@@ -854,6 +854,33 @@ def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     assert spark.read.parquet(p).count() == 10_000
 
 
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    """A Hive-partitioned table must keep its col=value directory
+    layout through compaction (and collapse each leaf to ~1 file),
+    not silently flatten into one unpartitioned file."""
+    import glob as g
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "partitioned")
+    df = spark.range(9_000).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    df.repartition(8).write.partitionBy("bucket").parquet(p)
+    assert len(g.glob(p + "/bucket=*/*.parquet")) > 3
+    compact_parquet(spark, p, target_file_bytes=1 << 30)
+    leaves = sorted(os.path.basename(d) for d in g.glob(p + "/bucket=*"))
+    assert leaves == ["bucket=0", "bucket=1", "bucket=2"]
+    for d in g.glob(p + "/bucket=*"):
+        assert len(g.glob(d + "/*.parquet")) == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 9_000
+    assert back.filter(F.col("bucket") == 1).count() == 3_000
+    assert not os.path.exists(p + "__precompact")
+    assert not os.path.exists(p + "__compacting")
+
+
 def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
     from finance_etl_pipeline_monthly_close_dataset_spark.sources.readers import (
         read_parquet_evolved,

@@ -66,6 +66,16 @@ ALLOW: dict[str, dict[str, str]] = {
     "dq_summary_status": {
         "nested_loop": "five-row literal dataset scaffold joins the summary"
     },
+    # share-of-total via broadcast 1-row global sum (replaces the
+    # SUM() OVER () empty-frame window that single-partitions the data)
+    "revenue_share": {
+        "nested_loop": "1-row global-total broadcast; exchange reuse "
+        "keeps it one scan + one shuffle"
+    },
+    "lineitem_heavy_hitters": {
+        "nested_loop": "1-row total broadcast derived from the grouped "
+        "counts; exchange reuse keeps it one lineitem scan"
+    },
     # global scalar outputs: one-row results legitimately coalesce
     "global_extremes": {"exchange_single": "single-row global aggregate"},
     "events_funnel": {"exchange_single": "single-row funnel summary"},
