@@ -38,6 +38,26 @@ HEADLINE = [
     "embedding_cosine_topk",
 ]
 
+# HEAVY tier: the expensive operators where a perf regression would
+# actually hurt at 100 TB (full-outer CDC diff, SCD2 window chains,
+# cube, chunk explode, surprisal vocab join, rolling distinct, the
+# 6-table market-share join, packing). Timed per-round so BENCH_r{N}
+# captures regressions instead of hand-updated PLANS.md numbers. Kept
+# out of the headline total ("value") so the round-over-round headline
+# comparison stays apples-to-apples with r1-r3; reported per-query in
+# "queries" plus an aggregate "heavy_value".
+HEAVY = [
+    "snapshot_cdc_diff",
+    "customer_scd2",
+    "cube_revenue",
+    "docs_chunks",
+    "docs_chunk_dedup",
+    "docs_unigram_logprob",
+    "events_rolling_active",
+    "nation_market_share",
+    "docs_pack_budget",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,7 +86,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         try:
             contract.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 - warmup failure is the timed run's problem
@@ -77,29 +97,38 @@ def main() -> None:
     # A query that raises records an "err:" marker instead of aborting
     # the whole bench (a broken query must cost one row, not the
     # round's entire perf evidence).
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = contract.QUERIES[name]
-        best = None
-        for _ in range(3):
-            try:
-                start = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - start
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-                break
-            best = elapsed if best is None or elapsed < best else best
-        if best is not None:
-            timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    def time_tier(names: list[str], n_runs: int) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = contract.QUERIES[name]
+            best = None
+            for _ in range(n_runs):
+                try:
+                    start = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    elapsed = time.perf_counter() - start
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                    break
+                best = elapsed if best is None or elapsed < best else best
+            if best is not None:
+                timings[name] = round(best, 3)
+        return timings
+
+    headline = time_tier(HEADLINE, 3)
+    # heavy tier is best-of-2: each query is seconds-long, so scheduler
+    # noise is proportionally small and a third pass buys little
+    heavy = time_tier(HEAVY, 2)
+
+    total = round(sum(headline.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {**headline, **heavy},
+        "heavy_value": round(sum(heavy.values()), 3),
         "sf": sf,
     }
     if errors:
