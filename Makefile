@@ -1,7 +1,12 @@
 # Developer entry points (PYTHONPATH=repo root is assumed; all targets
 # run on local[32] Spark).
 
-.PHONY: test check check-all bench smoke e2e preflight
+.PHONY: test check check-all checkall bench smoke e2e preflight
+
+ROUND ?= 04
+
+checkall: preflight  ## full-registry 3-SF oracle sweep -> CHECKALL_r$(ROUND).json
+	python tools/checkall.py --out CHECKALL_r$(ROUND).json
 
 preflight:        ## fail loudly if testdata parquet schemas drifted
 	python tools/preflight.py

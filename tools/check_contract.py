@@ -108,22 +108,23 @@ def dtype_parity(spark_dtypes, duck_types_by_col) -> list[str]:
     return problems
 
 
-def main() -> int:
-    import time
-
-    args = [a for a in sys.argv[1:] if a != "-t"]
-    show_time = "-t" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
-
-    spark = get_spark(app_name="check-contract")
+def duck_connect(sf_dir: str):
     con = duckdb.connect()
     for tbl in TABLES:
         p = f"{sf_dir}/{tbl}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
+    return con
 
-    failures = 0
+
+def run_check(spark, con, sf_dir: str, only=None, show_time: bool = False):
+    """Run every (or the selected) contract query vs its oracle at one
+    scale factor. Returns {name: {"ok": bool, "rows": int,
+    "oracle": "duckdb"|"rows-only", "seconds": float, "err": str|None}}
+    and prints the human-readable report as it goes."""
+    import time
+
+    results: dict[str, dict] = {}
     for name, fn in contract.QUERIES.items():
         if only and name not in only:
             continue
@@ -135,10 +136,18 @@ def main() -> int:
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
-            failures += 1
+            results[name] = {
+                "ok": False, "rows": None, "oracle": "duckdb",
+                "seconds": round(time.perf_counter() - t0, 2),
+                "err": f"spark: {exc}"[:200],
+            }
             continue
         if sql is None:
             print(f"ok*   {name}: rows-only, {len(spark_rows)} rows")
+            results[name] = {
+                "ok": True, "rows": len(spark_rows), "oracle": "rows-only",
+                "seconds": round(time.perf_counter() - t0, 2), "err": None,
+            }
             continue
         try:
             res = con.execute(sql)
@@ -146,7 +155,11 @@ def main() -> int:
             duck_rows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
-            failures += 1
+            results[name] = {
+                "ok": False, "rows": len(spark_rows), "oracle": "duckdb",
+                "seconds": round(time.perf_counter() - t0, 2),
+                "err": f"duckdb: {exc}"[:200],
+            }
             continue
         problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
         try:
@@ -155,14 +168,35 @@ def main() -> int:
         except Exception:  # noqa: BLE001
             duck_types = {}
         problems += dtype_parity(sdf.dtypes, duck_types)
+        elapsed = round(time.perf_counter() - t0, 2)
         if problems:
-            failures += 1
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print(f"      {p}")
+            results[name] = {
+                "ok": False, "rows": len(spark_rows), "oracle": "duckdb",
+                "seconds": elapsed, "err": "; ".join(problems)[:200],
+            }
         else:
-            suffix = f"  [{time.perf_counter() - t0:.1f}s]" if show_time else ""
+            suffix = f"  [{elapsed:.1f}s]" if show_time else ""
             print(f"ok    {name}: {len(spark_rows)} rows match{suffix}")
+            results[name] = {
+                "ok": True, "rows": len(spark_rows), "oracle": "duckdb",
+                "seconds": elapsed, "err": None,
+            }
+    return results
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "-t"]
+    show_time = "-t" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    spark = get_spark(app_name="check-contract")
+    con = duck_connect(sf_dir)
+    results = run_check(spark, con, sf_dir, only, show_time)
+    failures = sum(1 for r in results.values() if not r["ok"])
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
