@@ -2198,6 +2198,161 @@ GROUP BY 1, 2
 """
 
 
+def q_events_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``streaming/events.py::streamed_dedup``)
+    under the driver oracle: the events table is replayed as FOUR
+    micro-batches -- three hash slices plus a full RE-DELIVERY of
+    slice 0, the at-least-once source failure mode the operator exists
+    for -- through watermarked ``dropDuplicates`` into an append-mode
+    memory sink. The deduped final state, aggregated per event_type,
+    must equal the batch aggregate of the ORIGINAL table: a leaked
+    re-delivery inflates ``n_events``/``sum_value`` and hash-misses.
+
+    Determinism: the watermark horizon (365 days) exceeds the replay's
+    event-time span, so no dedup state expires mid-replay and the
+    re-delivered batch always still finds its keys in the state store.
+    At 100 TB the watermark is sized to the source's real re-delivery
+    horizon so state tracks rate x horizon, not stream lifetime."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    e = events_table(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="contract_stream_dedup_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        e.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    # re-deliver slice 0 wholesale (a replayed micro-batch)
+    e.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == 0).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    deduped = ev.streamed_dedup(
+        spark, src, schema, id_col="event_id", watermark="365 days"
+    )
+    qn = f"stream_dedup_{uuid.uuid4().hex}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "18,6").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)  # detach from the memory sink
+    )
+    spark.catalog.dropTempView(qn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_DEDUP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {s} AS sum_value
+FROM events
+GROUP BY 1
+""".format(s=_sql_dsum("value", "18,6"))
+
+
+def q_orders_streamed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``foreachBatch`` upsert sink
+    (``streaming/events.py::streamed_upsert_sink``) under the driver
+    oracle: a bounded orders slice (o_custkey < 300) is replayed as
+    three hash-sliced micro-batches keyed on ``o_custkey`` with the
+    event time encoding ``o_orderkey`` (``timestamp_seconds`` -- unique
+    per row, so last-writer-wins has no ties and the final lake is
+    deterministic). After the stream drains, the lake must hold exactly
+    one row per customer carrying their max-orderkey order's totalprice
+    -- the same thing the oracle's ROW_NUMBER window computes over the
+    raw table. This proves cross-batch merge + latest-per-key semantics
+    (a customer's orders land in different micro-batches), not just
+    single-batch dedup."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.timestamp_seconds(F.col("o_orderkey")).alias("ts"),
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="contract_stream_upsert_")
+    src = os.path.join(tmp, "src")
+    lake = os.path.join(tmp, "lake")
+    for i in range(3):
+        orders.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("custkey", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    q = ev.streamed_upsert_sink(
+        spark, src, schema, lake, key_col="custkey", ts_col="ts",
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.read.parquet(lake)
+        .select(
+            "custkey",
+            F.unix_timestamp("ts").alias("latest_orderkey"),
+            F.col("value").alias("latest_value"),
+        )
+        .localCheckpoint(eager=True)  # detach before the dir is removed
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_ORDERS_STREAMED_UPSERT = """
+SELECT custkey, latest_orderkey, latest_value FROM (
+  SELECT o_custkey AS custkey,
+         o_orderkey AS latest_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS latest_value,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+  FROM orders WHERE o_custkey < 300
+) WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # DQ surface under the driver oracle (SURVEY §2.7 / reference
 # quality.py:16-249): the same collect_exceptions -> add_severity ->
@@ -4243,6 +4398,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": q_nation_market_share,
     "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
     "nation_part_coverage": q_nation_part_coverage,
+    "events_streamed_dedup": q_events_streamed_dedup,
+    "orders_streamed_upsert": q_orders_streamed_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -4311,6 +4468,8 @@ ORACLES: dict[str, str] = {
     "dq_severity_counts": SQL_DQ_SEVERITY_COUNTS,
     "dq_summary_status": SQL_DQ_SUMMARY_STATUS,
     "events_streamed_hourly": SQL_EVENTS_STREAMED_HOURLY,
+    "events_streamed_dedup": SQL_EVENTS_STREAMED_DEDUP,
+    "orders_streamed_upsert": SQL_ORDERS_STREAMED_UPSERT,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
