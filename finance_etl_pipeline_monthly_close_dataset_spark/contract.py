@@ -1314,7 +1314,13 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard, top-20 most similar pairs in a
     bounded slice (dedup.ngram_jaccard_pairs with threshold 0 + rank;
     the brief's n-gram-Jaccard dedup as its own oracle-checked entry).
-    """
+
+    Retained deliberately as the ALL-PAIRS exact baseline (bounded to
+    doc_id < 120 -- threshold-0 ranking needs every pair, including
+    near-zero-overlap ones no candidate generator would emit). The
+    production shapes are ``docs_minhash_near_dup`` (LSH candidates ->
+    exact verify) and ``docs_ngram_jaccard_recall`` (LSH recall
+    measured against the guaranteed-recall inverted shingle index)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     ids = docs.select("doc_id")
     pairs = (
@@ -1343,6 +1349,64 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 ORDER BY jaccard DESC, id_a, id_b
 LIMIT 20
+""".format(toks=_SQL_TOKENS)
+
+
+def q_docs_ngram_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall for n-gram-Jaccard near-dup detection, the
+    production-shape counterpart of ``docs_ngram_jaccard`` (mirrors
+    ``embedding_lsh_recall``): the found set is banded-LSH candidates
+    exact-verified at Jaccard >= 0.5 over the FULL corpus; the truth
+    set is the guaranteed-recall inverted shingle index
+    (``dedup.shingle_index_candidates`` -- any pair with Jaccard > 0
+    shares a shingle) exact-verified at the same threshold. found is a
+    subset of truth by construction, so recall = n_found / n_truth.
+
+    The oracle asserts recall = 1.0: on this corpus every >= 0.5 pair
+    sits >= 0.88 Jaccard, deep inside the 32-hash/8-band recall-1
+    regime, so an LSH recall miss is a hash mismatch the driver sees,
+    not a silently degraded metric. Both global counts are 1-row
+    aggregates broadcast together (bounded)."""
+    docs = t(spark, sf_dir, "documents")
+    found = dedup.near_dup_minhash(docs, threshold=0.5)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, dedup.shingle_index_candidates(docs), threshold=0.5
+    )
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return n_truth.crossJoin(F.broadcast(n_found)).select(
+        "n_truth",
+        "n_found",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.col("n_found").cast("double") / F.col("n_truth"))
+        .alias("recall"),
+    )
+
+
+SQL_DOCS_NGRAM_JACCARD_RECALL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len({toks}) - 2, 1) + 1),
+           i -> array_to_string(({toks})[i:i+2], ' '))) AS s
+  FROM documents
+), inv AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+), truth AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sh sa ON cand.id_a = sa.doc_id
+  JOIN sh sb ON cand.id_b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(*) AS BIGINT) AS n_found,
+       CAST(1.0 AS DOUBLE) AS recall
+FROM truth
 """.format(toks=_SQL_TOKENS)
 
 
@@ -4400,6 +4464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_part_coverage": q_nation_part_coverage,
     "events_streamed_dedup": q_events_streamed_dedup,
     "orders_streamed_upsert": q_orders_streamed_upsert,
+    "docs_ngram_jaccard_recall": q_docs_ngram_jaccard_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -4470,6 +4535,7 @@ ORACLES: dict[str, str] = {
     "events_streamed_hourly": SQL_EVENTS_STREAMED_HOURLY,
     "events_streamed_dedup": SQL_EVENTS_STREAMED_DEDUP,
     "orders_streamed_upsert": SQL_ORDERS_STREAMED_UPSERT,
+    "docs_ngram_jaccard_recall": SQL_DOCS_NGRAM_JACCARD_RECALL,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

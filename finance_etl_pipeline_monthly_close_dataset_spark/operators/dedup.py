@@ -192,6 +192,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_index_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Inverted-shingle-index candidate pairs: explode each document's
+    shingle set and self-join on the shingle. GUARANTEED recall for any
+    pair with Jaccard > 0 (they share >= 1 shingle by definition), so
+    this is the exact ground-truth generator that LSH recall is
+    measured against -- the same role the brute-force scan plays for
+    ``embedding_lsh_recall``.
+
+    Scale shape: the shuffle is on shingle values, and cost is
+    sum-over-shingles of (docs containing it)^2 -- fine while shingles
+    are selective, quadratic on stop-shingle buckets. Production
+    candidate generation is banded LSH (``lsh_candidate_pairs``), whose
+    cost tracks true-duplicate density instead; this index exists for
+    ground truth and for small/medium corpora."""
+    sets_df = (
+        spread_partitions(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), shingle_k).alias("sh"))
+    )
+    inv = sets_df.select(F.col(id_col), F.explode("sh").alias("g"))
+    a = inv.select(F.col(id_col).alias("id_a"), "g")
+    b = inv.select(F.col(id_col).alias("id_b"), "g")
+    return (
+        a.join(b, on=[a["g"] == b["g"], F.col("id_a") < F.col("id_b")])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def near_dup_minhash(
     df: DataFrame,
     id_col: str = "doc_id",

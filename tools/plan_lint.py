@@ -76,6 +76,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "nested_loop": "1-row total broadcast derived from the grouped "
         "counts; exchange reuse keeps it one lineitem scan"
     },
+    "docs_ngram_jaccard_recall": {
+        "nested_loop": "two 1-row global counts (n_found, n_truth) "
+        "broadcast together for the recall ratio",
+        "exchange_single": "the same two single-row count aggregates",
+    },
     # global scalar outputs: one-row results legitimately coalesce
     "global_extremes": {"exchange_single": "single-row global aggregate"},
     "events_funnel": {"exchange_single": "single-row funnel summary"},
