@@ -58,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
             "sample", "redact", "collocations", "chunk", "embed", "ingest",
+            "zorder",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -94,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
                           help="chunk: window stride (overlap = size - stride)")
     corpus_p.add_argument("--dim", type=int, default=8,
                           help="embed: feature-hash dimensions (power of two)")
+    corpus_p.add_argument("--by", default=None,
+                          help="zorder: two comma-separated integer columns, e.g. 'user_id,ts_key'")
+    corpus_p.add_argument("--num-files", type=int, default=None,
+                          help="zorder: output file count (default: let range partitioning decide)")
 
     diff_p = sub.add_parser(
         "diff", help="Snapshot CDC diff of two parquet tables on a business key"

@@ -134,6 +134,20 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         )
         return n_in, appended
 
+    if args.op == "zorder":
+        # layout maintenance: rewrite along the z-curve of two columns
+        # so parquet min/max stats prune box predicates on either one
+        from .operators.layout import write_zordered
+
+        if not getattr(args, "by", None) or "," not in args.by:
+            raise SystemExit("corpus zorder requires --by colA,colB")
+        a, b = (c.strip() for c in args.by.split(",", 1))
+        write_zordered(
+            df, args.out_path, a, b,
+            num_files=getattr(args, "num_files", None),
+        )
+        return n_in, spark.read.parquet(args.out_path).count()
+
     if args.op == "dedup":
         if args.method == "exact":
             keep = dedup.exact_dedup(df, args.id_col, args.text_col)

@@ -107,6 +107,17 @@ def run_month(
     )
 
     dq_exceptions = add_severity(exceptions).cache()  # forced: the gate must decide
+    # Materialize the cache with FULL parallelism before the
+    # single-file (coalesce(1)) audit sinks and the gate's limit(1)
+    # probes consume it: afterwards every serial section's cost tracks
+    # the EXCEPTION count, not the input row count, and the count
+    # doubles as the close-run dq_exception_rows metric. Measured at
+    # the 10M-row stress month (PLANS.md): parallel count 10.6s + warm
+    # single-file write 0.5s, vs 13.8s for a cold single-task write --
+    # and a single-partition AGGREGATE over the cold plan (the shape a
+    # future gate refactor could easily introduce) costs 118s vs 31s,
+    # so the eager parallel materialization is the load-bearing habit.
+    n_exceptions = dq_exceptions.count()
 
     dq_exceptions_path = curated_dir / "dq_exceptions.csv"
     dq_summary_path = curated_dir / "dq_summary.csv"
@@ -175,7 +186,7 @@ def run_month(
         "dim_accounts": out_dim,
         "kpi": out_kpi,
     }
-    outputs["metrics"] = dict(obs.get)
+    outputs["metrics"] = {"dq_exception_rows": n_exceptions, **dict(obs.get)}
     return outputs
 
 

@@ -914,6 +914,25 @@ def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
     assert rows == {"alpha": 1, "beta": 2, "gamma": 5}  # min-id representatives
 
 
+def test_corpus_cli_zorder(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "zordered")
+    spark.range(10_000).select(
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 7) % 100).alias("y"),
+        F.col("id").alias("payload"),
+    ).write.parquet(src)
+    assert cli.main([
+        "corpus", "zorder", "--in", src, "--out", out,
+        "--by", "x,y", "--num-files", "4",
+    ]) == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert set(back.columns) == {"x", "y", "payload"}  # __z dropped
+
+
 def test_corpus_cli_ingest(spark, tmp_path):
     from finance_etl_pipeline_monthly_close_dataset_spark import cli
 

