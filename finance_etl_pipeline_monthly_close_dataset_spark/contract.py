@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
-from .operators import cdc, chunking, dedup, similarity, sketches, text_analysis
+from .operators import bloom, cdc, chunking, dedup, similarity, sketches, text_analysis
 from .operators.text import tokens
 from .operators.text_analysis import STOPWORDS
 from .streaming import events as ev
@@ -4283,6 +4283,75 @@ HAVING COUNT(*) > CAST(floor(n * 0.001) AS BIGINT)
 """
 
 
+_BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
+
+
+def q_lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (``operators/bloom.py``) with
+    the filter's EXACT behavior as the checked quantity: suppliers of
+    one nation build a portable md5 Bloom filter (16384 bits, 4
+    hashes), the distinct fact keys are pre-filtered map-side through
+    the broadcast bitmap, and the output row reports
+
+    * ``n_fact_keys`` -- distinct l_suppkey values in the fact,
+    * ``n_bloom_pass`` -- keys surviving the Bloom pre-filter (DuckDB
+      rebuilds the identical bit set from the same md5 positions, so
+      this is value-checked, fpp and all),
+    * ``n_true_match`` -- keys actually in the build side,
+    * ``n_false_negatives`` -- true matches the Bloom dropped; the
+      no-false-negative guarantee means the oracle asserts 0, so a
+      broken filter is a hash mismatch, not a quiet wrong plan.
+
+    Scale shape: the bitmap is a 1-row broadcast (256 longs); the
+    pre-filter is a scan-side expression, so the join shuffle behind
+    it carries ~matches instead of the whole fact. The three 1-row
+    stat aggregates broadcast together (bounded)."""
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 5)
+        .select("s_suppkey")
+    )
+    li_keys = t(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    bf = bloom.bloom_build(supp, "s_suppkey", _BLOOM_BITS, _BLOOM_HASHES)
+    kept = bloom.bloom_prefilter(li_keys, bf, "l_suppkey", _BLOOM_BITS, _BLOOM_HASHES)
+    true_match = li_keys.join(
+        supp, li_keys["l_suppkey"] == supp["s_suppkey"], "left_semi"
+    )
+    missed = true_match.join(kept, on="l_suppkey", how="left_anti")
+    return (
+        li_keys.agg(F.count(F.lit(1)).alias("n_fact_keys"))
+        .crossJoin(F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_bloom_pass"))))
+        .crossJoin(F.broadcast(true_match.agg(F.count(F.lit(1)).alias("n_true_match"))))
+        .crossJoin(F.broadcast(missed.agg(F.count(F.lit(1)).alias("n_false_negatives"))))
+    )
+
+
+SQL_LINEITEM_BLOOM_SEMIJOIN = """
+WITH build AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 5),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+bits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 16384 AS p
+  FROM build, seeds
+),
+cand AS (SELECT DISTINCT l_suppkey FROM lineitem),
+passed AS (
+  SELECT c.l_suppkey
+  FROM cand c CROSS JOIN seeds s
+  LEFT JOIN bits b
+    ON b.p = CAST(('0x' || substr(md5(CAST(c.l_suppkey AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 8)) AS BIGINT) % 16384
+  GROUP BY c.l_suppkey
+  HAVING COUNT(b.p) = 4
+),
+truem AS (SELECT c.l_suppkey FROM cand c JOIN build b ON c.l_suppkey = b.s_suppkey)
+SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_fact_keys,
+       CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_bloom_pass,
+       CAST((SELECT COUNT(*) FROM truem) AS BIGINT) AS n_true_match,
+       CAST((SELECT COUNT(*) FROM truem t
+             WHERE NOT EXISTS (SELECT 1 FROM passed p WHERE p.l_suppkey = t.l_suppkey)) AS BIGINT) AS n_false_negatives
+"""
+
+
 def q_nation_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational division (set containment) in count-comparison form:
     which nations' suppliers collectively cover ALL parts of a divisor
@@ -4465,6 +4534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_dedup": q_events_streamed_dedup,
     "orders_streamed_upsert": q_orders_streamed_upsert,
     "docs_ngram_jaccard_recall": q_docs_ngram_jaccard_recall,
+    "lineitem_bloom_semijoin": q_lineitem_bloom_semijoin,
 }
 
 ORACLES: dict[str, str] = {
@@ -4536,6 +4606,7 @@ ORACLES: dict[str, str] = {
     "events_streamed_dedup": SQL_EVENTS_STREAMED_DEDUP,
     "orders_streamed_upsert": SQL_ORDERS_STREAMED_UPSERT,
     "docs_ngram_jaccard_recall": SQL_DOCS_NGRAM_JACCARD_RECALL,
+    "lineitem_bloom_semijoin": SQL_LINEITEM_BLOOM_SEMIJOIN,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -914,6 +914,33 @@ def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
     assert rows == {"alpha": 1, "beta": 2, "gamma": 5}  # min-id representatives
 
 
+def test_bloom_prefilter_no_false_negatives_and_reduces(spark):
+    """The bloom pre-filter must keep EVERY true match (no false
+    negatives -- prefilter + exact join == exact join) while dropping
+    the bulk of non-matching keys, and the packed bitmap must stay a
+    1-row broadcast."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.bloom import (
+        bloom_build, bloom_prefilter,
+    )
+
+    build = spark.range(0, 2000, 40).select(F.col("id").alias("k"))  # 50 keys
+    fact = spark.range(2000).select(F.col("id").alias("k"))
+    bf = bloom_build(build, "k")
+    rows = bf.collect()
+    assert len(rows) == 1 and len(rows[0]["bloom_words"]) == (1 << 14) // 64
+
+    kept = {r["k"] for r in bloom_prefilter(fact, bf, "k").collect()}
+    true_keys = {r["k"] for r in build.collect()}
+    assert true_keys <= kept          # containment guarantee
+    assert len(kept) < 2000 * 0.10    # and it actually filters (fpp ~1e-8 here)
+
+    # prefilter + exact join == exact join
+    exact = {r["k"] for r in fact.join(build, on="k", how="left_semi").collect()}
+    pre = bloom_prefilter(fact, bf, "k")
+    pre_exact = {r["k"] for r in pre.join(build, on="k", how="left_semi").collect()}
+    assert pre_exact == exact
+
+
 def test_corpus_cli_zorder(spark, tmp_path):
     from finance_etl_pipeline_monthly_close_dataset_spark import cli
 

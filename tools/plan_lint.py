@@ -76,6 +76,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "nested_loop": "1-row total broadcast derived from the grouped "
         "counts; exchange reuse keeps it one lineitem scan"
     },
+    "lineitem_bloom_semijoin": {
+        "nested_loop": "1-row broadcasts: the 256-long bloom bitmap "
+        "plus three single-row stat aggregates",
+        "exchange_single": "the same single-row stat aggregates",
+    },
     "docs_ngram_jaccard_recall": {
         "nested_loop": "two 1-row global counts (n_found, n_truth) "
         "broadcast together for the recall ratio",
