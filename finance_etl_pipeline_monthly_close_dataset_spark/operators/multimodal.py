@@ -5,12 +5,13 @@ The Spark-side architecture is real and tested -- schemas, Arrow-batch
 iteration via ``mapInPandas``, partition behavior. Decode paths, by
 format family:
 
-- ``decode_images_numpy``: REAL decode for uncompressed formats
-  (P6 PPM, 24-bit BMP) in pure numpy -- parse, nearest-neighbor
-  resize, channel/grid-mean features; corrupt payloads yield null
-  rows, never failed batches.
-- ``decode_images_real``: PIL-gated path for compressed formats
-  (JPEG/PNG); raises ``NotImplementedError`` where PIL is absent
+- ``decode_images_numpy``: REAL decode with no image library --
+  P6 PPM and 24-bit BMP in pure numpy, plus PNG via stdlib ``zlib``
+  (DEFLATE + row-filter reversal, ``_decode_png``) -- parse,
+  nearest-neighbor resize, channel/grid-mean features; corrupt
+  payloads yield null rows, never failed batches.
+- ``decode_images_real``: PIL-gated path for the remaining compressed
+  formats (JPEG); raises ``NotImplementedError`` where PIL is absent
   (this container) and activates unchanged where it is installed.
 - ``decode_images``: deterministic stub for plumbing tests.
 
@@ -225,6 +226,96 @@ def _decode_bmp(b: bytes):
     return arr[:, :, ::-1]  # BGR -> RGB
 
 
+def _decode_png(b: bytes):
+    """Pure stdlib-zlib + numpy PNG decode -> HxWx3 uint8 RGB.
+
+    PNG's compression is DEFLATE (``zlib``) over per-row byte filters,
+    so no image library is required: parse chunks, inflate IDAT,
+    reverse the row filters (None/Sub/Up/Average/Paeth), drop alpha /
+    expand grayscale. Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced -- the
+    overwhelming majority of real-world PNGs; everything else raises
+    and the caller's corrupt-row path nulls the record. Filters 0/2
+    vectorize; Sub/Average/Paeth carry a left-pixel dependency and run
+    per-byte on the row (rows are short; the batch loop is already
+    Python-side under mapInPandas)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        length = struct.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body(length) + crc
+    if w is None:
+        raise ValueError("missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated IDAT")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f in (1, 3, 4):  # left-dependent: Sub / Average / Paeth
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) & 0xFF if i >= bpp else 0
+                u = int(prev[i])
+                if f == 1:
+                    cur[i] = line[i] + a
+                elif f == 3:
+                    cur[i] = line[i] + (a + u) // 2
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + u - c
+                    pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (u if pb <= pc else c)
+                    cur[i] = line[i] + pred
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = (cur & 0xFF).astype(np.uint8)
+        out[y] = prev
+
+    px = out.reshape(h, w, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> drop alpha
+
+
 def _resize_nearest(arr, out_w: int, out_h: int):
     """Nearest-neighbor resize via numpy index selection."""
     import numpy as np
@@ -258,12 +349,13 @@ def _image_features(arr, feature_dim: int) -> list[float]:
 def decode_images_numpy(
     media: DataFrame, feature_dim: int = 8, resize_to: tuple[int, int] = (224, 224)
 ) -> DataFrame:
-    """REAL image decode for uncompressed formats, no external libs:
-    P6 PPM and 24-bit BMP payloads are parsed with numpy
-    (``_decode_ppm`` / ``_decode_bmp``), nearest-neighbor resized, and
-    reduced to channel-mean + grid-mean features -- over the same
-    Arrow-batch ``mapInPandas`` plumbing as the stub and PIL paths.
-    Compressed formats (JPEG/PNG) still require PIL
+    """REAL image decode with no image library: P6 PPM and 24-bit BMP
+    payloads are parsed with numpy (``_decode_ppm`` / ``_decode_bmp``)
+    and PNG with stdlib zlib + numpy (``_decode_png`` -- DEFLATE
+    inflate + None/Sub/Up/Average/Paeth row-filter reversal), then
+    nearest-neighbor resized and reduced to channel-mean + grid-mean
+    features -- over the same Arrow-batch ``mapInPandas`` plumbing as
+    the stub and PIL paths. JPEG still requires PIL
     (``decode_images_real``); rows whose payload fails to parse come
     back with null dimensions instead of failing the batch, exactly
     how a 100 TB decode job must treat corrupt media."""
@@ -277,10 +369,13 @@ def decode_images_numpy(
                     rows.append((media_id, 0, 0, None, None, None))
                     continue
                 try:
-                    if bytes(b[:2]) == b"P6":
-                        arr = _decode_ppm(bytes(b))
+                    raw = bytes(b)
+                    if raw[:2] == b"P6":
+                        arr = _decode_ppm(raw)
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr = _decode_png(raw)
                     else:
-                        arr = _decode_bmp(bytes(b))
+                        arr = _decode_bmp(raw)
                     arr = _resize_nearest(arr, resize_to[0], resize_to[1])
                     feat = _image_features(arr, feature_dim)
                     rows.append(

@@ -746,6 +746,109 @@ def test_decode_images_numpy_real_ppm_and_bmp(spark):
     assert out[3].n_bytes == len(b"\x89PNG not really")
 
 
+def _make_png(pixels, color_type=2, row_filters=None):
+    """Minimal PNG encoder for tests: 8-bit, non-interlaced; pixels is
+    rows of tuples sized to the color type (1/2/3/4 components). A
+    per-row filter list (0=None 1=Sub 2=Up 3=Average 4=Paeth) lets the
+    tests exercise every unfilter branch of the decoder."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    ch = len(pixels[0][0])
+    filters = row_filters or [0] * h
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw_rows = [bytes(c for px in row for c in px) for row in pixels]
+    stream = bytearray()
+    prev = bytes(w * ch)
+    for row, f in zip(raw_rows, filters):
+        stream.append(f)
+        for i in range(len(row)):
+            a = row[i - ch] if i >= ch else 0
+            u = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = u
+            elif f == 3:
+                pred = (a + u) // 2
+            else:
+                p = a + u - c
+                pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (u if pb <= pc else c)
+            stream.append((row[i] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters_roundtrip():
+    """Every PNG row filter (None/Sub/Up/Average/Paeth) must reverse
+    bit-exactly, for RGB, grayscale, and RGBA (alpha dropped)."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    rows = [[tuple(int(v) for v in p) for p in r] for r in px]
+    for filters in ([0] * 5, [1] * 5, [0, 1, 2, 3, 4]):
+        got = _decode_png(_make_png(rows, color_type=2, row_filters=filters))
+        assert np.array_equal(got, px), f"filters={filters}"
+
+    gray = [[(10,), (200,)], [(0,), (255,)]]
+    g = _decode_png(_make_png(gray, color_type=0, row_filters=[4, 3]))
+    assert g.shape == (2, 2, 3) and g[0, 1, 0] == 200 and g[0, 1, 2] == 200
+
+    rgba = [[(1, 2, 3, 255), (4, 5, 6, 0)]]
+    a = _decode_png(_make_png(rgba, color_type=6, row_filters=[4]))
+    assert a.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+
+
+def test_decode_images_numpy_real_png(spark):
+    """A PNG payload must decode through the same mapInPandas path to
+    the SAME features as the equivalent PPM (cross-format agreement,
+    like the PPM/BMP pair)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images_numpy,
+    )
+
+    px = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_make_png(px, row_filters=[1, 4])), "image/png", 2, 2, None),
+            (2, "image", bytearray(_make_ppm(px)), "image/x-portable-pixmap", 2, 2, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: r
+        for r in decode_images_numpy(media, feature_dim=8, resize_to=(2, 2)).collect()
+    }
+    assert out[1].feature == out[2].feature
+    assert (out[1].out_width, out[1].out_height) == (2, 2)
+
+
 def test_decode_images_numpy_resizes_larger_image(spark):
     from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
         MEDIA_SCHEMA,
