@@ -4283,6 +4283,126 @@ HAVING COUNT(*) > CAST(floor(n * 0.001) AS BIGINT)
 """
 
 
+def q_supplier_wait_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to
+    the testdata columns: for finalized orders ('F'), find suppliers
+    whose line shipped late (> 60 days after the order date) in a
+    MULTI-supplier order where NO other supplier was late -- the
+    classic EXISTS + NOT-EXISTS pair over the same fact.
+
+    Spark-first decorrelation: both correlated subqueries collapse
+    into ONE aggregation ladder -- per (order, supplier) max-late
+    flag, then per order (n_supp, n_late) -- so the fact shuffles once
+    on the order key instead of self-joining twice. The oracle keeps
+    the textbook EXISTS/NOT EXISTS form, proving the rewrite
+    equivalent. Ordering ends on the unique s_name, so the LIMIT is
+    deterministic across engines."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    per_supp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("supp_late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late")
+    )
+    blamed = (
+        per_supp.filter(F.col("supp_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            on="l_orderkey",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        blamed.groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SQL_SUPPLIER_WAIT_BLAME = """
+SELECT n_name, s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for l_suppkey -- the diagnostic that
+    decides between a plain shuffle join, AQE skew handling, and the
+    salted-join path (``salted_join_revenue``): distinct keys, rows,
+    max rows per key, exact interpolated p50/p90/p99 of the per-key
+    counts, and the max/avg skew ratio.
+
+    Scale shape: one shuffle on the key produces the counts; every
+    statistic then aggregates the KEY-cardinality intermediate (not
+    the fact), so the profile costs one pass regardless of fact size.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition, so the quantiles are value-checked
+    across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50_per_key"),
+        F.round(F.expr("percentile(c, 0.9)"), 6).alias("p90_per_key"),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_per_key"),
+        F.round(
+            F.max("c") / (F.sum("c") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )
+
+
+SQL_LINEITEM_KEY_SKEW = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_per_key,
+       round(quantile_cont(c, 0.5), 6) AS p50_per_key,
+       round(quantile_cont(c, 0.9), 6) AS p90_per_key,
+       round(quantile_cont(c, 0.99), 6) AS p99_per_key,
+       round(MAX(c) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+FROM counts
+"""
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -4535,6 +4655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_streamed_upsert": q_orders_streamed_upsert,
     "docs_ngram_jaccard_recall": q_docs_ngram_jaccard_recall,
     "lineitem_bloom_semijoin": q_lineitem_bloom_semijoin,
+    "supplier_wait_blame": q_supplier_wait_blame,
+    "lineitem_key_skew": q_lineitem_key_skew,
 }
 
 ORACLES: dict[str, str] = {
@@ -4607,6 +4729,8 @@ ORACLES: dict[str, str] = {
     "orders_streamed_upsert": SQL_ORDERS_STREAMED_UPSERT,
     "docs_ngram_jaccard_recall": SQL_DOCS_NGRAM_JACCARD_RECALL,
     "lineitem_bloom_semijoin": SQL_LINEITEM_BLOOM_SEMIJOIN,
+    "supplier_wait_blame": SQL_SUPPLIER_WAIT_BLAME,
+    "lineitem_key_skew": SQL_LINEITEM_KEY_SKEW,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
