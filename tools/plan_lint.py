@@ -76,6 +76,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "nested_loop": "1-row total broadcast derived from the grouped "
         "counts; exchange reuse keeps it one lineitem scan"
     },
+    "embedding_kmeans_centroids": {
+        "nested_loop": "k=4 trained centroids broadcast for the "
+        "assignment argmin -- the k-way expansion collapses map-side "
+        "via min_by before any shuffle"
+    },
     "lineitem_bloom_semijoin": {
         "nested_loop": "1-row broadcasts: the 256-long bloom bitmap "
         "plus three single-row stat aggregates",
