@@ -4484,6 +4484,68 @@ ORDER BY f.cell
 """
 
 
+def q_embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k searched through the LLOYD-TRAINED coarse
+    quantizer (``embedding_kmeans_centroids``'s model, k=4 cells,
+    nprobe=2): training AND search are one oracle-checked unit -- the
+    DuckDB SQL unrolls the two k-means iterations, re-derives the cell
+    assignment, ranks probe cells, and reproduces the exact ranked
+    neighbor lists. Complements ``embedding_ivf_topk`` (deterministic
+    sampled quantizer) by verifying the full train->index->search
+    pipeline rather than the search alone."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans.lloyd_kmeans(emb, k=4, n_iters=2)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, probes, k=10, nprobe=2, centroids=cents)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _ivf_trained_sql(k: int = 10, nprobe: int = 2) -> str:
+    d2 = _km_d2_sql("e.embedding", "c.centroid")
+    return f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         [round(CAST(x AS DOUBLE), 6) for x in embedding] AS centroid
+  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 4)
+),{_km_iteration_sql("a1", "init", "c1", "m1")},{_km_iteration_sql("a2", "c1", "c2", "m2")},
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn
+    FROM base e CROSS JOIN c2 c
+  ) WHERE rn = 1
+), probe_cells AS (
+  SELECT probe_id, pvec, cell FROM (
+    SELECT e.vec_id AS probe_id, e.embedding AS pvec, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn
+    FROM base e CROSS JOIN c2 c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('e.embedding', 'p.pvec')} AS sim
+  FROM assigned e JOIN probe_cells p ON e.cell = p.cell
+), ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_EMBEDDING_IVF_TRAINED_TOPK = _ivf_trained_sql()
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -4739,6 +4801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_wait_blame": q_supplier_wait_blame,
     "lineitem_key_skew": q_lineitem_key_skew,
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
+    "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4814,6 +4877,7 @@ ORACLES: dict[str, str] = {
     "supplier_wait_blame": SQL_SUPPLIER_WAIT_BLAME,
     "lineitem_key_skew": SQL_LINEITEM_KEY_SKEW,
     "embedding_kmeans_centroids": SQL_EMBEDDING_KMEANS_CENTROIDS,
+    "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -81,6 +81,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "assignment argmin -- the k-way expansion collapses map-side "
         "via min_by before any shuffle"
     },
+    "embedding_ivf_trained_topk": {
+        "nested_loop": "same k=4 centroid broadcast (assignment + "
+        "probe-cell ranking); search join is cell-equality"
+    },
     "lineitem_bloom_semijoin": {
         "nested_loop": "1-row broadcasts: the 256-long bloom bitmap "
         "plus three single-row stat aggregates",
