@@ -139,11 +139,11 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         # so parquet min/max stats prune box predicates on either one
         from .operators.layout import write_zordered
 
-        if not getattr(args, "by", None) or "," not in args.by:
-            raise SystemExit("corpus zorder requires --by colA,colB")
-        a, b = (c.strip() for c in args.by.split(",", 1))
+        by = [c.strip() for c in (getattr(args, "by", None) or "").split(",") if c.strip()]
+        if len(by) < 2:
+            raise SystemExit("corpus zorder requires --by colA,colB[,colC...]")
         write_zordered(
-            df, args.out_path, a, b,
+            df, args.out_path, cols=by,
             num_files=getattr(args, "num_files", None),
         )
         return n_in, spark.read.parquet(args.out_path).count()

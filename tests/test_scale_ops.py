@@ -227,6 +227,30 @@ def test_z_value_interleaves_bits(spark):
     assert got == [0b0101, 0b1010, 0b1111, 0b0110]
 
 
+def test_z_value_n_three_columns(spark):
+    """N-column interleave: result bit i*N+j takes bit i of column j,
+    and write_zordered(cols=[...]) clamps bits to fit a long."""
+    import pytest
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.layout import (
+        z_value_n,
+    )
+
+    df = spark.createDataFrame([(0b1, 0b0, 0b1), (0b11, 0b01, 0b00)], "a long, b long, c long")
+    got = [
+        r[0]
+        for r in df.select(
+            z_value_n([F.col("a"), F.col("b"), F.col("c")], bits=2)
+        ).collect()
+    ]
+    # row 1: a0=1 -> bit0, b0=0 -> bit1, c0=1 -> bit2 = 0b101
+    assert got[0] == 0b101
+    # row 2: a=11, b=01, c=00 -> bits: a0@0, b0@1, c0@2, a1@3, b1@4, c1@5
+    assert got[1] == 0b001011
+    with pytest.raises(ValueError):
+        z_value_n([F.col("a")] * 4, bits=16)  # 64 bits > long
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     """A single-column sort leaves every file spanning the full range
     of the OTHER column (its parquet stats prune nothing for a
