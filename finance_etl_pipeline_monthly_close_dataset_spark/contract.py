@@ -35,6 +35,7 @@ from .operators import (
     chunking,
     dedup,
     kmeans,
+    matview,
     similarity,
     sketches,
     text_analysis,
@@ -4546,6 +4547,55 @@ FROM ranked WHERE rank <= {k}
 SQL_EMBEDDING_IVF_TRAINED_TOPK = _ivf_trained_sql()
 
 
+def q_orders_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (``operators/matview.py``):
+    orders arrive as three deterministic hash batches; each batch is
+    aggregated alone and MERGED into the running per-(year, status)
+    state -- count, decimal sum, min, max -- and the oracle recomputes
+    the same rollup in one shot over the whole table. Equality proves
+    merge(aggregate(A), aggregate(B)) == aggregate(A union B) exactly
+    (decimal sums are order-independent), which is what lets a 100 TB
+    recurring rollup aggregate ONLY the new partition each close and
+    merge it, instead of re-scanning history. Derived avg comes off
+    the final state, never stored."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    keys = ["order_year", "o_orderstatus"]
+    state = None
+    for i in range(3):
+        batch = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(3)) == i).drop(
+            "o_orderkey"
+        )
+        part = matview.aggregate_state(batch, keys, "o_totalprice")
+        state = part if state is None else matview.merge_states(state, part, keys)
+    return matview.finalize_state(state, keys).select(
+        "order_year",
+        "o_orderstatus",
+        "n_rows",
+        F.round("total_val", 2).alias("total_val"),
+        F.round("min_val", 2).alias("min_val"),
+        F.round("max_val", 2).alias("max_val"),
+        "avg_val",
+    )
+
+
+SQL_ORDERS_INCREMENTAL_STATE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       o_orderstatus,
+       COUNT(*) AS n_rows,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_val,
+       round(MIN(o_totalprice), 2) AS min_val,
+       round(MAX(o_totalprice), 2) AS max_val,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_val
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -4802,6 +4852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_key_skew": q_lineitem_key_skew,
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
+    "orders_incremental_state": q_orders_incremental_state,
 }
 
 ORACLES: dict[str, str] = {
@@ -4878,6 +4929,7 @@ ORACLES: dict[str, str] = {
     "lineitem_key_skew": SQL_LINEITEM_KEY_SKEW,
     "embedding_kmeans_centroids": SQL_EMBEDDING_KMEANS_CENTROIDS,
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
+    "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -1017,6 +1017,30 @@ def test_incremental_ingest_dedups_within_and_across_batches(spark, tmp_path):
     assert rows == {"alpha": 1, "beta": 2, "gamma": 5}  # min-id representatives
 
 
+def test_matview_merge_equals_full_recompute(spark):
+    """merge(aggregate(A), aggregate(B)) must equal aggregate(A u B)
+    exactly -- including the decimal sum -- for any split."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.matview import (
+        aggregate_state, finalize_state, merge_states,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.round(F.pmod(F.xxhash64("id"), F.lit(100000)) / 100.0, 2) - 300.0).alias("v"),
+        F.col("id"),
+    )
+    a = df.filter(F.col("id") % 2 == 0).drop("id")
+    b = df.filter(F.col("id") % 2 == 1).drop("id")
+    merged = finalize_state(
+        merge_states(aggregate_state(a, ["g"], "v"), aggregate_state(b, ["g"], "v"), ["g"]),
+        ["g"],
+    )
+    full = finalize_state(aggregate_state(df.drop("id"), ["g"], "v"), ["g"])
+    got = {r["g"]: tuple(r)[1:] for r in merged.collect()}
+    want = {r["g"]: tuple(r)[1:] for r in full.collect()}
+    assert got == want  # exact, not approximate: decimal sums
+
+
 def test_lloyd_kmeans_hand_computed(spark):
     """Two obvious 2-D clusters, k=2, 2 iterations: init is the two
     lowest-id points (0,0),(0,1); after two Lloyd iterations the
