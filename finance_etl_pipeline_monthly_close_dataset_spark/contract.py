@@ -4596,6 +4596,62 @@ GROUP BY 1, 2
 """
 
 
+def q_orders_priority_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window coverage (percent_rank + cume_dist, the two
+    not exercised elsewhere): per order priority, the count and
+    decimal revenue share of top-decile orders (percent_rank >= 0.9
+    within the priority) plus the cume_dist at the priority's maximum
+    price (== 1.0 by definition, a self-checking anchor). Windows
+    partition on the 5-value priority key -- each partition is
+    fact-sized but the window only ranks, so state is a sort per
+    partition; at 100 TB the same query range-repartitions on
+    (priority, price) first (see operators/ranking.py for the exact
+    global form)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("pr") >= 0.9, 1).otherwise(0)).alias("n_top_decile"),
+            F.round(
+                dsum(F.when(F.col("pr") >= 0.9, F.col("o_totalprice")).otherwise(0.0), "18,2")
+                / dsum(F.col("o_totalprice"), "18,2") * 100.0,
+                6,
+            ).alias("top_decile_revenue_pct"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDERS_PRIORITY_PERCENTILES = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr,
+         cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_decile,
+       round({s_top} / {s_all} * 100.0, 6) AS top_decile_revenue_pct,
+       round(MAX(cd), 6) AS max_cume_dist
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+""".format(
+    s_top=_sql_dsum("CASE WHEN pr >= 0.9 THEN o_totalprice ELSE 0.0 END", "18,2"),
+    s_all=_sql_dsum("o_totalprice", "18,2"),
+)
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -4853,6 +4909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "orders_incremental_state": q_orders_incremental_state,
+    "orders_priority_percentiles": q_orders_priority_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4930,6 +4987,7 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans_centroids": SQL_EMBEDDING_KMEANS_CENTROIDS,
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
+    "orders_priority_percentiles": SQL_ORDERS_PRIORITY_PERCENTILES,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
