@@ -56,6 +56,11 @@ HEAVY = [
     "events_rolling_active",
     "nation_market_share",
     "docs_pack_budget",
+    # round 4 additions: LSH recall vs inverted-index ground truth,
+    # the Lloyd training loop, and the trained-IVF search
+    "docs_ngram_jaccard_recall",
+    "embedding_kmeans_centroids",
+    "embedding_ivf_trained_topk",
 ]
 
 
