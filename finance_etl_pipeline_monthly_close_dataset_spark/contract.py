@@ -4652,6 +4652,83 @@ ORDER BY 1
 )
 
 
+def q_orders_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned lake's change data feed under the driver oracle
+    (``sources/versioned_lake.py``): a bounded orders slice commits as
+    snapshot v1 (even order keys, latest-per-customer), the odd keys
+    upsert-merge into v2, and the returned rows are
+    ``changes_between(v1, v2)`` -- the row-level insert/update feed
+    Delta/Iceberg expose as CDF, here over plain parquet versions with
+    an atomically flipped pointer. The oracle recomputes both
+    snapshots with ROW_NUMBER windows and full-outer-diffs them, so
+    commit isolation, the upsert merge, AND the diff semantics are
+    value-checked as one unit."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import versioned_lake as vl
+
+    base = tempfile.mkdtemp(prefix="contract_vlake_")
+    lake = os.path.join(base, "lake")
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.timestamp_seconds(F.col("o_orderkey")).alias("ts"),
+            F.col("o_totalprice").cast("double").alias("value"),
+        )
+    )
+    b1 = src.filter(F.unix_timestamp("ts") % 2 == 0)
+    b2 = src.filter(F.unix_timestamp("ts") % 2 == 1)
+    vl.upsert_version(b1, lake, "custkey", "ts")
+    vl.upsert_version(b2, lake, "custkey", "ts")
+    out = (
+        vl.changes_between(spark, lake, 1, 2, ["custkey"], ["value"])
+        .select(
+            "custkey",
+            "change_type",
+            F.round("old_value", 2).alias("old_value"),
+            F.round("new_value", 2).alias("new_value"),
+        )
+        .localCheckpoint(eager=True)  # detach before the dir is removed
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_ORDERS_VERSIONED_CDF = """
+WITH src AS (
+  SELECT o_custkey AS custkey, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS value
+  FROM orders WHERE o_custkey < 200
+),
+v1 AS (
+  SELECT custkey, value FROM (
+    SELECT custkey, value,
+           ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY o_orderkey DESC) AS rn
+    FROM src WHERE o_orderkey % 2 = 0) WHERE rn = 1
+),
+v2 AS (
+  SELECT custkey, value FROM (
+    SELECT custkey, value,
+           ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY o_orderkey DESC) AS rn
+    FROM src) WHERE rn = 1
+)
+SELECT COALESCE(v2.custkey, v1.custkey) AS custkey,
+       CASE WHEN v1.custkey IS NULL THEN 'insert'
+            WHEN v2.custkey IS NULL THEN 'delete'
+            WHEN v1.value IS DISTINCT FROM v2.value THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       round(v1.value, 2) AS old_value,
+       round(v2.value, 2) AS new_value
+FROM v1 FULL JOIN v2 ON v1.custkey = v2.custkey
+WHERE NOT (v1.custkey IS NOT NULL AND v2.custkey IS NOT NULL
+           AND v1.value IS NOT DISTINCT FROM v2.value)
+"""
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -4910,6 +4987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "orders_incremental_state": q_orders_incremental_state,
     "orders_priority_percentiles": q_orders_priority_percentiles,
+    "orders_versioned_cdf": q_orders_versioned_cdf,
 }
 
 ORACLES: dict[str, str] = {
@@ -4988,6 +5066,7 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
     "orders_priority_percentiles": SQL_ORDERS_PRIORITY_PERCENTILES,
+    "orders_versioned_cdf": SQL_ORDERS_VERSIONED_CDF,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

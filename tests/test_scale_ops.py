@@ -291,3 +291,60 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert files_overlapping_b(zp, 0, 15) <= 6    # z-order: most skipped
     # and the data survives the layout intact
     assert spark.read.parquet(zp).count() == n * n
+
+
+def test_versioned_lake_snapshot_isolation_and_cdf(spark, tmp_path):
+    """Commit -> upsert -> time travel -> change feed -> vacuum, plus
+    crash-orphan recovery: an unreferenced v-directory from a crashed
+    commit must be restaged, never exposed."""
+    import datetime as dt
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources import (
+        versioned_lake as vl,
+    )
+
+    lake = str(tmp_path / "vlake")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    b1 = spark.createDataFrame(
+        [(1, t0, 1.0), (2, t0, 2.0)], "k long, ts timestamp, v double"
+    )
+    assert vl.upsert_version(b1, lake, "k", "ts") == 1
+    # crash simulation: a half-written v=2 exists but the pointer
+    # still says 1 -- readers must not see it, the next commit restages
+    os.makedirs(os.path.join(lake, "v=2"))
+    assert vl.current_version(lake) == 1
+    assert {r["k"] for r in vl.read_latest(spark, lake).collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=5), 20.0),
+         (3, t0 + dt.timedelta(minutes=5), 3.0)],
+        "k long, ts timestamp, v double",
+    )
+    assert vl.upsert_version(b2, lake, "k", "ts") == 2
+    # old snapshot is untouched (time travel)
+    assert {r["k"]: r["v"] for r in vl.read_version(spark, lake, 1).collect()} == {
+        1: 1.0, 2: 2.0,
+    }
+    assert {r["k"]: r["v"] for r in vl.read_latest(spark, lake).collect()} == {
+        1: 1.0, 2: 20.0, 3: 3.0,
+    }
+
+    # change data feed between snapshots
+    cdf = {
+        r["k"]: r["change_type"]
+        for r in vl.changes_between(spark, lake, 1, 2, ["k"], ["v"]).collect()
+    }
+    assert cdf == {2: "update", 3: "insert"}
+
+    b3 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=9), 10.0)], "k long, ts timestamp, v double"
+    )
+    assert vl.upsert_version(b3, lake, "k", "ts") == 3
+    removed = vl.vacuum(lake, keep_last=2)
+    assert removed == [1]
+    assert sorted(d for d in os.listdir(lake) if d.startswith("v=")) == ["v=2", "v=3"]
+    assert {r["k"]: r["v"] for r in vl.read_latest(spark, lake).collect()} == {
+        1: 10.0, 2: 20.0, 3: 3.0,
+    }
