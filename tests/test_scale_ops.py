@@ -348,3 +348,25 @@ def test_versioned_lake_snapshot_isolation_and_cdf(spark, tmp_path):
     assert {r["k"]: r["v"] for r in vl.read_latest(spark, lake).collect()} == {
         1: 10.0, 2: 20.0, 3: 3.0,
     }
+
+
+def test_z_value_n_is_bijective_on_small_domain(spark):
+    """Exhaustive: over [0,4)^3 at 2 bits/column the interleave is a
+    bijection onto [0, 64) -- no two cells collide, so range
+    partitioning on z cannot merge distinct key combinations."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.layout import (
+        z_value_n,
+    )
+
+    df = spark.range(64).select(
+        (F.col("id") % 4).alias("a"),
+        ((F.col("id") / 4).cast("long") % 4).alias("b"),
+        ((F.col("id") / 16).cast("long") % 4).alias("c"),
+    )
+    zs = [
+        r[0]
+        for r in df.select(
+            z_value_n([F.col("a"), F.col("b"), F.col("c")], bits=2)
+        ).collect()
+    ]
+    assert sorted(zs) == list(range(64))
