@@ -4729,6 +4729,101 @@ WHERE NOT (v1.custkey IS NOT NULL AND v2.custkey IS NOT NULL
 """
 
 
+def q_docs_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (``corpus.leakage_free_split``):
+    assignment is keyed on the CONTENT fingerprint, so every exact
+    copy of a text lands in one split and duplicates can never
+    straddle train and eval. The output carries its own proof: per
+    split, doc and distinct-fingerprint counts, plus the global count
+    of fingerprints seen in more than one split -- which the oracle
+    asserts is ZERO by recomputing the same md5-bucket assignment."""
+    from . import corpus as corpus_mod
+
+    docs = t(spark, sf_dir, "documents")
+    assigned = corpus_mod.leakage_free_split(docs).select(
+        "split", F.md5("text").alias("fp")
+    )
+    leaky = (
+        assigned.groupBy("fp")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_fingerprints"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_fingerprints"),
+        )
+        .crossJoin(F.broadcast(leaky))
+    )
+
+
+SQL_DOCS_LEAKAGE_SPLIT = """
+WITH assigned AS (
+  SELECT md5(text) AS fp,
+         CASE WHEN CAST(('0x' || substr(md5(md5(text)), 1, 2)) AS INT) < 204 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(md5(text)), 1, 2)) AS INT) < 229 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+leaky AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_fingerprints FROM (
+    SELECT fp FROM assigned GROUP BY fp HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       (SELECT n_leaky_fingerprints FROM leaky) AS n_leaky_fingerprints
+FROM assigned GROUP BY 1
+"""
+
+
+_MIX_BUDGETS = {"src0": 100000, "src1": 700, "src2": 300}
+
+
+def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware corpus mixing (``corpus.token_budget_mix``):
+    src0's budget exceeds its volume (kept whole), src1 and src2
+    downsample to ~budget tokens via per-source keep-fractions
+    computed from one aggregate, and every other source drops. The
+    oracle recomputes the fractions and the md5-bucket membership, so
+    the mix composition -- documents AND tokens kept per source -- is
+    value-checked, not approximate."""
+    from . import corpus as corpus_mod
+    from .operators.text import tokens as tok_fn
+
+    docs = t(spark, sf_dir, "documents")
+    mixed = corpus_mod.token_budget_mix(docs, _MIX_BUDGETS, source_col="source")
+    return (
+        mixed.select("source", F.size(tok_fn(F.col("text"))).alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )
+
+
+SQL_DOCS_TOKEN_BUDGET_MIX = """
+WITH tok AS (
+  SELECT doc_id, source, len({toks}) AS n FROM documents
+),
+tot AS (SELECT source, SUM(n) AS total FROM tok GROUP BY 1),
+frac AS (
+  SELECT tot.source, LEAST(1.0, b.budget / CAST(total AS DOUBLE)) AS keep
+  FROM tot JOIN (VALUES ('src0', 100000), ('src1', 700), ('src2', 300)) b(source, budget)
+    ON tot.source = b.source
+),
+kept AS (
+  SELECT t.doc_id, t.source, t.n
+  FROM tok t JOIN frac f ON t.source = f.source
+  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INT) < f.keep * 65536.0
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1
+""".format(toks=_SQL_TOKENS)
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -4988,6 +5083,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_incremental_state": q_orders_incremental_state,
     "orders_priority_percentiles": q_orders_priority_percentiles,
     "orders_versioned_cdf": q_orders_versioned_cdf,
+    "docs_leakage_split": q_docs_leakage_split,
+    "docs_token_budget_mix": q_docs_token_budget_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -5067,6 +5164,8 @@ ORACLES: dict[str, str] = {
     "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
     "orders_priority_percentiles": SQL_ORDERS_PRIORITY_PERCENTILES,
     "orders_versioned_cdf": SQL_ORDERS_VERSIONED_CDF,
+    "docs_leakage_split": SQL_DOCS_LEAKAGE_SPLIT,
+    "docs_token_budget_mix": SQL_DOCS_TOKEN_BUDGET_MIX,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -81,6 +81,82 @@ def weighted_sample_by_hash(
     return df.filter(_hash_bucket(id_col) < w * 65536.0)
 
 
+def leakage_free_split(
+    df: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the CONTENT fingerprint, not
+    the document id: every exact copy of the same text lands in the
+    same split, so duplicates can never straddle train and eval (the
+    benchmark-leakage failure mode an id-hash split silently allows
+    whenever dedup is imperfect or intentionally deferred). For
+    near-dup-level isolation, split on the duplicate-cluster
+    representative (``dedup.connected_components`` ->
+    ``docs_cluster_best``) with the same bucket rule -- the fingerprint
+    form is the zero-extra-shuffle default.
+
+    Same md5-bucket determinism as the samplers: membership is
+    reproducible across engines, runs, and partitionings; map-side
+    expression, no shuffle."""
+    bucket = F.conv(
+        F.substring(F.md5(F.md5(F.col(text_col))), 1, 2), 16, 10
+    ).cast("int")
+    train_hi = int(256 * train_pct / 100)
+    val_hi = train_hi + int(256 * val_pct / 100)
+    split = (
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget-aware corpus mixing: sample each source down to
+    ~``budgets[source]`` whitespace tokens (sources already under
+    budget keep everything). The keep-fraction per source is
+    budget / actual_tokens, computed with ONE aggregate over a narrow
+    projection and broadcast back; membership then reuses the
+    deterministic md5 bucket, so the mix is reproducible and
+    per-document stable as long as its source's fraction doesn't cross
+    its bucket. This is the "2 epochs of Wikipedia, 0.3 of CommonCrawl"
+    mixing step expressed as data, with the caveat that hash sampling
+    hits the budget in expectation, not exactly (exact-cut ordering
+    costs a global sort; the expectation form is the 100 TB default)."""
+    from .operators.text import tokens
+
+    totals = (
+        df.select(F.col(source_col).alias("__src"), tokens(F.col(text_col)).alias("_t"))
+        .select("__src", F.size("_t").alias("_n"))
+        .groupBy("__src")
+        .agg(F.sum("_n").alias("_total_tokens"))
+    )
+    budget_rows = [(s, int(b)) for s, b in sorted(budgets.items())]
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(budget_rows, "__src string, _budget long")
+    fractions = totals.join(F.broadcast(bdf), on="__src").select(
+        "__src",
+        F.least(
+            F.lit(1.0), F.col("_budget") / F.col("_total_tokens").cast("double")
+        ).alias("_keep"),
+    )
+    out = df.join(
+        F.broadcast(fractions),
+        df[source_col] == fractions["__src"],
+        "left",
+    )
+    keep = F.coalesce(F.col("_keep"), F.lit(0.0))  # unlisted sources drop
+    return out.filter(_hash_bucket(id_col) < keep * 65536.0).drop("__src", "_keep")
+
+
 def incremental_ingest(
     spark: SparkSession,
     new_docs: DataFrame,

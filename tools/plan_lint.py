@@ -85,6 +85,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "nested_loop": "same k=4 centroid broadcast (assignment + "
         "probe-cell ranking); search join is cell-equality"
     },
+    "docs_leakage_split": {
+        "nested_loop": "1-row global leaky-fingerprint count broadcast "
+        "onto the 3-row per-split summary",
+    },
     "lineitem_bloom_semijoin": {
         "nested_loop": "1-row broadcasts: the 256-long bloom bitmap "
         "plus three single-row stat aggregates",
