@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
             "sample", "redact", "collocations", "chunk", "embed", "ingest",
-            "zorder",
+            "zorder", "mix",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--max-hamming", type=int, default=3, help="dedup simhash")
     corpus_p.add_argument("--train-pct", type=int, default=80, help="split")
     corpus_p.add_argument("--val-pct", type=int, default=10, help="split")
+    corpus_p.add_argument("--by-content", action="store_true",
+                          help="split: key the assignment on the content fingerprint "
+                               "(leakage-free: duplicates never straddle splits)")
+    corpus_p.add_argument("--budgets", default=None,
+                          help="mix: per-source token budgets, e.g. 'wiki=1000000,cc=250000' "
+                               "(sources not listed are dropped)")
+    corpus_p.add_argument("--source-col", default="source", help="mix: source column")
     corpus_p.add_argument("--budget-tokens", type=int, default=2048, help="pack")
     corpus_p.add_argument("--n-buckets", type=int, default=64, help="pack")
     corpus_p.add_argument("--benchmark", dest="benchmark_path", default=None,

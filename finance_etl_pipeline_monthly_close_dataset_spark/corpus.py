@@ -285,17 +285,37 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         ).select(args.id_col)
         out = df.join(contaminated, on=args.id_col, how="left_anti")
     elif args.op == "split":
-        bucket = F.conv(
-            F.substring(F.md5(F.col(args.id_col).cast("string")), 1, 2), 16, 10
-        ).cast("int")
-        train_hi = int(256 * args.train_pct / 100)
-        val_hi = train_hi + int(256 * args.val_pct / 100)
-        split = (
-            F.when(bucket < train_hi, F.lit("train"))
-            .when(bucket < val_hi, F.lit("val"))
-            .otherwise(F.lit("test"))
+        if getattr(args, "by_content", False):
+            out = leakage_free_split(
+                df, args.train_pct, args.val_pct, args.text_col
+            )
+        else:
+            bucket = F.conv(
+                F.substring(F.md5(F.col(args.id_col).cast("string")), 1, 2), 16, 10
+            ).cast("int")
+            train_hi = int(256 * args.train_pct / 100)
+            val_hi = train_hi + int(256 * args.val_pct / 100)
+            split = (
+                F.when(bucket < train_hi, F.lit("train"))
+                .when(bucket < val_hi, F.lit("val"))
+                .otherwise(F.lit("test"))
+            )
+            out = df.withColumn("split", split)
+    elif args.op == "mix":
+        spec = getattr(args, "budgets", None)
+        if not spec:
+            raise SystemExit("corpus mix requires --budgets source=tokens[,source=tokens...]")
+        budgets = {}
+        for pair in spec.split(","):
+            src, eq, n = pair.partition("=")
+            if not (src and eq and n.isdigit()):
+                raise SystemExit(f"--budgets: bad pair {pair!r} (want source=tokens)")
+            budgets[src.strip()] = int(n)
+        out = token_budget_mix(
+            df, budgets,
+            source_col=getattr(args, "source_col", "source"),
+            id_col=args.id_col, text_col=args.text_col,
         )
-        out = df.withColumn("split", split)
     elif args.op == "embed":
         out = text_analysis.feature_hash_embedding(
             df,
