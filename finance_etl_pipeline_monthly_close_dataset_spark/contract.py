@@ -4945,6 +4945,572 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H decision-support shapes, round 4 second batch (Q2/Q7/Q11/Q13/Q14/
+# Q16/Q17/Q18/Q19/Q20/Q22 adapted to the testdata schema -- there is no
+# partsupp table, so lineitem serves as the part<->supplier bridge and
+# unit price / shipped quantity stand in for ps_supplycost / ps_availqty).
+# Reference parity: these cover the remaining classic decision-support
+# query shapes (correlated scalar aggregates, NOT-IN blacklists, HAVING
+# semi-joins, OR-disjunct pushdown, count-distribution outer joins) that
+# the reference's pandas pipeline expresses imperatively.
+# --------------------------------------------------------------------------
+
+
+def q_part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part. The correlated
+    ``cost = (SELECT MIN ...)`` subquery decorrelates to one aggregate
+    over the bridge plus a join back on (partkey, min_price); ties
+    break to the lowest suppkey in a second tiny aggregate, so the
+    result is a total function of the data. Unit price is one IEEE
+    double division -- bit-identical in both engines -- and the join
+    back compares those identical doubles for equality.
+
+    Scale shape: lineitem shuffles once on l_partkey for the MIN and
+    once for the join back (AQE can reuse the exchange); part is
+    filter-pruned before joining; supplier/nation are broadcast dims.
+    """
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    offers = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_name", "l_suppkey", unit
+    )
+    cheapest = offers.groupBy(F.col("p_partkey").alias("_ck")).agg(
+        F.min("unit_price").alias("min_unit")
+    )
+    winner = (
+        offers.join(
+            cheapest,
+            (offers.p_partkey == cheapest._ck)
+            & (offers.unit_price == cheapest.min_unit),
+        )
+        .drop("_ck")
+        .groupBy("p_partkey", "p_name", "min_unit")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        winner.join(F.broadcast(supp), on="s_suppkey")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("min_unit", 6).alias("min_unit_price"),
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+
+
+SQL_PART_CHEAPEST_SUPPLIER = """
+WITH offers AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY' AND p_size <= 10
+), cheapest AS (
+  SELECT p_partkey, MIN(unit_price) AS min_unit FROM offers GROUP BY 1
+), winner AS (
+  SELECT o.p_partkey, o.p_name, c.min_unit, MIN(o.l_suppkey) AS s_suppkey
+  FROM offers o JOIN cheapest c
+    ON o.p_partkey = c.p_partkey AND o.unit_price = c.min_unit
+  GROUP BY 1, 2, 3
+)
+SELECT w.p_partkey, w.p_name, ROUND(w.min_unit, 6) AS min_unit_price,
+       w.s_suppkey, s.s_name, n.n_name AS supp_nation
+FROM winner w
+JOIN supplier s ON w.s_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations.
+    Revenue shipped 1996-1997 where the supplier sits in one of the
+    pair and the ordering customer in the other, grouped by
+    (supp_nation, cust_nation, ship_year). The pair IN-list filters
+    the supplier/customer sides BEFORE their fact joins (2 of 25
+    nations survive), nation itself is the only forced broadcast, and
+    the supplier/customer join strategies are left to AQE -- dim-
+    broadcast here, shuffle joins at 100 TB where customer is fact-
+    sized. Only lineitem<->orders shuffles unconditionally.
+    """
+    pair = ("NATION_1", "NATION_2")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s_nat = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    c_nat = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(s_nat, li.l_suppkey == s_nat.s_suppkey)
+        .join(c_nat, orders.o_custkey == c_nat.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_PAIR_TRADE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       strftime(l_shipdate, '%Y') AS ship_year,
+       {rev} AS volume, COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""".format(rev=_sql_dsum("l_extendedprice * (1 - l_discount)"))
+
+
+def q_important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value within one supplier
+    region exceeds a scalar threshold derived from the whole scoped
+    set -- here 2x the MEAN part value, so the predicate stays
+    non-trivial at every scale factor (a fixed fraction of the grand
+    total degenerates as the part count grows). The scalar subquery
+    becomes a 1-row (total, n_parts) broadcast joined against the
+    per-part aggregate; the compare runs in exact integer-scaled
+    decimal (value * n_parts > 2 * total), so no float boundary can
+    split the engines.
+    """
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    li = t(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice").cast("decimal(18,2)")
+    scoped = li.join(
+        F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey")
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum(val).alias("_v"))
+    glob = per_part.agg(F.sum("_v").alias("_t"), F.count(F.lit(1)).alias("_n"))
+    return (
+        per_part.join(F.broadcast(glob))
+        .filter(F.col("_v") * F.col("_n") > F.lit(2) * F.col("_t"))
+        .select(
+            "l_partkey",
+            F.col("_v").cast("double").alias("part_value"),
+        )
+    )
+
+
+SQL_IMPORTANT_PARTS_VALUE = """
+WITH scoped AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 5
+), per_part AS (
+  SELECT l_partkey, SUM(v) AS pv FROM scoped GROUP BY 1
+), tot AS (
+  SELECT SUM(pv) AS t, COUNT(*) AS n FROM per_part
+)
+SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+FROM per_part CROSS JOIN tot
+WHERE pv * n > 2 * t
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts.
+    The left outer join keeps zero-order customers (their count is 0,
+    not a dropped row) and the second aggregate folds customers into
+    a count-of-counts histogram. Orders are pre-filtered to
+    non-urgent, so the zero bucket is non-trivial.
+
+    Scale shape: two hash aggregates and one shuffle join on custkey;
+    the histogram input is already customer-sized, the output
+    distinct-count-sized.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("_n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate share -- the percentage
+    of one month's revenue coming from PROMO-type parts, computed as
+    two exact decimal sums in ONE aggregate pass (CASE WHEN inside
+    SUM, no second scan), divided as identical doubles at the end.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo_rev).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH agg AS (
+  SELECT
+    {promo} AS promo_revenue,
+    {total} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+FROM agg
+""".format(
+    promo=_sql_dsum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+    ),
+    total=_sql_dsum("l_extendedprice * (1 - l_discount)"),
+)
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, with a NOT-IN supplier blacklist. The blacklist (suppliers
+    in arrears, s_acctbal < 0 -- the 'customer complaints' stand-in)
+    is a broadcast LEFT ANTI join, the canonical scalable NOT IN on a
+    null-free key; the distinct count shuffles (brand, type, size,
+    suppkey) once, then folds.
+    """
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    blacklist = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(blacklist), li.l_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity lines --
+    lines whose quantity is below 20% of their part's average, for one
+    brand. The correlated ``l_quantity < 0.2 * (SELECT AVG ...)``
+    decorrelates to a per-part (count, sum) aggregate joined back;
+    the 0.2x-average predicate runs in exact integer-scaled decimal
+    (qty * 5 * n < sum), immune to float thresholds. One output row:
+    the famous avg-yearly figure plus its exact numerator/count.
+    """
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = branded.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(qty_dec).alias("_sq")
+    )
+    small = branded.join(stats, on="l_partkey").filter(
+        qty_dec * F.lit(5) * F.col("_n") < F.col("_sq")
+    )
+    return small.agg(
+        dsum(F.col("l_extendedprice"), "18,2").alias("small_revenue"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    ).select(
+        "small_revenue",
+        "n_small_lines",
+        F.round(F.col("small_revenue") / F.lit(7.0), 6).alias("avg_yearly"),
+    )
+
+
+SQL_SMALL_ORDER_REVENUE = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), stats AS (
+  SELECT l_partkey, COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM branded GROUP BY 1
+), small AS (
+  SELECT b.l_extendedprice
+  FROM branded b JOIN stats s USING (l_partkey)
+  WHERE CAST(b.l_quantity AS DECIMAL(18,2)) * 5 * s.n < s.sq
+)
+SELECT {rev} AS small_revenue, COUNT(*) AS n_small_lines,
+       ROUND({rev} / 7.0, 6) AS avg_yearly
+FROM small
+""".format(rev=_sql_dsum("l_extendedprice", "18,2"))
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders -- the ``o_orderkey IN
+    (SELECT ... HAVING SUM(l_quantity) > K)`` subquery as an aggregate
+    + inner join (each orderkey appears once post-HAVING, so the join
+    IS the semi-join), then customer enrichment. The quantity
+    threshold compares exact decimals.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > F.lit(250))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, CAST(q AS DOUBLE) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_bracket_pricing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicate (three
+    brand/size/quantity brackets) collapsed into one scan -- the
+    disjunction composes per-bracket conjuncts that each engine can
+    evaluate rowwise; Spark pushes the shared p_partkey join and lets
+    the disjunct filter run post-join. One exact-decimal revenue row
+    per bracket via a CASE label (so the oracle checks each bracket's
+    contribution, not just the blended total).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 30))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 40))
+    )
+    bracket = (
+        F.when(b1, F.lit("bracket_1"))
+        .when(b2, F.lit("bracket_2"))
+        .when(b3, F.lit("bracket_3"))
+    )
+    return (
+        j.filter(b1 | b2 | b3)
+        .groupBy(bracket.alias("bracket"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_BRACKET_PRICING_REVENUE = """
+WITH j AS (
+  SELECT p_brand, p_size, l_quantity, l_extendedprice, l_discount,
+    CASE
+      WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20 THEN 'bracket_1'
+      WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30 THEN 'bracket_2'
+      WHEN p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40 THEN 'bracket_3'
+    END AS bracket
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT bracket, {rev} AS revenue, COUNT(*) AS n_lines
+FROM j WHERE bracket IS NOT NULL
+GROUP BY 1
+""".format(rev=_sql_dsum("l_extendedprice * (1 - l_discount)"))
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved disproportionate volume of
+    a part family -- shipped more than 1.5x the average per-supplier
+    1996 quantity of 'red'-named parts. Nested aggregation (per-
+    supplier sums -> global average as a 1-row broadcast) followed by
+    a semi-join back to the supplier dim. The 1.5x-average threshold
+    is exact integer-scaled decimal: sum_i * 2 * n_suppliers > 3 *
+    total.
+    """
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    per_supp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty_dec).alias("_q"))
+    )
+    glob = per_supp.agg(
+        F.sum("_q").alias("_t"), F.count(F.lit(1)).alias("_n")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        per_supp.join(F.broadcast(glob))
+        .filter(F.col("_q") * F.lit(2) * F.col("_n") > F.lit(3) * F.col("_t"))
+        .join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.col("_q").cast("double").alias("red_qty_1996"),
+        )
+    )
+
+
+SQL_EXCESS_STOCK_SUPPLIERS = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(q) AS t, COUNT(*) AS n FROM per_supp
+)
+SELECT s_suppkey, s_name, n_name AS supp_nation, CAST(q AS DOUBLE) AS red_qty_1996
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+CROSS JOIN tot
+WHERE q * 2 * n > 3 * t
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers gone idle -- no orders
+    since 1999 -- as sales leads. The global-average scalar subquery
+    (average POSITIVE account balance) broadcasts as one row, the
+    ``NOT EXISTS`` over recent orders is a left anti join on the
+    date-pruned fact, grouped by nation. ``bal > avg`` runs exact:
+    bal * n_pos > sum_pos in decimals.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_dec).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(bal_dec * F.col("_n") > F.col("_s"))
+        .join(
+            orders.select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "18,2").alias("total_balance"),
+        )
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       {bal} AS total_balance
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY 1
+""".format(bal=_sql_dsum("c_acctbal", "18,2"))
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window --
 # one representative per SURVEY §2 family plus the flagship analytics
@@ -5085,6 +5651,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_versioned_cdf": q_orders_versioned_cdf,
     "docs_leakage_split": q_docs_leakage_split,
     "docs_token_budget_mix": q_docs_token_budget_mix,
+    # --- TPC-H decision-support shapes, round-4 second batch (11) ---
+    "part_cheapest_supplier": q_part_cheapest_supplier,
+    "nation_pair_trade": q_nation_pair_trade,
+    "important_parts_value": q_important_parts_value,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue_share": q_promo_revenue_share,
+    "supplier_part_counts": q_supplier_part_counts,
+    "small_order_revenue": q_small_order_revenue,
+    "large_volume_orders": q_large_volume_orders,
+    "bracket_pricing_revenue": q_bracket_pricing_revenue,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5166,6 +5744,17 @@ ORACLES: dict[str, str] = {
     "orders_versioned_cdf": SQL_ORDERS_VERSIONED_CDF,
     "docs_leakage_split": SQL_DOCS_LEAKAGE_SPLIT,
     "docs_token_budget_mix": SQL_DOCS_TOKEN_BUDGET_MIX,
+    "part_cheapest_supplier": SQL_PART_CHEAPEST_SUPPLIER,
+    "nation_pair_trade": SQL_NATION_PAIR_TRADE,
+    "important_parts_value": SQL_IMPORTANT_PARTS_VALUE,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
+    "small_order_revenue": SQL_SMALL_ORDER_REVENUE,
+    "large_volume_orders": SQL_LARGE_VOLUME_ORDERS,
+    "bracket_pricing_revenue": SQL_BRACKET_PRICING_REVENUE,
+    "excess_stock_suppliers": SQL_EXCESS_STOCK_SUPPLIERS,
+    "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -99,6 +99,24 @@ ALLOW: dict[str, dict[str, str]] = {
         "broadcast together for the recall ratio",
         "exchange_single": "the same two single-row count aggregates",
     },
+    # TPC-H scalar-subquery shapes (round-4 second batch): the HAVING /
+    # threshold scalar is a 1-row aggregate broadcast against the
+    # grouped intermediate -- the standard decorrelation plan
+    "important_parts_value": {
+        "nested_loop": "1-row regional-total broadcast for the Q11 "
+        "HAVING-fraction threshold",
+        "exchange_single": "the same single-row total aggregate",
+    },
+    "excess_stock_suppliers": {
+        "nested_loop": "1-row (total, n_suppliers) broadcast for the Q20 "
+        "1.5x-average threshold",
+        "exchange_single": "the same single-row global aggregate",
+    },
+    "idle_rich_customers": {
+        "nested_loop": "1-row positive-balance (sum, count) broadcast for "
+        "the Q22 above-average filter",
+        "exchange_single": "the same single-row global aggregate",
+    },
     # global scalar outputs: one-row results legitimately coalesce
     "global_extremes": {"exchange_single": "single-row global aggregate"},
     "events_funnel": {"exchange_single": "single-row funnel summary"},
