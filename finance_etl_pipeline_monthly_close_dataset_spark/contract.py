@@ -5511,6 +5511,61 @@ GROUP BY 1
 """.format(bal=_sql_dsum("c_acctbal", "18,2"))
 
 
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (``operators/similarity.py::semantic_dedup``): vectors are
+    assigned to the LLOYD-TRAINED coarse cells
+    (``embedding_kmeans_centroids``'s model, k=4, 2 iterations) and a
+    vector is dropped when an earlier same-cell vector has cosine >=
+    0.4 (keep-lowest-id rule -- deterministic, no tie luck). One row
+    per dropped vector with the kept reference and their similarity.
+    The DuckDB oracle unrolls the identical k-means training, re-
+    derives the assignment, and reproduces the exact drop set -- so
+    the full cluster-then-compare pipeline is value-checked end to
+    end.
+
+    Scale shape: the quadratic is confined to cells (sum |cell|^2, not
+    N^2); at 100 TB k grows with the corpus to bound cell size, and
+    the only wide shuffle is the pair join keyed on cell."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans.lloyd_kmeans(emb, k=4, n_iters=2)
+    return similarity.semantic_dedup(emb, cents, threshold=0.4)
+
+
+SQL_EMBEDDING_SEMANTIC_DEDUP = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         [round(CAST(x AS DOUBLE), 6) for x in embedding] AS centroid
+  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 4)
+),{{it1}},{{it2}},
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {{d2}}, c.cell) AS rn
+    FROM base e CROSS JOIN c2 c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cell,
+         round({{cos}}, 6) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+), drops AS (
+  SELECT id_b, cell, id_a, sim,
+         row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+  FROM pairs WHERE sim >= 0.4
+)
+SELECT id_b AS vec_id, cell, id_a AS kept_ref, sim AS cosine_sim
+FROM drops WHERE rn = 1
+""".format(
+    it1=_km_iteration_sql("a1", "init", "c1", "m1"),
+    it2=_km_iteration_sql("a2", "c1", "c2", "m2"),
+    d2=_km_d2_sql("e.embedding", "c.centroid"),
+    cos=_sql_cosine("a.embedding", "b.embedding"),
+)
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window --
 # one representative per SURVEY §2 family plus the flagship analytics
@@ -5663,6 +5718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_pricing_revenue": q_bracket_pricing_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5755,6 +5811,7 @@ ORACLES: dict[str, str] = {
     "bracket_pricing_revenue": SQL_BRACKET_PRICING_REVENUE,
     "excess_stock_suppliers": SQL_EXCESS_STOCK_SUPPLIERS,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+    "embedding_semantic_dedup": SQL_EMBEDDING_SEMANTIC_DEDUP,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -349,3 +349,78 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster-then-compare.
+
+    The pattern from Abbas et al. 2023 ("SemDeDup") -- instead of an
+    all-pairs cosine scan over the corpus, assign every vector to its
+    nearest coarse centroid (one map-side argmin pass over a broadcast
+    k x d model, the same assignment as ``ivf_topk``) and compare
+    pairs ONLY within a cell. A vector is a duplicate if some
+    EARLIER (lower-id) vector in its cell has cosine >= ``threshold``;
+    the keep-lowest-id rule makes the drop set a total function of the
+    data, no tie luck. Returns one row per dropped vector:
+    ``(vec_id, cell, kept_ref, cosine_sim)`` where ``kept_ref`` is the
+    smallest qualifying earlier neighbor.
+
+    Scale: the quadratic is confined to a cell, so cost is
+    sum(|cell|^2) instead of N^2 -- k grows with the corpus to keep
+    cells bounded (k ~ N / target_cell_size), exactly how SemDeDup
+    runs at dataset scale. The pair join shuffles on the cell id;
+    similarity is rounded to 6 dp BEFORE the threshold compare so the
+    oracle's float boundary is identical.
+    """
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_vec"), F.col("centroid"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias("cell"),
+            F.first("_vec").alias("_vec"),
+        )
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("cell").alias("_ca"), F.col("_vec").alias("_va")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("cell").alias("_cb"), F.col("_vec").alias("_vb")
+    )
+    pairs = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_cb").alias("cell"),
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )
+    return (
+        pairs.groupBy("id_b", "cell")
+        .agg(F.min_by(F.struct("id_a", "sim"), "id_a").alias("best"))
+        .select(
+            F.col("id_b").alias("vec_id"),
+            "cell",
+            F.col("best.id_a").alias("kept_ref"),
+            F.col("best.sim").alias("cosine_sim"),
+        )
+    )

@@ -1153,3 +1153,34 @@ def test_corpus_cli_ingest(spark, tmp_path):
     assert {r["text"] for r in spark.read.parquet(lake).collect()} == {
         "alpha", "beta", "gamma",
     }
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """Two 2-D clusters; within the first cluster, vectors 1/2/5 are
+    colinear (cosine 1.0) and vector 6 is orthogonal to them. The
+    keep-lowest-id rule must drop 2 and 5 against kept_ref=1, keep 6
+    (its only same-cell cosines are ~0), and never compare across
+    cells (vector 3/4's scaled copy pair IS dropped within its own
+    cell)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    pts = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),      # colinear with 1 -> dropped vs 1
+        (3, [100.0, 100.0]),  # far cluster
+        (4, [90.0, 90.0]),    # colinear with 3 -> dropped vs 3
+        (5, [3.0, 0.0]),      # colinear with 1 -> dropped vs 1 (not 2)
+        (6, [0.0, 1.0]),      # same cell as 1, orthogonal -> kept
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = lloyd_kmeans(df, k=2, n_iters=2)
+    out = {r["vec_id"]: r for r in semantic_dedup(df, cents, threshold=0.9).collect()}
+    assert set(out) == {2, 4, 5}
+    assert out[2]["kept_ref"] == 1 and out[2]["cosine_sim"] == 1.0
+    assert out[5]["kept_ref"] == 1 and out[5]["cosine_sim"] == 1.0
+    assert out[4]["kept_ref"] == 3 and out[4]["cosine_sim"] == 1.0

@@ -99,6 +99,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "broadcast together for the recall ratio",
         "exchange_single": "the same two single-row count aggregates",
     },
+    "embedding_semantic_dedup": {
+        "nested_loop": "k=4 trained centroids broadcast for the cell "
+        "assignment argmin (same pattern as the kmeans queries); the "
+        "pair compare itself is a cell-equality hash join",
+    },
     # TPC-H scalar-subquery shapes (round-4 second batch): the HAVING /
     # threshold scalar is a 1-row aggregate broadcast against the
     # grouped intermediate -- the standard decorrelation plan
