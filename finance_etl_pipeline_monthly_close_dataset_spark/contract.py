@@ -5511,6 +5511,111 @@ GROUP BY 1
 """.format(bal=_sql_dsum("c_acctbal", "18,2"))
 
 
+def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator
+    (``streaming/stateful.py::streaming_sessionize``,
+    ``applyInPandasWithState``) under the driver oracle: a bounded
+    user slice of the events table is replayed as TWO time-ordered
+    micro-batches (first half of the month, then the second --
+    delivery order pinned by staging file mtimes +
+    ``maxFilesPerTrigger=1``), so sessions that SPAN the batch
+    boundary must be stitched from the per-user state store, not
+    recomputed from history. The final per-user session profile must
+    equal the batch lag/gap recurrence the oracle runs over the raw
+    table -- a wrong cross-batch stitch changes ``n_sessions`` and
+    hash-misses.
+
+    Scale: state is two scalars per user key; per-batch work is each
+    user's NEW events only -- exactly the property the cross-batch
+    replay verifies."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .streaming.stateful import streaming_sessionize
+
+    e = events_table(spark, sf_dir).filter(F.col("user_id") < 100).select(
+        "user_id", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="contract_stateful_sessions_")
+    src = os.path.join(tmp, "src")
+    halves = [F.dayofmonth("ts") <= 15, F.dayofmonth("ts") > 15]
+    for i, pred in enumerate(halves):
+        e.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        # pin delivery order: FileStreamSource consumes oldest mtime
+        # first, so stamp this delivery's files AFTER the previous one
+        for f in sorted(os.listdir(src)):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1_000_000 + i:
+                os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    sessions = streaming_sessionize(
+        spark,
+        src,
+        schema,
+        gap_minutes=30,
+        source_options={"maxFilesPerTrigger": "1"},
+    )
+    qn = f"stateful_sessions_{uuid.uuid4().hex}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .localCheckpoint(eager=True)  # detach from the memory sink
+    )
+    spark.catalog.dropTempView(qn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STATEFUL_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts FROM events WHERE user_id < 100
+), lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e
+), flags AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sess GROUP BY 1
+"""
+
+
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication
     (``operators/similarity.py::semantic_dedup``): vectors are
@@ -5719,6 +5824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "events_stateful_sessions": q_events_stateful_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -5812,6 +5918,7 @@ ORACLES: dict[str, str] = {
     "excess_stock_suppliers": SQL_EXCESS_STOCK_SUPPLIERS,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "embedding_semantic_dedup": SQL_EMBEDDING_SEMANTIC_DEDUP,
+    "events_stateful_sessions": SQL_EVENTS_STATEFUL_SESSIONS,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

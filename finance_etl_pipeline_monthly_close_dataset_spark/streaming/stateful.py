@@ -76,6 +76,7 @@ def streaming_sessionize(
     schema: T.StructType,
     gap_minutes: int = 30,
     idle_timeout: bool = False,
+    source_options: dict | None = None,
 ) -> DataFrame:
     """File-source stream -> per-user incremental session assignment.
 
@@ -90,7 +91,13 @@ def streaming_sessionize(
     pending timeouts keep scheduling no-data micro-batches, so
     ``processAllAvailable`` would never settle.
     """
-    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        # e.g. maxFilesPerTrigger=1 to force one micro-batch per file
+        # (files are consumed oldest-mtime-first, so a replay can pin
+        # cross-batch delivery order by staging file mtimes)
+        reader = reader.option(k, v)
+    stream = reader.parquet(parquet_dir)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if idle_timeout else GroupStateTimeout.NoTimeout
     )
