@@ -22,6 +22,7 @@ Determinism conventions (so value-hashes match the oracle exactly):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,7 @@ from .operators import (
     dedup,
     kmeans,
     matview,
+    retrieval,
     similarity,
     sketches,
     text_analysis,
@@ -5511,6 +5513,79 @@ GROUP BY 1
 """.format(bal=_sql_dsum("c_acctbal", "18,2"))
 
 
+def q_docs_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval preparation
+    (``operators/retrieval.py``): sliding-window chunking (64/48) ->
+    per-chunk feature-hash embedding (8 dims, portable md5 hashing
+    trick) -> exact cosine top-10 for a probe query string. The whole
+    pipeline to the scoring is expression-only and zero-shuffle (the
+    per-token hash array is staged ONCE per document and sliced per
+    chunk -- the PLANS.md HOF-CSE lesson); the only shuffle is the
+    distributed TakeOrderedAndProject top-k over (id, 8 ints) rows.
+    The oracle recomputes chunking, hashing, embedding, and ranking in
+    DuckDB, so the full retrieval stack is value-checked as one
+    unit."""
+    return retrieval.chunk_retrieval_topk(
+        t(spark, sf_dir, "documents"), PROBE_TEXT, k=10
+    )
+
+
+PROBE_TEXT = "spark window merge join"
+
+
+def _chunk_retrieval_sql(probe_text: str, k: int = 10, dim: int = 8) -> str:
+    from .operators.retrieval import embed_text
+
+    pv = embed_text(probe_text, dim)
+    psumsq = sum(x * x for x in pv)
+    pnorm = math.sqrt(float(psumsq))
+    f_sums = ",\n         ".join(
+        f"CAST(list_sum(list_transform(hs, h -> CASE WHEN (h & {dim - 1}) = {d} "
+        f"THEN (CASE WHEN ((h >> 3) & 1) = 0 THEN 1 ELSE -1 END) ELSE 0 END)) "
+        f"AS BIGINT) AS f{d}"
+        for d in range(dim)
+    )
+    # 0.0-seeded left-assoc chains mirror the Spark fold exactly, so
+    # signed-zero edge cases cannot split the engines
+    dot = " + ".join([f"0.0"] + [
+        f"CAST(f{d} AS DOUBLE) * {float(pv[d])!r}" for d in range(dim)
+    ])
+    sumsq = " + ".join([f"0.0"] + [
+        f"CAST(f{d} AS DOUBLE) * CAST(f{d} AS DOUBLE)" for d in range(dim)
+    ])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents
+), counted AS (
+  SELECT doc_id, tk,
+         CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS INT) + 1 AS n_chunks
+  FROM toks
+), sliced AS (
+  SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+         list_transform(tk[(k * 48 + 1):(k * 48 + 64)],
+           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM counted, UNNEST(range(0, n_chunks)) AS u(k)
+), emb AS (
+  SELECT doc_id, chunk_idx, CAST(len(hs) AS INT) AS chunk_tokens,
+         {f_sums}
+  FROM sliced
+), scored AS (
+  SELECT doc_id, chunk_idx, chunk_tokens,
+         ({dot}) / (sqrt({sumsq}) * {pnorm!r}) AS sim
+  FROM emb WHERE ({sumsq}) > 0
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY sim DESC, doc_id, chunk_idx) AS rank
+  FROM scored
+)
+SELECT doc_id, chunk_idx, chunk_tokens, round(sim, 6) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_DOCS_CHUNK_RETRIEVAL = _chunk_retrieval_sql(PROBE_TEXT)
+
+
 def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming operator
     (``streaming/stateful.py::streaming_sessionize``,
@@ -5825,6 +5900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
     "events_stateful_sessions": q_events_stateful_sessions,
+    "docs_chunk_retrieval": q_docs_chunk_retrieval,
 }
 
 ORACLES: dict[str, str] = {
@@ -5919,6 +5995,7 @@ ORACLES: dict[str, str] = {
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "embedding_semantic_dedup": SQL_EMBEDDING_SEMANTIC_DEDUP,
     "events_stateful_sessions": SQL_EVENTS_STATEFUL_SESSIONS,
+    "docs_chunk_retrieval": SQL_DOCS_CHUNK_RETRIEVAL,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -85,3 +85,32 @@ def test_chunking_plan_has_no_shuffle(spark):
     df = _docs(spark, [(1, "a b c d e f g h")])
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_hash_embeddings_match_driver_mirror(spark):
+    """A short (single-chunk) document's in-plan chunk embedding must
+    equal the driver-side probe mirror (same tokenizer, hash, bucket
+    and sign bits), and a multi-chunk doc embeds each window over the
+    staged hash slice (chunk 1 covers tokens 49..112 of 120)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.retrieval import (
+        chunk_hash_embeddings,
+        embed_text,
+    )
+
+    short = "Spark WINDOW merge   join spark"
+    long_toks = " ".join(f"tok{i % 9}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_toks)], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_hash_embeddings(df, dim=8).collect()
+    }
+    got = [rows[(1, 0)][f"f{d}"] for d in range(8)]
+    assert got == embed_text(short, dim=8)
+    assert rows[(1, 0)]["chunk_tokens"] == 5
+
+    toks = long_toks.split()
+    assert (2, 1) in rows and rows[(2, 1)]["chunk_tokens"] == 64
+    want = embed_text(" ".join(toks[48:112]), dim=8)
+    assert [rows[(2, 1)][f"f{d}"] for d in range(8)] == want
