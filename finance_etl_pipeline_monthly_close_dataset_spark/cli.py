@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
             "sample", "redact", "collocations", "chunk", "embed", "ingest",
-            "zorder", "mix",
+            "zorder", "mix", "retrieve", "semdedup",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -102,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
                           help="chunk: window stride (overlap = size - stride)")
     corpus_p.add_argument("--dim", type=int, default=8,
                           help="embed: feature-hash dimensions (power of two)")
+    corpus_p.add_argument("--query", default=None,
+                          help="retrieve: the probe query text")
+    corpus_p.add_argument("--vec-col", default="embedding",
+                          help="semdedup: embedding array column")
+    corpus_p.add_argument("--k-cells", type=int, default=4,
+                          help="semdedup: coarse cells to train")
     corpus_p.add_argument("--by", default=None,
                           help="zorder: two comma-separated integer columns, e.g. 'user_id,ts_key'")
     corpus_p.add_argument("--num-files", type=int, default=None,

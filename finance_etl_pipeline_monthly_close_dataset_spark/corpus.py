@@ -340,6 +340,37 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
             min_count=getattr(args, "min_count", 5),
             k=getattr(args, "top_k", 100),
         )
+    elif args.op == "retrieve":
+        from .operators.retrieval import chunk_retrieval_topk
+
+        query = getattr(args, "query", None)
+        if not query:
+            raise SystemExit("corpus retrieve requires --query <text>")
+        out = chunk_retrieval_topk(
+            df,
+            query,
+            k=getattr(args, "top_k", 100),
+            dim=getattr(args, "dim", 8),
+            chunk_size=getattr(args, "chunk_size", 64),
+            stride=getattr(args, "stride", 48),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+    elif args.op == "semdedup":
+        # input is an embeddings table (id + array<float/double> vector)
+        from .operators.kmeans import lloyd_kmeans
+        from .operators.similarity import semantic_dedup
+
+        vec_col = getattr(args, "vec_col", "embedding")
+        cents = lloyd_kmeans(
+            df, k=getattr(args, "k_cells", 4), n_iters=2,
+            id_col=args.id_col, vec_col=vec_col,
+        )
+        dropped = semantic_dedup(
+            df, cents, threshold=args.threshold,
+            id_col=args.id_col, vec_col=vec_col,
+        )
+        out = df.join(dropped.select(args.id_col), on=args.id_col, how="left_anti")
     else:  # pragma: no cover
         raise ValueError(args.op)
 

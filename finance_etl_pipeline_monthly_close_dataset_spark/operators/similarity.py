@@ -418,7 +418,7 @@ def semantic_dedup(
         pairs.groupBy("id_b", "cell")
         .agg(F.min_by(F.struct("id_a", "sim"), "id_a").alias("best"))
         .select(
-            F.col("id_b").alias("vec_id"),
+            F.col("id_b").alias(id_col),
             "cell",
             F.col("best.id_a").alias("kept_ref"),
             F.col("best.sim").alias("cosine_sim"),

@@ -1184,3 +1184,45 @@ def test_semantic_dedup_hand_computed(spark):
     assert out[2]["kept_ref"] == 1 and out[2]["cosine_sim"] == 1.0
     assert out[5]["kept_ref"] == 1 and out[5]["cosine_sim"] == 1.0
     assert out[4]["kept_ref"] == 3 and out[4]["cosine_sim"] == 1.0
+
+
+def test_corpus_cli_retrieve_and_semdedup(spark, tmp_path):
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "spark window merge join " * 20),
+            ("d2", "customer filter table scan " * 20),
+        ],
+        "doc_id string, text string",
+    )
+    src = str(tmp_path / "retr_in")
+    docs.write.parquet(src)
+    out = str(tmp_path / "retr_out")
+    rc = cli.main([
+        "corpus", "retrieve", "--in", src, "--out", out,
+        "--query", "spark window merge join", "--top-k", "3",
+    ])
+    assert rc == 0
+    top = spark.read.parquet(out).orderBy("rank").collect()
+    assert len(top) == 3
+    # the query-matching document's chunks must rank first
+    assert top[0]["doc_id"] == "d1" and abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [50.0, 50.0]),
+            (4, [45.0, 45.0]), (5, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    esrc = str(tmp_path / "semd_in")
+    emb.write.parquet(esrc)
+    eout = str(tmp_path / "semd_out")
+    rc = cli.main([
+        "corpus", "semdedup", "--in", esrc, "--out", eout,
+        "--id-col", "vec_id", "--threshold", "0.9", "--k-cells", "2",
+    ])
+    assert rc == 0
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(eout).collect())
+    assert kept == [1, 3, 5]  # 2 drops vs 1, 4 drops vs 3, orthogonal 5 kept
