@@ -61,6 +61,11 @@ HEAVY = [
     "docs_ngram_jaccard_recall",
     "embedding_kmeans_centroids",
     "embedding_ivf_trained_topk",
+    # round 4 second batch: cluster-then-compare dedup and the
+    # chunk->embed->topk retrieval stack (both dominated by
+    # expression-side work, so regressions here mean a plan change)
+    "embedding_semantic_dedup",
+    "docs_chunk_retrieval",
 ]
 
 
