@@ -5513,6 +5513,86 @@ GROUP BY 1
 """.format(bal=_sql_dsum("c_acctbal", "18,2"))
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue scan -- one year of
+    shipments, a discount band, small quantities, and the revenue that
+    would have been gained by eliminating the discount. Pure
+    filter-and-aggregate: every predicate reaches the parquet scan
+    (PushedFilters), no join, one exact-decimal sum. The discount band
+    uses integer-scaled decimal bounds (discount in [0.02, 0.04]
+    compared as exact DECIMAL(4,2) values), so the float boundary
+    cannot split the engines."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    sliced = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (disc >= F.lit(0.02).cast("decimal(4,2)"))
+        & (disc <= F.lit(0.04).cast("decimal(4,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return sliced.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("lost_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT {rev} AS lost_revenue, COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.02 AS DECIMAL(4,2))
+                                           AND CAST(0.04 AS DECIMAL(4,2))
+  AND l_quantity < 24
+""".format(rev=_sql_dsum("l_extendedprice * l_discount"))
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the returned-item problem customers -- top 20
+    customers by revenue of RETURNED lines ('R') for orders placed in
+    one quarter, enriched with their nation. The returnflag filter
+    pushes into the lineitem scan and the quarter filter into orders
+    BEFORE the fact join; nation broadcasts; top-20 is a
+    TakeOrderedAndProject with full tie-breaks."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "returned_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       {rev} AS returned_revenue,
+       COUNT(*) AS n_returned_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY returned_revenue DESC, c_custkey ASC
+LIMIT 20
+""".format(rev=_sql_dsum("l_extendedprice * (1 - l_discount)"))
+
+
 def q_docs_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval preparation
     (``operators/retrieval.py``): sliding-window chunking (64/48) ->
@@ -5901,6 +5981,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
     "events_stateful_sessions": q_events_stateful_sessions,
     "docs_chunk_retrieval": q_docs_chunk_retrieval,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "returned_item_customers": q_returned_item_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5996,6 +6078,8 @@ ORACLES: dict[str, str] = {
     "embedding_semantic_dedup": SQL_EMBEDDING_SEMANTIC_DEDUP,
     "events_stateful_sessions": SQL_EVENTS_STATEFUL_SESSIONS,
     "docs_chunk_retrieval": SQL_DOCS_CHUNK_RETRIEVAL,
+    "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
+    "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
