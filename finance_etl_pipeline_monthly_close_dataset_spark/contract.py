@@ -5593,6 +5593,97 @@ LIMIT 20
 """.format(rev=_sql_dsum("l_extendedprice * (1 - l_discount)"))
 
 
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and
+    order year. The testdata has no partsupp, so cost is defined from
+    the part dim (60% of retail price per unit -- an exact decimal
+    constant, documented and mirrored by the oracle): profit =
+    extprice*(1-disc) - 0.6*retailprice*qty for parts named
+    '%gear%'. The name filter prunes part BEFORE its broadcast join,
+    profit accumulates per-row in exact decimals, and only
+    lineitem<->orders shuffles."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        )
+        .agg(
+            dsum(profit, "20,6").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name AS supp_nation,
+       strftime(o_orderdate, '%Y') AS order_year,
+       {p} AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+""".format(
+    p=_sql_dsum(
+        "l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity",
+        "20,6",
+    )
+)
+
+
+def q_lineitem_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counting after a fact join -- per
+    return flag (the ship-mode stand-in, filtered to the ('A', 'N')
+    IN-list), how many 1996-shipped lines belong to high-priority
+    (URGENT/HIGH) vs lower-priority orders. The CASE WHEN pair folds
+    in ONE aggregate pass; the IN-list and year filter push into the
+    scans."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LINEITEM_PRIORITY_MIX = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 def q_docs_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval preparation
     (``operators/retrieval.py``): sliding-window chunking (64/48) ->
@@ -5983,6 +6074,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunk_retrieval": q_docs_chunk_retrieval,
     "forecast_revenue_change": q_forecast_revenue_change,
     "returned_item_customers": q_returned_item_customers,
+    "nation_profit": q_nation_profit,
+    "lineitem_priority_mix": q_lineitem_priority_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -6080,6 +6173,8 @@ ORACLES: dict[str, str] = {
     "docs_chunk_retrieval": SQL_DOCS_CHUNK_RETRIEVAL,
     "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
     "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+    "nation_profit": SQL_NATION_PROFIT,
+    "lineitem_priority_mix": SQL_LINEITEM_PRIORITY_MIX,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
