@@ -5684,6 +5684,109 @@ GROUP BY 1
 """
 
 
+def _pagerank_step(nodes: DataFrame, ncnt: DataFrame, trans: DataFrame,
+                   rank: DataFrame) -> DataFrame:
+    """One PageRank iteration with engine-portable arithmetic: each
+    edge's contribution r*p is an identical IEEE double in both
+    engines, staged into DECIMAL(18,12) so the incoming-edge SUM is
+    order-independent, then damped and rounded to 6 dp before the
+    next iteration (the kmeans centroid-rounding pattern)."""
+    contrib = (
+        trans.join(rank, trans.src == rank.node)
+        .select(
+            "dst",
+            (F.col("r") * F.col("p")).cast("decimal(18,12)").alias("_c"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("_c").alias("_s"))
+    )
+    return (
+        nodes.crossJoin(F.broadcast(ncnt))
+        .join(contrib, nodes.node == contrib.dst, "left")
+        .select(
+            "node",
+            F.round(
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("r"),
+        )
+    )
+
+
+def q_events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type TRANSITION graph -- the iterative
+    graph algorithm family (beyond the label-propagation connected
+    components): nodes are event types, edges the per-user consecutive
+    transitions (lead over a user-keyed window, ties broken on
+    event_id), weights the transition counts. Two damped (0.85)
+    iterations run as pure DataFrame ops; every iteration rounds to
+    6 dp and sums contributions in exact decimal, so the DuckDB oracle
+    unrolls the identical recurrence and the TRAINED ranks are
+    value-checked.
+
+    Scale shape: the single wide op is the per-user window (one
+    shuffle of (user, ts, type)); everything after operates on the
+    type-cardinality edge list -- iterations cost nothing at 100 TB
+    because the graph is aggregate-sized, and a billion-node graph
+    would swap the same recurrence onto keyed joins without the
+    broadcast."""
+    e = events_table(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+    )
+    edges = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("_next").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    outs = edges.groupBy(F.col("src").alias("_osrc")).agg(F.sum("c").alias("out_c"))
+    trans = edges.join(outs, edges.src == outs._osrc).select(
+        "src", "dst", (F.col("c") / F.col("out_c")).alias("p")
+    )
+    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("n"))
+    rank = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(2):
+        rank = _pagerank_step(nodes, ncnt, trans, rank)
+    return rank.select(F.col("node").alias("event_type"), F.col("r").alias("pagerank"))
+
+
+_SQL_PAGERANK_STEP = """
+{c} AS (
+  SELECT t.dst, SUM(CAST(r.r * t.p AS DECIMAL(18,12))) AS s
+  FROM trans t JOIN {rin} r ON t.src = r.node GROUP BY 1
+), {rout} AS (
+  SELECT node, round(0.15 / nn.n + 0.85 * COALESCE(CAST(s AS DOUBLE), 0.0), 6) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN {c} ON node = dst
+)"""
+
+SQL_EVENTS_TYPE_PAGERANK = """
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM e
+), edges AS (
+  SELECT src, dst, COUNT(*) AS c FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+), outs AS (
+  SELECT src AS osrc, SUM(c) AS out_c FROM edges GROUP BY 1
+), trans AS (
+  SELECT src, dst, c / out_c AS p FROM edges JOIN outs ON src = osrc
+), nodes AS (
+  SELECT DISTINCT event_type AS node FROM e
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),{s1},{s2}
+SELECT node AS event_type, r AS pagerank FROM r2
+""".format(
+    s1=_SQL_PAGERANK_STEP.format(c="c1", rin="r0", rout="r1"),
+    s2=_SQL_PAGERANK_STEP.format(c="c2", rin="r1", rout="r2"),
+)
+
+
 def q_docs_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval preparation
     (``operators/retrieval.py``): sliding-window chunking (64/48) ->
@@ -6076,6 +6179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_customers": q_returned_item_customers,
     "nation_profit": q_nation_profit,
     "lineitem_priority_mix": q_lineitem_priority_mix,
+    "events_type_pagerank": q_events_type_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -6175,6 +6279,7 @@ ORACLES: dict[str, str] = {
     "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
     "nation_profit": SQL_NATION_PROFIT,
     "lineitem_priority_mix": SQL_LINEITEM_PRIORITY_MIX,
+    "events_type_pagerank": SQL_EVENTS_TYPE_PAGERANK,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

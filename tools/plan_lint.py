@@ -99,6 +99,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "broadcast together for the recall ratio",
         "exchange_single": "the same two single-row count aggregates",
     },
+    "events_type_pagerank": {
+        "nested_loop": "1-row node-count broadcast crossed with the "
+        "type-cardinality (5-node) rank table each iteration",
+    },
     "embedding_semantic_dedup": {
         "nested_loop": "k=4 trained centroids broadcast for the cell "
         "assignment argmin (same pattern as the kmeans queries); the "
