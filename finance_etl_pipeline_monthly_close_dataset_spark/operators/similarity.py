@@ -398,11 +398,18 @@ def semantic_dedup(
             F.first("_vec").alias("_vec"),
         )
     )
-    a = assigned.select(
-        F.col("_id").alias("id_a"), F.col("cell").alias("_ca"), F.col("_vec").alias("_va")
+    # stage each vector's norm ONCE before the pair join: cosine per
+    # pair then costs one dot-product fold instead of three (the norms
+    # are the same doubles either way, so the oracle's inline-norm SQL
+    # still matches bit-for-bit)
+    staged = assigned.select("_id", "cell", "_vec", _norm(F.col("_vec")).alias("_nm"))
+    a = staged.select(
+        F.col("_id").alias("id_a"), F.col("cell").alias("_ca"),
+        F.col("_vec").alias("_va"), F.col("_nm").alias("_na"),
     )
-    b = assigned.select(
-        F.col("_id").alias("id_b"), F.col("cell").alias("_cb"), F.col("_vec").alias("_vb")
+    b = staged.select(
+        F.col("_id").alias("id_b"), F.col("cell").alias("_cb"),
+        F.col("_vec").alias("_vb"), F.col("_nm").alias("_nb"),
     )
     pairs = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")))
@@ -410,7 +417,9 @@ def semantic_dedup(
             "id_a",
             "id_b",
             F.col("_cb").alias("cell"),
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(threshold))
     )
