@@ -1222,14 +1222,28 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against.
     """
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    # per-vector norms staged BEFORE the pair join (one fold per
+    # vector, not two per pair; same doubles, so the inline-norm
+    # oracle SQL still matches bit-for-bit)
+    nm = similarity._norm(F.col("embedding"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
+        nm.alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
+        nm.alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+            F.round(
+                similarity._dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.4)
     )
