@@ -60,14 +60,27 @@ def cosine_topk(
     within each probe partition. Ties break on neighbor id for
     determinism.
     """
+    # both norms staged before the probe cross: the corpus norm folds
+    # once per row (not once per row x probe) and the probe norm once
+    # per probe; the per-pair work is the dot product only. Same
+    # doubles as the inline form, so oracles are unaffected.
     p = probes.select(
-        F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_probe_vec")
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(vec_col).alias("_probe_vec"),
+        _norm(F.col(vec_col)).alias("_pnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_cnorm"),
+    )
     scored = c.join(F.broadcast(p)).select(
         "probe_id",
         "neighbor_id",
-        cosine(F.col("_vec"), F.col("_probe_vec")).alias("cosine_sim"),
+        (
+            _dot(F.col("_vec"), F.col("_probe_vec"))
+            / (F.col("_cnorm") * F.col("_pnorm"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -141,17 +154,22 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_cnorm"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"),
         F.col(vec_col).alias("_probe_vec"),
+        _norm(F.col(vec_col)).alias("_pnorm"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     scored = c.join(F.broadcast(p), on="_bucket").select(
         "probe_id",
         "neighbor_id",
-        cosine(F.col("_vec"), F.col("_probe_vec")).alias("cosine_sim"),
+        (
+            _dot(F.col("_vec"), F.col("_probe_vec"))
+            / (F.col("_cnorm") * F.col("_pnorm"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -266,10 +284,24 @@ def ivf_topk(
         .select("probe_id", "_probe_vec", F.col("cell").alias("_cell"))
     )
 
-    scored = assigned.join(F.broadcast(probe_cells), on="_cell").select(
-        "probe_id",
-        "neighbor_id",
-        cosine(F.col("_vec"), F.col("_probe_vec")).alias("cosine_sim"),
+    # norms staged pre-join (one fold per corpus row / probe row, not
+    # per candidate pair; identical doubles, oracles unaffected)
+    scored = (
+        assigned.withColumn("_cnorm", _norm(F.col("_vec")))
+        .join(
+            F.broadcast(
+                probe_cells.withColumn("_pnorm", _norm(F.col("_probe_vec")))
+            ),
+            on="_cell",
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_vec"), F.col("_probe_vec"))
+                / (F.col("_cnorm") * F.col("_pnorm"))
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
