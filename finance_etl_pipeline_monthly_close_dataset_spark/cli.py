@@ -133,6 +133,15 @@ def main(argv: list[str] | None = None) -> int:
                         help="comma-separated columns in the row string (default: all)")
     csum_p.add_argument("--n-buckets", type=int, default=16)
 
+    prof_p = sub.add_parser(
+        "profile", help="One-pass per-column table profile (rows/nulls/distincts/min/max)"
+    )
+    prof_p.add_argument("--in", dest="in_path", required=True)
+    prof_p.add_argument("--approx", action="store_true",
+                        help="approx_count_distinct instead of exact (wide tables)")
+    prof_p.add_argument("--out", dest="out_path", default=None,
+                        help="also write the profile as parquet")
+
     sql_p = sub.add_parser("sql", help="Run ad-hoc SQL over a directory of parquet tables")
     sql_p.add_argument("query", help="SQL text; each <name>.parquet (or <name>/ dir) in --dir is a view")
     sql_p.add_argument("--dir", dest="data_dir", required=True)
@@ -213,6 +222,22 @@ def main(argv: list[str] | None = None) -> int:
         }
         for kind in ("insert", "delete", "update"):
             print(f"{kind}: {counts.get(kind, 0)}")
+        return 0
+
+    if args.command == "profile":
+        from .operators.profile import profile_table
+
+        spark = get_spark()
+        out = profile_table(
+            spark.read.parquet(args.in_path), exact_distinct=not args.approx
+        )
+        if args.out_path:
+            out.write.mode("overwrite").parquet(args.out_path)
+        for r in out.collect():  # bounded: one row per column
+            print(
+                f"{r['col_name']}\t{r['n_rows']}\t{r['n_nulls']}\t"
+                f"{r['n_distinct']}\t{r['min_value']}\t{r['max_value']}"
+            )
         return 0
 
     if args.command == "checksum":

@@ -5801,6 +5801,42 @@ SELECT node AS event_type, r AS pagerank FROM r2
 )
 
 
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic table profiling (``operators/profile.py``): per
+    column of the orders table -- rows, nulls, exact distincts,
+    min/max rendered to strings -- ALL from one aggregate pass (one
+    scan, one reduce; the per-column unpivot explodes a 1-row
+    intermediate). Numeric min/max render through DECIMAL(18,6) and
+    timestamps through a fixed format so both engines emit identical
+    text."""
+    from .operators.profile import profile_table
+
+    return profile_table(t(spark, sf_dir, "orders"))
+
+
+def _profile_col_sql(name: str, render: str) -> str:
+    return f"""
+SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({name}) AS n_nulls,
+       COUNT(DISTINCT {name}) AS n_distinct,
+       {render.format(v=f"MIN({name})")} AS min_value,
+       {render.format(v=f"MAX({name})")} AS max_value
+FROM orders"""
+
+
+SQL_ORDERS_PROFILE = " UNION ALL ".join(
+    _profile_col_sql(n, r)
+    for n, r in [
+        ("o_orderkey", "CAST({v} AS VARCHAR)"),
+        ("o_custkey", "CAST({v} AS VARCHAR)"),
+        ("o_orderstatus", "CAST({v} AS VARCHAR)"),
+        ("o_totalprice", "CAST(CAST({v} AS DECIMAL(18,6)) AS VARCHAR)"),
+        ("o_orderdate", "strftime({v}, '%Y-%m-%d %H:%M:%S')"),
+        ("o_orderpriority", "CAST({v} AS VARCHAR)"),
+    ]
+)
+
+
 def q_docs_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval preparation
     (``operators/retrieval.py``): sliding-window chunking (64/48) ->
@@ -6194,6 +6230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_profit": q_nation_profit,
     "lineitem_priority_mix": q_lineitem_priority_mix,
     "events_type_pagerank": q_events_type_pagerank,
+    "orders_profile": q_orders_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -6294,6 +6331,7 @@ ORACLES: dict[str, str] = {
     "nation_profit": SQL_NATION_PROFIT,
     "lineitem_priority_mix": SQL_LINEITEM_PRIORITY_MIX,
     "events_type_pagerank": SQL_EVENTS_TYPE_PAGERANK,
+    "orders_profile": SQL_ORDERS_PROFILE,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

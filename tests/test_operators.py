@@ -1226,3 +1226,26 @@ def test_corpus_cli_retrieve_and_semdedup(spark, tmp_path):
     assert rc == 0
     kept = sorted(r["vec_id"] for r in spark.read.parquet(eout).collect())
     assert kept == [1, 3, 5]  # 2 drops vs 1, 4 drops vs 3, orthogonal 5 kept
+
+
+def test_profile_table_hand_computed(spark):
+    """Nulls, distincts, and rendering rules verified on a table with
+    every supported type class: nulls excluded from distincts, doubles
+    render at 6-dp decimal, one row per column."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.25), (3, "a", None), (4, "b", 1.5)],
+        "k long, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 4
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_value"] == "1.500000"
+    assert rows["v"]["max_value"] == "2.250000"
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
