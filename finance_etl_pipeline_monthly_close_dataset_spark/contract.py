@@ -5801,6 +5801,103 @@ SELECT node AS event_type, r AS pagerank FROM r2
 )
 
 
+def q_events_streamed_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA SEMANTICS under the driver oracle:
+    deliveries 1-2 are the on-time majority (days 6-20, then days
+    21-31), advancing the event-time watermark to max(ts) - 2h;
+    delivery 3 replays the days <= 5 slice -- now far beyond the
+    watermark -- into the SAME append-mode hourly aggregation, which
+    must DROP every row (numRowsDroppedByWatermark, verified while
+    building this query: 165 rows dropped, 0 state updates). Two
+    on-time deliveries are load-bearing: Spark filters late records
+    against the watermark of the PREVIOUS completed batch, so a
+    watermark learned in delivery 1 only rejects data from delivery 3
+    onward. Delivery order is pinned (staged file mtimes +
+    maxFilesPerTrigger=1), so the emitted set is a pure function of
+    the data: hourly windows of on-time rows whose window end is at or
+    below the final watermark. The oracle recomputes exactly that set
+    -- had a late row leaked, extra early-day windows would appear and
+    the check would fail on row count, not just values.
+
+    At 100 TB the same watermark bounds the aggregation state to
+    rate x delay instead of stream lifetime -- this query is the
+    evidence that the bound actually drops what it claims to."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    e = events_table(spark, sf_dir).filter(F.col("user_id") < 200).select(
+        "ts", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="contract_stream_late_")
+    src = os.path.join(tmp, "src")
+    deliveries = [
+        (F.dayofmonth("ts") > 5) & (F.dayofmonth("ts") <= 20),
+        F.dayofmonth("ts") > 20,
+        F.dayofmonth("ts") <= 5,  # late, delivered last
+    ]
+    for i, pred in enumerate(deliveries):
+        e.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        for f in sorted(os.listdir(src)):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 2_000_000 + i:
+                os.utime(p, (2_000_000 + i, 2_000_000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = ev.streamed_tumbling_counts(
+        spark, src, schema, width="1 hour", watermark="2 hours",
+        max_files_per_trigger=1,
+    )
+    qn = f"stream_late_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")  # only watermark-closed windows emit
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(qn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_LATE_DROP = """
+WITH ontime AS (
+  SELECT ts, event_type FROM events
+  WHERE user_id < 200 AND EXTRACT(day FROM ts) > 5
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM ontime
+), hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hs, event_type,
+         COUNT(*) AS n_events
+  FROM ontime GROUP BY 1, 2
+)
+SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, n_events
+FROM hourly CROSS JOIN wm
+WHERE hs + INTERVAL 1 HOUR <= wm.w
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Automatic table profiling (``operators/profile.py``): per
     column of the orders table -- rows, nulls, exact distincts,
@@ -6231,6 +6328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_priority_mix": q_lineitem_priority_mix,
     "events_type_pagerank": q_events_type_pagerank,
     "orders_profile": q_orders_profile,
+    "events_streamed_late_drop": q_events_streamed_late_drop,
 }
 
 ORACLES: dict[str, str] = {
@@ -6332,6 +6430,7 @@ ORACLES: dict[str, str] = {
     "lineitem_priority_mix": SQL_LINEITEM_PRIORITY_MIX,
     "events_type_pagerank": SQL_EVENTS_TYPE_PAGERANK,
     "orders_profile": SQL_ORDERS_PROFILE,
+    "events_streamed_late_drop": SQL_EVENTS_STREAMED_LATE_DROP,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
