@@ -370,3 +370,44 @@ def test_z_value_n_is_bijective_on_small_domain(spark):
         ).collect()
     ]
     assert sorted(zs) == list(range(64))
+
+
+def test_partitioned_lake_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the partition-keyed fact lake against a filtered dim
+    must plan a dynamicpruningexpression PartitionFilter -- at 100 TB
+    this is what turns 'join one month's dim slice' into a one-month
+    fact scan instead of a full-lake scan (runtime partition pruning,
+    no literal month predicate required in the query)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    fact = spark.range(50_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 12).alias("month_id"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    fact.write.partitionBy("month_id").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(12).select(
+        F.col("id").alias("month_id"),
+        F.concat(F.lit("2025-"), F.col("id")).alias("label"),
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("label") == "2025-3"
+    )
+    j = f.join(d, "month_id").agg(F.sum("v").alias("s"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower()
+    # and the result is the pruned month only
+    got = j.collect()[0]["s"]
+    want = sum(i * 1.5 for i in range(50_000) if i % 12 == 3)
+    assert abs(got - want) < 1e-6
