@@ -389,6 +389,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster-then-compare.
 
@@ -409,27 +410,21 @@ def semantic_dedup(
     runs at dataset scale. The pair join shuffles on the cell id;
     similarity is rounded to 6 dp BEFORE the threshold compare so the
     oracle's float boundary is identical.
+
+    ``arrow_assign=True`` swaps the broadcast-argmin HOF assignment
+    for the Arrow-batched numpy matmul (``assign_cells_arrow``) -- the
+    large-k production path (the HOF pass evaluates N x k interpreted
+    lambdas). Same deterministic lowest-cell tie-break; assignment can
+    differ from the HOF path only on near-exact distance ties.
     """
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-    assigned = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_d2",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_vec"), F.col("centroid"),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+    if arrow_assign:
+        cells = assign_cells_arrow(df, centroids, id_col=id_col, vec_col=vec_col)
+        assigned = vecs.join(
+            cells.select(F.col(id_col).alias("_id"), "cell"), on="_id"
         )
-        .groupBy("_id")
-        .agg(
-            F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias("cell"),
-            F.first("_vec").alias("_vec"),
-        )
-    )
+    else:
+        assigned = _hof_assign(vecs, centroids)
     # stage each vector's norm ONCE before the pair join: cosine per
     # pair then costs one dot-product fold instead of three (the norms
     # are the same doubles either way, so the oracle's inline-norm SQL
@@ -464,4 +459,75 @@ def semantic_dedup(
             F.col("best.id_a").alias("kept_ref"),
             F.col("best.sim").alias("cosine_sim"),
         )
+    )
+
+
+def _hof_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Broadcast-argmin HOF cell assignment over (_id, _vec)."""
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_vec"), F.col("centroid"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias("cell"),
+            F.first("_vec").alias("_vec"),
+        )
+    )
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: each batch computes
+    the full ``block x centroids`` squared-distance matrix in numpy and
+    emits ``(id, cell)`` -- the production-scale alternative to the
+    broadcast-argmin HOF pass when k is large (the HOF path evaluates
+    N x k interpreted lambdas; this path is two BLAS matmuls per
+    batch). Ties break to the lowest cell id exactly like the HOF
+    argmin: numpy argmin returns the FIRST minimal index and cells are
+    ordered, so both paths pick the same cell even on exact-equal
+    distances. Distances differ from the HOF fold only by float
+    summation order -- argmin decisions can differ ONLY on near-exact
+    ties, which the deterministic tie-break then resolves identically.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cm = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cm_sq = (cm * cm).sum(axis=1)  # (k,)
+
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, cell int"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
+            # constant per row, so argmin needs only the last two terms
+            d2 = cm_sq[None, :] - 2.0 * (vm @ cm.T)
+            best = cells[np.argmin(d2, axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "cell": best.astype("int32")})
+
+    from .dedup import spread_partitions
+
+    return spread_partitions(df.select(id_col, vec_col)).mapInPandas(
+        assign, schema=out_schema
     )

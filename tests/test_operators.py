@@ -1249,3 +1249,26 @@ def test_profile_table_hand_computed(spark):
     assert rows["v"]["min_value"] == "1.500000"
     assert rows["v"]["max_value"] == "2.250000"
     assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
+
+
+def test_semantic_dedup_arrow_assign_matches_hof(spark):
+    """The Arrow-batched matmul assignment must produce the same drop
+    set as the HOF broadcast-argmin on well-separated data (ties
+    resolved identically by the lowest-cell rule)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    pts = [(i, [float(i % 7) + (10.0 if i % 2 else 0.0), float((i * 3) % 5), 1.0])
+           for i in range(40)]
+    # plant exact duplicates so drops exist
+    pts += [(100 + i, pts[i][1]) for i in range(6)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = lloyd_kmeans(df, k=2, n_iters=2)
+    hof = {tuple(r) for r in semantic_dedup(df, cents, threshold=0.999).collect()}
+    arrow = {tuple(r) for r in semantic_dedup(
+        df, cents, threshold=0.999, arrow_assign=True).collect()}
+    assert hof == arrow and len(hof) >= 6
