@@ -110,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
                           help="semdedup: coarse cells to train")
     corpus_p.add_argument("--arrow-assign", action="store_true",
                           help="semdedup: numpy-matmul cell assignment (large k)")
+    corpus_p.add_argument("--arrow-pairs", action="store_true",
+                          help="semdedup: per-cell numpy block compare (large cells)")
     corpus_p.add_argument("--by", default=None,
                           help="zorder: two comma-separated integer columns, e.g. 'user_id,ts_key'")
     corpus_p.add_argument("--num-files", type=int, default=None,

@@ -370,6 +370,7 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
             df, cents, threshold=args.threshold,
             id_col=args.id_col, vec_col=vec_col,
             arrow_assign=getattr(args, "arrow_assign", False),
+            arrow_pairs=getattr(args, "arrow_pairs", False),
         )
         out = df.join(dropped.select(args.id_col), on=args.id_col, how="left_anti")
     else:  # pragma: no cover

@@ -390,6 +390,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     arrow_assign: bool = False,
+    arrow_pairs: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster-then-compare.
 
@@ -416,6 +417,11 @@ def semantic_dedup(
     large-k production path (the HOF pass evaluates N x k interpreted
     lambdas). Same deterministic lowest-cell tie-break; assignment can
     differ from the HOF path only on near-exact distance ties.
+    ``arrow_pairs=True`` additionally runs the within-cell compare as
+    one numpy block matmul per cell (``applyInPandas`` over the cell
+    groups) -- SemDeDup's actual inner loop; same keep-lowest-id rule,
+    differing from the expression path only in float summation order
+    (and half-even vs half-up rounding at exact 5e-7 boundaries).
     """
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     if arrow_assign:
@@ -425,6 +431,8 @@ def semantic_dedup(
         )
     else:
         assigned = _hof_assign(vecs, centroids)
+    if arrow_pairs:
+        return _arrow_cell_drops(assigned, threshold, id_col)
     # stage each vector's norm ONCE before the pair join: cosine per
     # pair then costs one dot-product fold instead of three (the norms
     # are the same doubles either way, so the oracle's inline-norm SQL
@@ -531,3 +539,54 @@ def assign_cells_arrow(
     return spread_partitions(df.select(id_col, vec_col)).mapInPandas(
         assign, schema=out_schema
     )
+
+
+def _arrow_cell_drops(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Within-cell duplicate detection as one numpy block per cell
+    (``applyInPandas`` over the cell groups) -- the SemDeDup
+    inner loop as a matmul instead of per-pair HOF folds. For each
+    vector, the kept reference is the smallest LOWER id in its cell
+    with cosine >= threshold (identical rule to the expression path;
+    similarities round to 6 dp before the threshold like the oracle).
+    Large cells process in row blocks so memory stays
+    O(block x cell)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} {assigned.schema['_id'].dataType.simpleString()}, "
+        "cell int, "
+        f"kept_ref {assigned.schema['_id'].dataType.simpleString()}, "
+        "cosine_sim double"
+    )
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].values
+        V = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cell = int(pdf["cell"].iloc[0])
+        out_id, out_ref, out_sim = [], [], []
+        block = 1024
+        for lo in range(1, len(ids), block):
+            hi = min(lo + block, len(ids))
+            sims = np.round(Vn[lo:hi] @ Vn[:hi].T, 6)  # (rows, earlier+self)
+            for r in range(hi - lo):
+                j = lo + r
+                earlier = sims[r, :j]
+                hits = np.nonzero(earlier >= threshold)[0]
+                if hits.size:
+                    i = int(hits[0])  # ids sorted -> first hit = min id
+                    out_id.append(ids[j])
+                    out_ref.append(ids[i])
+                    out_sim.append(float(earlier[i]))
+        return pd.DataFrame(
+            {id_col: out_id, "cell": cell, "kept_ref": out_ref,
+             "cosine_sim": out_sim}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(find, schema=out_schema)

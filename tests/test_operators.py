@@ -1272,3 +1272,29 @@ def test_semantic_dedup_arrow_assign_matches_hof(spark):
     arrow = {tuple(r) for r in semantic_dedup(
         df, cents, threshold=0.999, arrow_assign=True).collect()}
     assert hof == arrow and len(hof) >= 6
+
+
+def test_semantic_dedup_arrow_pairs_matches_hof(spark):
+    """The per-cell numpy block compare must produce the same drop set
+    (ids, refs, cells) as the expression path on well-separated data;
+    similarities agree to 6 dp."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    pts = [(i, [float(i % 7) + (10.0 if i % 2 else 0.0), float((i * 3) % 5), 1.0])
+           for i in range(40)]
+    pts += [(100 + i, pts[i][1]) for i in range(6)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = lloyd_kmeans(df, k=2, n_iters=2)
+    hof = {(r["vec_id"], r["cell"], r["kept_ref"]): r["cosine_sim"]
+           for r in semantic_dedup(df, cents, threshold=0.999).collect()}
+    arw = {(r["vec_id"], r["cell"], r["kept_ref"]): r["cosine_sim"]
+           for r in semantic_dedup(df, cents, threshold=0.999,
+                                   arrow_assign=True, arrow_pairs=True).collect()}
+    assert set(hof) == set(arw) and len(hof) >= 6
+    for k in hof:
+        assert abs(hof[k] - arw[k]) < 1e-6
