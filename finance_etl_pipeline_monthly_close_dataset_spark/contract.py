@@ -5898,6 +5898,95 @@ WHERE hs + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval aggregation: maximum number of CONCURRENT
+    user sessions per day. Sessions are the gap-based intervals
+    (``ev.sessionize``, 30 min) collapsed to [start, end]; each bound
+    becomes a +1/-1 delta and a running sum ordered by (ts, +1 first)
+    gives the live count. The sweep is SHARDED BY DAY -- the keyed
+    window never sees more than a day of deltas -- and sessions that
+    cross midnight enter as a per-day carry-in (count of sessions
+    starting before the day that end on or after it), which is how a
+    sweep-line shards at 100 TB instead of one global ordered
+    partition. The oracle rebuilds sessions, deltas, carries, and the
+    running max identically."""
+    e = events_table(spark, sf_dir)
+    sess = (
+        ev.sessionize(e, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(sess.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta")))
+    deltas = deltas.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    carry = (
+        sess.select("s_start", "s_end")
+        .crossJoin(
+            F.broadcast(deltas.select("day").distinct().withColumn(
+                "_d0", F.to_timestamp("day")
+            ))
+        )
+        .filter((F.col("s_start") < F.col("_d0")) & (F.col("s_end") >= F.col("_d0")))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("carry_in"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("ts").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    live = deltas.withColumn("run", F.sum("delta").over(w))
+    return (
+        live.groupBy("day")
+        .agg(F.max("run").alias("max_run"))
+        .join(carry, on="day", how="left")
+        .select(
+            "day",
+            (F.col("max_run") + F.coalesce("carry_in", F.lit(0))).alias(
+                "max_concurrent"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_MAX_CONCURRENT = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM numbered GROUP BY 1, 2
+), deltas AS (
+  SELECT s_start AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT s_end AS ts, -1 AS delta FROM sess
+), dd AS (
+  SELECT ts, delta, strftime(ts, '%Y-%m-%d') AS day FROM deltas
+), days AS (
+  SELECT DISTINCT day, CAST(day AS TIMESTAMP) AS d0 FROM dd
+), carry AS (
+  SELECT day, COUNT(*) AS carry_in
+  FROM sess JOIN days ON s_start < d0 AND s_end >= d0
+  GROUP BY 1
+), run AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS r
+  FROM dd
+), mx AS (
+  SELECT day, MAX(r) AS max_run FROM run GROUP BY 1
+)
+SELECT m.day, CAST(m.max_run + COALESCE(c.carry_in, 0) AS BIGINT) AS max_concurrent
+FROM mx m LEFT JOIN carry c ON m.day = c.day
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Automatic table profiling (``operators/profile.py``): per
     column of the orders table -- rows, nulls, exact distincts,
@@ -6329,6 +6418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_pagerank": q_events_type_pagerank,
     "orders_profile": q_orders_profile,
     "events_streamed_late_drop": q_events_streamed_late_drop,
+    "events_max_concurrent": q_events_max_concurrent,
 }
 
 ORACLES: dict[str, str] = {
@@ -6431,6 +6521,7 @@ ORACLES: dict[str, str] = {
     "events_type_pagerank": SQL_EVENTS_TYPE_PAGERANK,
     "orders_profile": SQL_ORDERS_PROFILE,
     "events_streamed_late_drop": SQL_EVENTS_STREAMED_LATE_DROP,
+    "events_max_concurrent": SQL_EVENTS_MAX_CONCURRENT,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

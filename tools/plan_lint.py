@@ -99,6 +99,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "broadcast together for the recall ratio",
         "exchange_single": "the same two single-row count aggregates",
     },
+    "events_max_concurrent": {
+        "nested_loop": "cross-midnight carry: sessions range-join the "
+        "broadcast DAY dimension (~31 rows) -- bounded by calendar "
+        "days, not data",
+    },
     "events_type_pagerank": {
         "nested_loop": "1-row node-count broadcast crossed with the "
         "type-cardinality (5-node) rank table each iteration",
