@@ -5898,6 +5898,87 @@ WHERE hs + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_events_streamed_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join under the driver oracle (the third streaming
+    join family next to stream-stream attribution and the stateful
+    sessionizer): the events stream replays as three ordered
+    micro-batches and every batch joins the STATIC customer dimension
+    (user_id -> market segment via c_custkey) inside the streaming
+    plan -- the standard enrich-on-ingest pattern. Per-batch joins must
+    union to exactly the batch join, which is what the oracle computes;
+    segment-level aggregates hash-match only if every micro-batch
+    joined completely (a dropped or duplicated enrichment row shifts
+    counts).
+
+    At 100 TB the static side is a broadcast or a bucketed dim; state
+    is ZERO (no watermark needed -- the stream side never waits)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    e = events_table(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="contract_stream_enrich_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        e.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(F.broadcast(cust), on="user_id", how="left")
+        .withColumn("segment", F.coalesce("c_mktsegment", F.lit("UNKNOWN")))
+    )
+    qn = f"stream_enrich_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "18,6").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(qn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_ENRICHED = """
+SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       {s} AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""".format(s=_sql_dsum("value", "18,6"))
+
+
 def q_events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval aggregation: maximum number of CONCURRENT
     user sessions per day. Sessions are the gap-based intervals
@@ -6419,6 +6500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_profile": q_orders_profile,
     "events_streamed_late_drop": q_events_streamed_late_drop,
     "events_max_concurrent": q_events_max_concurrent,
+    "events_streamed_enriched": q_events_streamed_enriched,
 }
 
 ORACLES: dict[str, str] = {
@@ -6522,6 +6604,7 @@ ORACLES: dict[str, str] = {
     "orders_profile": SQL_ORDERS_PROFILE,
     "events_streamed_late_drop": SQL_EVENTS_STREAMED_LATE_DROP,
     "events_max_concurrent": SQL_EVENTS_MAX_CONCURRENT,
+    "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
