@@ -5979,6 +5979,58 @@ GROUP BY 1
 """.format(s=_sql_dsum("value", "18,6"))
 
 
+def q_synthdocs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource under the driver oracle
+    (``sources/pydatasource.py``, Spark 4 ``pyspark.sql.datasource``
+    API): scan 2,000 docs from the ``synthdocs`` programmatic source
+    (partitioned generation + doc_id filter pushdown) and profile
+    them per source label. The corpus is pure integer arithmetic on
+    doc_id, so DuckDB REGENERATES every document and computes the same
+    profile -- the source's rows, not just its plumbing, are
+    value-checked. The doc_id < 1500 predicate is PUSHED into the
+    Python reader (range narrowing), so a wrong pushdown changes
+    counts and hash-misses. (Fixed 2k docs at every sf: the source is
+    synthetic, not testdata-derived.)"""
+    from .sources.pydatasource import register
+
+    register(spark)
+    docs = (
+        spark.read.format("synthdocs")
+        .option("n_docs", 2000)
+        .option("n_partitions", 8)
+        .load()
+        .filter(F.col("doc_id") < 1500)
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("total_tokens"),
+        F.countDistinct("text").alias("distinct_texts"),
+    )
+
+
+def _synthdocs_sql() -> str:
+    from .sources.pydatasource import _SOURCES, _WORDS
+
+    words = ", ".join(f"'{w}'" for w in _WORDS)
+    sources = ", ".join(f"'{s}'" for s in _SOURCES)
+    return f"""
+WITH docs AS (
+  SELECT d AS doc_id,
+         ([{sources}])[CAST(d % 3 AS INT) + 1] AS source,
+         list_transform(range(1, 41),
+           i -> ([{words}])[CAST((d * 31 + i * 7) % 20 AS INT) + 1]) AS toks
+  FROM range(0, 1500) t(d)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT array_to_string(toks, ' ')) AS distinct_texts
+FROM docs GROUP BY 1
+"""
+
+
+SQL_SYNTHDOCS_SOURCE = _synthdocs_sql()
+
+
 def q_events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval aggregation: maximum number of CONCURRENT
     user sessions per day. Sessions are the gap-based intervals
@@ -6501,6 +6553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_late_drop": q_events_streamed_late_drop,
     "events_max_concurrent": q_events_max_concurrent,
     "events_streamed_enriched": q_events_streamed_enriched,
+    "synthdocs_source": q_synthdocs_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -6605,6 +6658,7 @@ ORACLES: dict[str, str] = {
     "events_streamed_late_drop": SQL_EVENTS_STREAMED_LATE_DROP,
     "events_max_concurrent": SQL_EVENTS_MAX_CONCURRENT,
     "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
+    "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

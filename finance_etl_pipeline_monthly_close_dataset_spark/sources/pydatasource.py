@@ -1,0 +1,132 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API):
+a deterministic synthetic documents source with real partition
+parallelism and real filter pushdown.
+
+Why it exists: the engine's source surface (CSV/Parquet/ORC/JSONL)
+covers files; this demonstrates the remaining source family — a
+PROGRAMMATIC source that plugs into the scan layer itself, the Spark-4
+native way to wrap an external system (an API, a key-value store, a
+proprietary format) without JVM code. The generated corpus is pure
+arithmetic on ``doc_id`` (the round-4 stress generator formula), so an
+external SQL oracle can regenerate every row — the source is
+value-checkable end to end, like every other operator here.
+
+Scale design:
+
+* ``partitions()`` splits the id range into ``n_partitions`` row
+  ranges — each executor core generates its slice independently, no
+  driver materialization;
+* ``pushFilters`` accepts ``doc_id`` comparisons (>, >=, <, <=, =)
+  and NARROWS THE ID RANGE before generation, so a filtered scan
+  generates only the surviving slice (the custom-source analogue of
+  parquet partition pruning); all other filters are returned to Spark
+  to evaluate;
+* rows stream from a generator — O(1) memory per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_WORDS = [
+    "spark", "window", "merge", "join", "table", "scan", "filter",
+    "group", "sort", "data", "key", "row", "batch", "stream", "agg",
+    "line", "value", "hash", "part", "query",
+]
+
+_SOURCES = ["web", "wiki", "code"]
+
+
+def synth_text(doc_id: int, n_tokens: int = 40) -> str:
+    """The deterministic document body: token i of doc d is
+    ``WORDS[(d * 31 + i * 7) % 20]`` — reproducible by any engine
+    with integer arithmetic (the SQL oracle regenerates it)."""
+    return " ".join(
+        _WORDS[(doc_id * 31 + i * 7) % len(_WORDS)] for i in range(1, n_tokens + 1)
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.n_tokens = int(options.get("n_tokens", 40))
+        self.lo = 0
+        self.hi = self.n_docs  # exclusive
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("doc_id",):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+            yield f  # not handled -> Spark evaluates it
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, self.n_partitions)
+        span = max(1, (hi - lo + n - 1) // n)
+        parts = []
+        s = lo
+        while s < hi:
+            parts.append(_RangePartition(s, min(s + span, hi)))
+            s += span
+        return parts or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        for d in range(partition.start, partition.end):
+            yield (d, _SOURCES[d % len(_SOURCES)], synth_text(d, self.n_tokens))
+
+
+class SynthDocsDataSource(DataSource):
+    """``spark.read.format("synthdocs").option("n_docs", N).load()``
+    after ``spark.dataSource.register(SynthDocsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return "doc_id bigint, source string, text string"
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source and enable Python filter pushdown (off by
+    default in Spark 4.1; runtime-settable)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthDocsDataSource)

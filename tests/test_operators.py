@@ -1298,3 +1298,47 @@ def test_semantic_dedup_arrow_pairs_matches_hof(spark):
     assert set(hof) == set(arw) and len(hof) >= 6
     for k in hof:
         assert abs(hof[k] - arw[k]) < 1e-6
+
+
+def test_synthdocs_python_datasource(spark):
+    """The custom Python DataSource: partitioned generation, doc_id
+    filter pushdown narrowing the generated range (a 10M-doc source
+    answers a 10-row slice without generating the rest), and
+    non-pushable predicates still evaluated by Spark."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+        register,
+        synth_text,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n_docs", 90)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.count() == 90
+    assert df.rdd.getNumPartitions() == 4
+    row = df.filter(F.col("doc_id") == 7).collect()[0]
+    assert row["text"] == synth_text(7)
+    assert row["source"] == "wiki"
+
+    big = (
+        spark.read.format("synthdocs")
+        .option("n_docs", 10_000_000)
+        .load()
+        .filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 60))
+    )
+    import time
+
+    t0 = time.time()
+    assert big.count() == 10  # pushdown: generates 10 rows, not 10M
+    assert time.time() - t0 < 30
+    mixed = (
+        spark.read.format("synthdocs")
+        .option("n_docs", 300)
+        .load()
+        .filter((F.col("doc_id") < 30) & (F.col("source") == "wiki"))
+    )
+    # source-predicate is returned to Spark; doc_id range still pushed
+    assert mixed.count() == 10
