@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _WORDS = [
@@ -124,9 +125,45 @@ class SynthDocsDataSource(DataSource):
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SynthDocsStreamReader":
+        return SynthDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source and enable Python filter pushdown (off by
     default in Spark 4.1; runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthDocsDataSource)
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded micro-batch stream over the same corpus: each batch
+    emits the next ``batch_size`` ids until ``n_docs`` is exhausted,
+    with replayable offsets ({"next": i}), so a restarted query
+    re-reads exactly the committed range (``readBetweenOffsets``).
+    The simple-reader variant reads on the driver -- right for control
+    streams and tests; the partitioned ``DataSourceStreamReader`` is
+    the high-throughput form, same offset algebra."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+        self.n_tokens = int(options.get("n_tokens", 40))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, start: int, end: int):
+        for d in range(start, end):
+            yield (d, _SOURCES[d % len(_SOURCES)], synth_text(d, self.n_tokens))
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.n_docs)
+        # iter() over a materialized list: the runner wants an
+        # iterator, but a bare generator cannot pickle when the batch
+        # is cached driver-side for replay
+        return iter(list(self._rows(lo, hi))), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["next"]), int(end["next"]))))

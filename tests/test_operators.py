@@ -1342,3 +1342,41 @@ def test_synthdocs_python_datasource(spark):
     )
     # source-predicate is returned to Spark; doc_id range still pushed
     assert mixed.count() == 10
+
+
+def test_synthdocs_stream_reader(spark, tmp_path):
+    """The streaming side of the custom DataSource: a bounded
+    micro-batch stream (batch_size=40 over 100 docs -> 3 batches)
+    drains into a memory sink with every document exactly once, and
+    the aggregate equals the batch read."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("n_docs", 100)
+        .option("batch_size", 40)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_synthdocs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_synthdocs_stream")
+    assert got.count() == 100
+    assert got.select("doc_id").distinct().count() == 100
+    batch = (
+        spark.read.format("synthdocs").option("n_docs", 100).load()
+        .groupBy("source").count().collect()
+    )
+    streamed = {r["source"]: r["count"] for r in got.groupBy("source").count().collect()}
+    assert streamed == {r["source"]: r["count"] for r in batch}
