@@ -376,3 +376,85 @@ def test_quantize_matches_numpy_reference(spark, vec):
     assert row.code_sum == int(codes.sum())
     assert row.code_min == int(codes.min())
     assert row.code_max == int(codes.max())
+
+
+# --- semantic dedup vs a brute-force python reference ----------------------
+
+vec_corpus = st.lists(
+    st.lists(
+        st.integers(min_value=-3, max_value=3).map(float), min_size=3, max_size=3
+    ).filter(lambda v: any(x != 0 for x in v)),
+    min_size=2,
+    max_size=18,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=vec_corpus)
+def test_semantic_dedup_matches_brute_force(spark, vecs):
+    """With k=1 (every vector in one cell) the drop set must equal a
+    direct python brute force of the keep-lowest-id rule."""
+    import math
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = lloyd_kmeans(df, k=1, n_iters=1)
+    got = {r["vec_id"]: r["kept_ref"] for r in
+           semantic_dedup(df, cents, threshold=0.9).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = {}
+    for j, vj in rows:
+        for i, vi in rows:
+            if i >= j:
+                break
+            if round(cos(vi, vj), 6) >= 0.9:
+                want[j] = i
+                break
+    assert got == want
+
+
+# --- chunk retrieval embeddings vs the driver-side mirror ------------------
+
+doc_texts = st.lists(
+    st.text(alphabet="abc XYZ", min_size=1, max_size=40).filter(
+        lambda s: s.strip() != ""
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_chunk_embeddings_match_mirror_on_random_text(spark, texts):
+    """Every single-chunk document's in-plan embedding equals the
+    python mirror for arbitrary messy text (tokenizer parity)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.retrieval import (
+        chunk_hash_embeddings,
+        embed_text,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): [r[f"f{d}"] for d in range(8)]
+        for r in chunk_hash_embeddings(df, dim=8, chunk_size=64, stride=48).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().strip().split() if x]
+        if len(toks) <= 64:
+            assert rows[(i, 0)] == embed_text(t, dim=8)
