@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
             "sample", "redact", "collocations", "chunk", "embed", "ingest",
-            "zorder", "mix", "retrieve", "semdedup",
+            "zorder", "mix", "retrieve", "semdedup", "curate",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -112,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
                           help="semdedup: numpy-matmul cell assignment (large k)")
     corpus_p.add_argument("--arrow-pairs", action="store_true",
                           help="semdedup: per-cell numpy block compare (large cells)")
+    corpus_p.add_argument("--quality-threshold", type=float, default=0.3,
+                          help="curate: min quality_score to keep")
     corpus_p.add_argument("--by", default=None,
                           help="zorder: two comma-separated integer columns, e.g. 'user_id,ts_key'")
     corpus_p.add_argument("--num-files", type=int, default=None,

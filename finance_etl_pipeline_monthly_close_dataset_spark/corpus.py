@@ -224,6 +224,24 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         )
         return n_in, spark.read.parquet(args.out_path).count()
 
+    if args.op == "curate":
+        bench = (
+            _read(spark, args.benchmark_path, args.id_col, args.text_col)
+            if getattr(args, "benchmark_path", None)
+            else None
+        )
+        out, counts = curate(
+            spark, df,
+            id_col=args.id_col, text_col=args.text_col,
+            quality_threshold=getattr(args, "quality_threshold", 0.3),
+            benchmark=bench,
+            max_overlap=getattr(args, "max_overlap", 1),
+            train_pct=args.train_pct, val_pct=args.val_pct,
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out_path)
+        print("curate stages: " + " -> ".join(f"{k}:{v}" for k, v in counts.items()))
+        return n_in, spark.read.parquet(args.out_path).count()
+
     if args.op == "dedup":
         if args.method == "exact":
             keep = dedup.exact_dedup(df, args.id_col, args.text_col)
@@ -381,3 +399,63 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
     else:
         out.write.mode("overwrite").parquet(args.out_path)
     return n_in, spark.read.parquet(args.out_path).count()
+
+
+def curate(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_threshold: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    benchmark: DataFrame | None = None,
+    max_overlap: int = 1,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> tuple[DataFrame, dict[str, int]]:
+    """The standard curation recipe as ONE composed run -- what a user
+    otherwise chains through five CLI invocations (five reads, five
+    writes):
+
+    1. exact dedup (md5 fingerprint, keep min id);
+    2. MinHash/LSH near-dedup (keep cluster representative);
+    3. optional benchmark decontamination (shingle overlap anti-join);
+    4. quality filter (``quality_features`` score >= threshold);
+    5. leakage-free train/val/test split (content-keyed buckets).
+
+    Returns the curated, split-labeled corpus plus per-stage surviving
+    counts. Stages compose as plans on one scan wherever possible; the
+    two places that genuinely need a materialization barrier (the
+    near-dup pair mining and the per-stage counts) are bounded by the
+    deduped corpus, not the raw input. Stage counts cost one action
+    each -- acceptable for an interactive curation run; drop the dict
+    for a fire-and-forget job and it is lazy end to end."""
+    from .operators.text_analysis import quality_features
+
+    counts: dict[str, int] = {"input": df.count()}
+    keep = dedup.exact_dedup(df, id_col, text_col)
+    stage = df.join(keep.select(id_col), on=id_col, how="left_semi")
+    counts["exact_dedup"] = stage.count()
+
+    pairs = dedup.near_dup_minhash(
+        stage, id_col, text_col, threshold=jaccard_threshold
+    )
+    stage = dedup.dedup_near_representatives(stage, pairs, id_col)
+    counts["near_dedup"] = stage.count()
+
+    if benchmark is not None:
+        hits = dedup.contamination_overlap(stage, benchmark, id_col, text_col)
+        contaminated = hits.filter(
+            F.col("n_overlapping_shingles") >= max_overlap
+        ).select(id_col)
+        stage = stage.join(contaminated, on=id_col, how="left_anti")
+        counts["decontaminated"] = stage.count()
+
+    scored = quality_features(stage, text_col)
+    stage = scored.filter(F.col("quality_score") >= quality_threshold).select(
+        *stage.columns
+    )
+    counts["quality_filtered"] = stage.count()
+
+    out = leakage_free_split(stage, train_pct, val_pct, text_col)
+    return out, counts

@@ -1380,3 +1380,37 @@ def test_synthdocs_stream_reader(spark, tmp_path):
     )
     streamed = {r["source"]: r["count"] for r in got.groupBy("source").count().collect()}
     assert streamed == {r["source"]: r["count"] for r in batch}
+
+
+def test_corpus_curate_recipe(spark, tmp_path):
+    """One-command curation: exact dup dropped, near-dup collapsed to
+    its representative, low-quality junk filtered, benchmark-
+    contaminated doc removed, survivors split leakage-free."""
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        ("d1", good),
+        ("d2", good),                                    # exact dup of d1
+        ("d3", good + " extra"),                         # near dup of d1
+        ("d4", "completely different words about finance ledgers and closing entries"),
+        ("d5", "!!! ### $$$ %%% ^^^ &&&"),              # junk (all punctuation)
+        ("d6", "benchmark question one about the meaning of life and tests"),
+    ]
+    src = str(tmp_path / "cur_in"); bench = str(tmp_path / "cur_bench")
+    spark.createDataFrame(docs, "doc_id string, text string").write.parquet(src)
+    spark.createDataFrame(
+        [("b1", "benchmark question one about the meaning of life and tests")],
+        "doc_id string, text string",
+    ).write.parquet(bench)
+    out = str(tmp_path / "cur_out")
+    rc = cli.main([
+        "corpus", "curate", "--in", src, "--out", out,
+        "--benchmark", bench, "--quality-threshold", "0.3", "--max-overlap", "1",
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert "d2" not in kept and "d6" not in kept and "d5" not in kept
+    assert "d1" in kept and "d4" in kept
+    back = spark.read.parquet(out)
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {"train", "val", "test"}
