@@ -4975,35 +4975,29 @@ GROUP BY 1
 
 def q_part_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: min-cost supplier per part. The correlated
-    ``cost = (SELECT MIN ...)`` subquery decorrelates to one aggregate
-    over the bridge plus a join back on (partkey, min_price); ties
-    break to the lowest suppkey in a second tiny aggregate, so the
+    ``cost = (SELECT MIN ...)`` subquery decorrelates to a KEYED
+    WINDOW min over the bridge (one fact scan, one partkey shuffle --
+    the aggregate-plus-join-back form scans the fact twice); ties
+    break to the lowest suppkey in a tiny follow-up aggregate, so the
     result is a total function of the data. Unit price is one IEEE
-    double division -- bit-identical in both engines -- and the join
-    back compares those identical doubles for equality.
+    double division -- bit-identical in both engines -- and the
+    min-equality filter compares those identical doubles.
 
-    Scale shape: lineitem shuffles once on l_partkey for the MIN and
-    once for the join back (AQE can reuse the exchange); part is
-    filter-pruned before joining; supplier/nation are broadcast dims.
-    """
+    Scale shape: part is filter-pruned before its broadcast join;
+    the only fact shuffle is the partkey window; supplier/nation are
+    broadcast dims."""
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
     )
     li = t(spark, sf_dir, "lineitem")
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
-    offers = li.join(part, li.l_partkey == part.p_partkey).select(
+    offers = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_partkey", "p_name", "l_suppkey", unit
     )
-    cheapest = offers.groupBy(F.col("p_partkey").alias("_ck")).agg(
-        F.min("unit_price").alias("min_unit")
-    )
+    w = Window.partitionBy("p_partkey")
     winner = (
-        offers.join(
-            cheapest,
-            (offers.p_partkey == cheapest._ck)
-            & (offers.unit_price == cheapest.min_unit),
-        )
-        .drop("_ck")
+        offers.withColumn("min_unit", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_unit"))
         .groupBy("p_partkey", "p_name", "min_unit")
         .agg(F.min("l_suppkey").alias("s_suppkey"))
     )
