@@ -1572,7 +1572,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
+    ).persist()  # supplier-cardinality; the MAX reads the cache, not a rescan
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     supp = t(spark, sf_dir, "supplier")
     return (
@@ -5117,7 +5117,9 @@ def q_important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped = li.join(
         F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey")
     )
-    per_part = scoped.groupBy("l_partkey").agg(F.sum(val).alias("_v"))
+    # persist the part-cardinality aggregate so the 1-row global stat
+    # reads the cache, not a second fact scan
+    per_part = scoped.groupBy("l_partkey").agg(F.sum(val).alias("_v")).persist()
     glob = per_part.agg(F.sum("_v").alias("_t"), F.count(F.lit(1)).alias("_n"))
     return (
         per_part.join(F.broadcast(glob))
@@ -5277,12 +5279,12 @@ def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    stats = branded.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum(qty_dec).alias("_sq")
-    )
-    small = branded.join(stats, on="l_partkey").filter(
-        qty_dec * F.lit(5) * F.col("_n") < F.col("_sq")
-    )
+    # keyed window instead of aggregate + join-back: ONE fact scan,
+    # one partkey shuffle (the join-back form scans lineitem twice)
+    w = Window.partitionBy("l_partkey")
+    small = branded.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_sq", F.sum(qty_dec).over(w)
+    ).filter(qty_dec * F.lit(5) * F.col("_n") < F.col("_sq"))
     return small.agg(
         dsum(F.col("l_extendedprice"), "18,2").alias("small_revenue"),
         F.count(F.lit(1)).alias("n_small_lines"),
@@ -5429,10 +5431,13 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    # persisted supplier-cardinality aggregate: the 1-row global stat
+    # reads the cache instead of rescanning the fact
     per_supp = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(qty_dec).alias("_q"))
+        .persist()
     )
     glob = per_supp.agg(
         F.sum("_q").alias("_t"), F.count(F.lit(1)).alias("_n")
