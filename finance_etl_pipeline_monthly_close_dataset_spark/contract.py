@@ -4344,14 +4344,17 @@ def q_supplier_wait_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("supp_late")
         )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late")
-    )
+    # per-order stats as a KEYED WINDOW over the (order, supplier)
+    # intermediate -- the groupBy-then-join-back form re-evaluated
+    # per_supp's lineage and scanned the fact twice
+    w_ord = Window.partitionBy("l_orderkey")
     blamed = (
-        per_supp.filter(F.col("supp_late") == 1)
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
-            on="l_orderkey",
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w_ord))
+        .withColumn("n_late", F.sum("supp_late").over(w_ord))
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -5751,14 +5754,17 @@ def q_events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("_next", F.lead("event_type").over(w))
         .filter(F.col("_next").isNotNull())
     )
+    # persist the aggregate-sized graph (edges: |types|^2 rows; nodes:
+    # |types| rows): every iteration reads the cache -- without this,
+    # each of the ~10 downstream references re-scans the events fact
     edges = pairs.groupBy(
         F.col("event_type").alias("src"), F.col("_next").alias("dst")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")).persist()
     outs = edges.groupBy(F.col("src").alias("_osrc")).agg(F.sum("c").alias("out_c"))
     trans = edges.join(outs, edges.src == outs._osrc).select(
         "src", "dst", (F.col("c") / F.col("out_c")).alias("p")
     )
-    nodes = e.select(F.col("event_type").alias("node")).distinct()
+    nodes = e.select(F.col("event_type").alias("node")).distinct().persist()
     ncnt = nodes.agg(F.count(F.lit(1)).alias("n"))
     rank = nodes.crossJoin(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
@@ -6043,10 +6049,14 @@ def q_events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition. The oracle rebuilds sessions, deltas, carries, and the
     running max identically."""
     e = events_table(spark, sf_dir)
+    # persist the session-cardinality intermediate: deltas (twice via
+    # the union), the day spine, and the carry all read the cache
+    # instead of re-running the sessionization scan (5x otherwise)
     sess = (
         ev.sessionize(e, gap_minutes=30)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .persist()
     )
     deltas = sess.select(
         F.col("s_start").alias("ts"), F.lit(1).alias("delta")
