@@ -453,6 +453,7 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(dsum(F.col("o_totalprice"), "18,2").alias("segment_revenue"))
+        .persist()  # segment-cardinality; the total reads the cache
     )
     total = seg.agg(F.sum("segment_revenue").alias("__total"))
     return seg.crossJoin(F.broadcast(total)).select(
@@ -1602,14 +1603,19 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
 
     def active(year: int):
+        # persisted customer-cardinality sets: EXCEPT and INTERSECT
+        # each reference both years, so without the cache the fact
+        # scans four times instead of two
         return (
             orders.filter(F.date_format("o_orderdate", "yyyy") == str(year))
             .select("o_custkey")
             .distinct()
+            .persist()
         )
 
-    only_96 = active(1996).subtract(active(1997))  # EXCEPT (set semantics)
-    both = active(1996).intersect(active(1997))
+    y96, y97 = active(1996), active(1997)
+    only_96 = y96.subtract(y97)  # EXCEPT (set semantics)
+    both = y96.intersect(y97)
     return (
         only_96.withColumn("cohort", F.lit("1996_only"))
         .unionByName(both.withColumn("cohort", F.lit("both_years")))
@@ -3116,13 +3122,13 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (price*2*n > 3*sum), so no float threshold can split
     the engines."""
     orders = t(spark, sf_dir, "orders")
-    stats = orders.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s"),
-    )
+    # keyed window instead of aggregate + join-back: one fact scan,
+    # one custkey shuffle
+    w_cust = Window.partitionBy("o_custkey")
     price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (
-        orders.join(stats, on="o_custkey")
+        orders.withColumn("n_orders", F.count(F.lit(1)).over(w_cust))
+        .withColumn("_s", F.sum(price_dec).over(w_cust))
         .filter(price_dec * F.lit(2) * F.col("n_orders") > F.lit(3) * F.col("_s"))
         .select(
             "o_orderkey",

@@ -357,11 +357,10 @@ def bigram_lift(
     from .text import ngrams_of, tokens
 
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
-    # exact global token count WITHOUT an explode: per-doc sizes sum
-    n_total = df.select(
-        F.sum(F.size(tokens(F.col(text_col)))).alias("n")
-    ).first()["n"]
+    # persisted vocabulary-sized aggregate: the global token count
+    # derives from it in-plan (no third corpus scan, no build-time job)
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok")).persist()
+    n_total = uni.agg(F.sum("c_tok").alias("n")).first()["n"]
 
     bi = (
         df.select(tokens(F.col(text_col)).alias("_toks"))
