@@ -1414,3 +1414,42 @@ def test_corpus_curate_recipe(spark, tmp_path):
     assert "d1" in kept and "d4" in kept
     back = spark.read.parquet(out)
     assert set(back.select("split").distinct().toPandas()["split"]) <= {"train", "val", "test"}
+
+
+def test_synthdocs_writer_two_phase_commit(spark, tmp_path):
+    """The custom DataSource write path: staged part files promote
+    only on driver commit (with a _SUCCESS manifest carrying per-part
+    row counts), and a failing job leaves NO visible part files."""
+    import json
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "jl_out")
+    df = spark.range(100).selectExpr("id AS doc_id", "CAST(id % 3 AS STRING) AS grp")
+    df.repartition(4).write.format("synthdocs").option("path", out).mode(
+        "append"
+    ).save()
+    parts = [f for f in os.listdir(out) if f.startswith("part_")]
+    assert parts and not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(p["n_rows"] for p in manifest["parts"]) == 100
+    back = spark.read.json(out + "/part_*.jsonl")
+    assert back.count() == 100 and set(back.columns) == {"doc_id", "grp"}
+
+    # a failing write must abort: staged files removed, no _SUCCESS
+    bad_out = str(tmp_path / "jl_bad")
+    bad = spark.range(10).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 7 THEN raise_error('boom') ELSE CAST(id AS STRING) END AS grp",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.write.format("synthdocs").option("path", bad_out).mode("append").save()
+    leftovers = os.listdir(bad_out) if os.path.exists(bad_out) else []
+    assert not [f for f in leftovers if f.startswith("part_")]
+    assert "_SUCCESS" not in leftovers
