@@ -209,23 +209,28 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
 
-    One explode -> (doc, term) counts (single shuffle), document
-    frequencies from the same projection (second small aggregate over
-    distinct (doc, term)), idf = ln((N+1)/(df+1)) -- no floor, so terms present in
-    every document score 0 -- ranked per doc
-    with deterministic tie-breaks. All built-ins; the (doc, term)
-    grid -- not the corpus text -- is the only shuffled data.
+    One explode -> (doc, term) counts (single shuffle), PERSISTED so
+    the corpus text is scanned exactly once: document frequency is a
+    term-partitioned window over the unique (doc, term) rows (no join,
+    no recompute) and the doc count reads the cache. idf =
+    ln((N+1)/(df+1)) -- no floor, so terms present in every document
+    score 0 -- ranked per doc with deterministic tie-breaks. All
+    built-ins; the (doc, term) grid -- not the corpus text -- is the
+    only shuffled (and cached: MEMORY_AND_DISK, spillable) data.
     """
     from pyspark.sql.window import Window
 
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
-    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1))
-    scored = tf.join(doc_freq, on="term").withColumn("tfidf", F.col("tf") * idf)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    n_docs = tf.select(id_col).distinct().count()
+    # (doc, term) rows are unique post-aggregate, so a plain count
+    # over the term partition IS the document frequency
+    w_term = Window.partitionBy("term")
+    idf_df = F.count(F.lit(1)).over(w_term)
+    idf = F.log(F.lit(float(n_docs + 1)) / (idf_df + 1))
+    scored = tf.withColumn("tfidf", F.col("tf") * idf)
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
