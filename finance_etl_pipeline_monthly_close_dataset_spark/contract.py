@@ -2867,7 +2867,9 @@ def q_events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ).agg(F.count(F.lit(1)).alias("n_events")).persist()
+    # (type x hour)-cardinality cache: the stats branch reads it
+    # instead of re-scanning the stream
     c = F.col("n_events").cast("decimal(19,0)")
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
@@ -3274,8 +3276,11 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user distinct day set, never a cross of cohorts x days."""
     ev = events_table(spark, sf_dir)
     day = F.date_format("ts", "yyyy-MM-dd")
-    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
-    active = ev.select("user_id", day.alias("active_day")).distinct()
+    # one stream scan: the distinct (user, day) set is persisted and
+    # the cohort (first day) derives from IT -- 'yyyy-MM-dd' strings
+    # order lexicographically == chronologically
+    active = ev.select("user_id", day.alias("active_day")).distinct().persist()
+    cohort = active.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
     return (
         active.join(cohort, on="user_id")
         .groupBy("cohort_day", "active_day")
@@ -3750,11 +3755,15 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
     day = F.date_format("ts", "yyyy-MM-dd")
     month = F.date_format("ts", "yyyy-MM")
-    dau = ev.groupBy(month.alias("month"), day.alias("day")).agg(
-        F.count_distinct("user_id").alias("dau")
-    )
-    mau = ev.groupBy(month.alias("month")).agg(
-        F.count_distinct("user_id").alias("mau")
+    # one stream scan: both distinct counts fold the persisted
+    # (month, day, user) projection -- user-day cardinality, a tiny
+    # fraction of the raw stream
+    ud = ev.select(
+        month.alias("month"), day.alias("day"), "user_id"
+    ).distinct().persist()
+    dau = ud.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
+    mau = ud.select("month", "user_id").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("mau")
     )
     return dau.join(F.broadcast(mau), on="month").select(
         "day",
