@@ -5999,6 +5999,100 @@ GROUP BY 1
 """.format(s=_sql_dsum("value", "18,6"))
 
 
+def q_docs_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: benchmark overlap by embedding
+    cosine, not shingles -- catches paraphrased contamination the
+    lexical check (``docs_contamination``) misses. Both sides embed
+    through the feature-hash vectorizer (8 dims, exact integers), the
+    bounded benchmark slice (doc_id < 10) broadcasts, and a corpus doc
+    is flagged when its cosine to ANY benchmark doc rounds to >= 0.97
+    (the corpus max is ~0.978, so the flag is selective, not vacuous).
+    Output: flagged doc, its lowest-id qualifying benchmark doc
+    (deterministic), and that pair's similarity. Everything is integer arithmetic until one
+    final double division, so DuckDB reproduces the flags exactly.
+
+    Scale shape: corpus embeds in one scan and never shuffles; the
+    benchmark side is a broadcast of dim-wide integer rows."""
+    docs = t(spark, sf_dir, "documents")
+    emb = text_analysis.feature_hash_embedding(docs, dim=8)
+    bench = emb.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"),
+        *[F.col(f"f{d}").alias(f"b{d}") for d in range(8)],
+    )
+    corpus = emb.filter(F.col("doc_id") >= 10)
+    dot: F.Column = F.lit(0.0)
+    csq: F.Column = F.lit(0.0)
+    bsq: F.Column = F.lit(0.0)
+    for d in range(8):
+        fd = F.col(f"f{d}").cast("double")
+        bd = F.col(f"b{d}").cast("double")
+        dot = dot + fd * bd
+        csq = csq + fd * fd
+        bsq = bsq + bd * bd
+    sim = F.round(dot / (F.sqrt(csq) * F.sqrt(bsq)), 6)
+    pairs = (
+        corpus.join(F.broadcast(bench))
+        .withColumn("_csq", csq)
+        .withColumn("_bsq", bsq)
+        .filter((F.col("_csq") > 0) & (F.col("_bsq") > 0))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.97)
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(F.min_by(F.struct("bench_id", "sim"), "bench_id").alias("best"))
+        .select(
+            "doc_id",
+            F.col("best.bench_id").alias("bench_id"),
+            F.col("best.sim").alias("cosine_sim"),
+        )
+    )
+
+
+def _semantic_contamination_sql() -> str:
+    dot = " + ".join(["0.0"] + [
+        f"CAST(c.f{d} AS DOUBLE) * CAST(b.f{d} AS DOUBLE)" for d in range(8)
+    ])
+    csq = " + ".join(["0.0"] + [
+        f"CAST(c.f{d} AS DOUBLE) * CAST(c.f{d} AS DOUBLE)" for d in range(8)
+    ])
+    bsq = " + ".join(["0.0"] + [
+        f"CAST(b.f{d} AS DOUBLE) * CAST(b.f{d} AS DOUBLE)" for d in range(8)
+    ])
+    f_sums = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN bucket = {d} THEN sign ELSE 0 END) AS BIGINT) AS f{d}"
+        for d in range(8)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM tok
+), hb AS (
+  SELECT doc_id, h & 7 AS bucket,
+         CASE WHEN (h >> 3) & 1 = 0 THEN 1 ELSE -1 END AS sign
+  FROM hashed
+), emb AS (
+  SELECT doc_id, {f_sums}
+  FROM hb GROUP BY 1
+), pairs AS (
+  SELECT c.doc_id, b.doc_id AS bench_id,
+         round(({dot}) / (sqrt({csq}) * sqrt({bsq})), 6) AS sim
+  FROM emb c CROSS JOIN emb b
+  WHERE c.doc_id >= 10 AND b.doc_id < 10
+    AND ({csq}) > 0 AND ({bsq}) > 0
+), hits AS (
+  SELECT doc_id, bench_id, sim,
+         row_number() OVER (PARTITION BY doc_id ORDER BY bench_id) AS rn
+  FROM pairs WHERE sim >= 0.97
+)
+SELECT doc_id, bench_id, sim AS cosine_sim FROM hits WHERE rn = 1
+"""
+
+
+SQL_DOCS_SEMANTIC_CONTAMINATION = _semantic_contamination_sql()
+
+
 def q_synthdocs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource under the driver oracle
     (``sources/pydatasource.py``, Spark 4 ``pyspark.sql.datasource``
@@ -6578,6 +6672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_max_concurrent": q_events_max_concurrent,
     "events_streamed_enriched": q_events_streamed_enriched,
     "synthdocs_source": q_synthdocs_source,
+    "docs_semantic_contamination": q_docs_semantic_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -6683,6 +6778,7 @@ ORACLES: dict[str, str] = {
     "events_max_concurrent": SQL_EVENTS_MAX_CONCURRENT,
     "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
+    "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,

@@ -99,6 +99,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "broadcast together for the recall ratio",
         "exchange_single": "the same two single-row count aggregates",
     },
+    "docs_semantic_contamination": {
+        "nested_loop": "bounded benchmark slice (doc_id < 10) broadcasts "
+        "as dim-wide integer rows against the corpus embeddings",
+    },
     "events_max_concurrent": {
         "nested_loop": "cross-midnight carry: sessions range-join the "
         "broadcast DAY dimension (~31 rows) -- bounded by calendar "
