@@ -115,6 +115,11 @@ def main() -> None:
             fn = contract.QUERIES[name]
             best = None
             for _ in range(n_runs):
+                # each invocation re-persists its own intermediates as
+                # NEW cache entries; drop the previous run's blocks so
+                # repeated runs neither leak memory nor time against a
+                # session polluted by 27 earlier queries' caches
+                spark.catalog.clearCache()
                 try:
                     start = time.perf_counter()
                     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

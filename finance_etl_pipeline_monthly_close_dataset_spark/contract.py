@@ -6186,15 +6186,22 @@ def q_events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").asc(), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     live = deltas.withColumn("run", F.sum("delta").over(w))
+    # clamp the day's max prefix sum at 0: if the first delta of a day
+    # closes a carried-over session the running sum goes negative, and
+    # the true maximum concurrency -- attained at day start -- equals
+    # carry_in alone. (Days fully INSIDE a long session emit no delta
+    # row at all and are intentionally absent; the oracle mirrors both
+    # conventions.)
     return (
         live.groupBy("day")
         .agg(F.max("run").alias("max_run"))
         .join(carry, on="day", how="left")
         .select(
             "day",
-            (F.col("max_run") + F.coalesce("carry_in", F.lit(0))).alias(
-                "max_concurrent"
-            ),
+            (
+                F.greatest(F.col("max_run"), F.lit(0))
+                + F.coalesce("carry_in", F.lit(0))
+            ).alias("max_concurrent"),
         )
     )
 
@@ -6233,7 +6240,8 @@ WITH lagged AS (
 ), mx AS (
   SELECT day, MAX(r) AS max_run FROM run GROUP BY 1
 )
-SELECT m.day, CAST(m.max_run + COALESCE(c.carry_in, 0) AS BIGINT) AS max_concurrent
+SELECT m.day,
+       CAST(GREATEST(m.max_run, 0) + COALESCE(c.carry_in, 0) AS BIGINT) AS max_concurrent
 FROM mx m LEFT JOIN carry c ON m.day = c.day
 """
 
@@ -6243,9 +6251,9 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     column of the orders table -- rows, nulls, exact distincts,
     min/max rendered to strings -- ALL from one aggregate pass (one
     scan, one reduce; the per-column unpivot explodes a 1-row
-    intermediate). Numeric min/max render through DECIMAL(18,6) and
-    timestamps through a fixed format so both engines emit identical
-    text."""
+    intermediate). Numeric min/max render through DECIMAL(38,6) (plain
+    string beyond its range, never NULL) and timestamps through a fixed
+    format so both engines emit identical text."""
     from .operators.profile import profile_table
 
     return profile_table(t(spark, sf_dir, "orders"))
@@ -6267,7 +6275,7 @@ SQL_ORDERS_PROFILE = " UNION ALL ".join(
         ("o_orderkey", "CAST({v} AS VARCHAR)"),
         ("o_custkey", "CAST({v} AS VARCHAR)"),
         ("o_orderstatus", "CAST({v} AS VARCHAR)"),
-        ("o_totalprice", "CAST(CAST({v} AS DECIMAL(18,6)) AS VARCHAR)"),
+        ("o_totalprice", "CAST(CAST({v} AS DECIMAL(38,6)) AS VARCHAR)"),
         ("o_orderdate", "strftime({v}, '%Y-%m-%d %H:%M:%S')"),
         ("o_orderpriority", "CAST({v} AS VARCHAR)"),
     ]

@@ -8,9 +8,10 @@ unpivots to one row per column via a literal explode; the unpivot
 operates on a 1-row intermediate, so the only cost that grows with the
 data is the shared scan.
 
-Numeric columns render through a DECIMAL(18,6) cast so both engines
+Numeric columns render through a DECIMAL(38,6) cast so both engines
 produce identical text for identical doubles (the table-fingerprint
-convention); timestamps render as ``yyyy-MM-dd HH:mm:ss``.
+convention; values beyond the 38,6 range fall back to a plain string
+cast rather than NULL); timestamps render as ``yyyy-MM-dd HH:mm:ss``.
 
 At 100 TB: one scan with ``dim`` aggregate expressions; the exact
 distinct counts expand the aggregate (Spark plans multi-distinct via
@@ -27,7 +28,15 @@ from pyspark.sql import types as T
 
 def _render(col: F.Column, dtype: T.DataType) -> F.Column:
     if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
-        return col.cast("decimal(18,6)").cast("string")
+        # DECIMAL(38,6): fixed 6-dp text identical across engines for
+        # |v| < 10^32 (DECIMAL(18,6) silently NULLed anything >= 10^12).
+        # Beyond that, fall back to the engine-native string rather
+        # than report NULL -- a profile must never silently lose a
+        # min/max; that tail renders engine-native and is documented.
+        dec = col.cast("decimal(38,6)").cast("string")
+        return F.when(dec.isNull() & col.isNotNull(), col.cast("string")).otherwise(
+            dec
+        )
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     return col.cast("string")

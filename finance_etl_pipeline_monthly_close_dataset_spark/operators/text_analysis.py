@@ -224,7 +224,13 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    n_docs = tf.select(id_col).distinct().count()
+    # N counts ALL documents, including ones that tokenize to zero
+    # tokens (empty/whitespace text) -- the (doc, term) grid would
+    # silently drop those and shift every idf value. The extra pass
+    # over df is a cheap id-only distinct, not a second corpus scan
+    # of the tokenizer. Materializing it also primes the tf cache's
+    # input scan ordering deterministically.
+    n_docs = df.select(id_col).distinct().count()
     # (doc, term) rows are unique post-aggregate, so a plain count
     # over the term partition IS the document frequency
     w_term = Window.partitionBy("term")

@@ -213,17 +213,37 @@ class JsonlCommitWriter(DataSourceWriter):
                 n += 1
         return _JsonlCommit(staged=staged, n_rows=n)
 
+    def _sweep_orphans(self, keep: set) -> None:
+        # a task that died mid-write never returned a commit message,
+        # so its staged file is in nobody's message list -- remove any
+        # _tmp_*.jsonl not owned by a surviving message
+        import glob
+        import os
+
+        for orphan in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
+            if orphan not in keep:
+                try:
+                    os.remove(orphan)
+                except OSError:
+                    pass
+
     def commit(self, messages):
         import json as _json
         import os
 
         manifest = []
+        live = set()
         for m in messages:
             if m is None:
                 continue
-            final = m.staged.replace("_tmp_", "part_")
+            # rename ONLY the basename: the directory path itself may
+            # legitimately contain '_tmp_' and must not be rewritten
+            name = os.path.basename(m.staged)
+            final = os.path.join(self.path, "part_" + name[len("_tmp_"):])
             os.rename(m.staged, final)
+            live.add(m.staged)
             manifest.append({"file": os.path.basename(final), "n_rows": m.n_rows})
+        self._sweep_orphans(live)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             _json.dump({"parts": manifest}, fh)
 
@@ -233,3 +253,4 @@ class JsonlCommitWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        self._sweep_orphans(set())

@@ -529,3 +529,32 @@ def test_streamed_upsert_sink_recovers_crash_windows(spark, tmp_path):
     assert not os.path.exists(lake + "__old")
     assert not os.path.exists(lake + "__merging")
     shutil.rmtree(lake + "__checkpoint", ignore_errors=True)
+
+
+def test_max_concurrent_clamps_negative_day_prefix(spark, tmp_path):
+    """A day whose only delta is the END of a carried-over session has
+    a negative max prefix sum; the true maximum concurrency -- attained
+    at day start -- equals carry_in alone. Regression for the unclamped
+    carry_in + max_run formula that reported 0 here."""
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark import contract
+
+    rows = [
+        # one session crossing midnight: [23:50, 00:10] (20-min gap)
+        (1, dt.datetime(2025, 1, 1, 23, 50), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2025, 1, 2, 0, 10), 1, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["day"]: r["max_concurrent"]
+        for r in contract.q_events_max_concurrent(spark, str(tmp_path)).collect()
+    }
+    # day 1: session opens at 23:50 -> 1 live. day 2: carry_in=1 and
+    # the only delta is -1 (max_run=-1, clamped to 0) -> still 1.
+    assert out == {"2025-01-01": 1, "2025-01-02": 1}

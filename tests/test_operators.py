@@ -258,6 +258,24 @@ def test_tfidf_top_terms(spark):
     assert all(r["rank"] == 1 for r in out)
 
 
+def test_tfidf_counts_zero_token_docs_in_n(spark):
+    """N in the idf must count ALL documents, including ones that
+    tokenize to zero tokens -- the single-scan refactor briefly counted
+    only docs present in the (doc, term) grid, silently shifting every
+    idf when the corpus held an empty doc."""
+    import math
+
+    docs = spark.createDataFrame(
+        [("d1", "apple banana"), ("d2", "   "), ("d3", "")],
+        "doc_id string, text string",
+    )
+    out = text_analysis.tfidf_top_terms(docs, k=2).collect()
+    # N=3 (not 1): idf = ln((3+1)/(1+1)) = ln 2 for each d1-only term
+    expected = round(1 * math.log(4.0 / 2.0), 6)
+    assert {r["doc_id"] for r in out} == {"d1"}
+    assert all(abs(r["tfidf"] - expected) < 1e-9 for r in out)
+
+
 def test_corpus_cli_dedup_and_split(spark, tmp_path):
     from finance_etl_pipeline_monthly_close_dataset_spark import cli
 
@@ -1251,6 +1269,24 @@ def test_profile_table_hand_computed(spark):
     assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
 
 
+def test_profile_table_wide_range_doubles_not_null(spark):
+    """Values >= 10^12 overflowed the old DECIMAL(18,6) render and
+    reported min/max as NULL. DECIMAL(38,6) covers |v| < 10^32; beyond
+    that the render falls back to a plain string -- a profile must
+    never silently lose a min/max."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1e15,), (2.5,), (1e40,)], "v double"
+    )
+    row = profile_table(df).collect()[0]
+    assert row["min_value"] == "2.500000"
+    # 1e40 exceeds DECIMAL(38,6): engine-native string, never NULL
+    assert row["max_value"] is not None and "40" in row["max_value"].lower().split("e")[-1]
+
+
 def test_semantic_dedup_arrow_assign_matches_hof(spark):
     """The Arrow-batched matmul assignment must produce the same drop
     set as the HOF broadcast-argmin on well-separated data (ties
@@ -1453,3 +1489,30 @@ def test_synthdocs_writer_two_phase_commit(spark, tmp_path):
     leftovers = os.listdir(bad_out) if os.path.exists(bad_out) else []
     assert not [f for f in leftovers if f.startswith("part_")]
     assert "_SUCCESS" not in leftovers
+    # orphan sweep: a task that died mid-write never returns a commit
+    # message, so its staged file is in nobody's message list -- abort
+    # must still remove it
+    assert not [f for f in leftovers if f.startswith("_tmp_")]
+
+
+def test_synthdocs_writer_tmp_in_dir_path(spark, tmp_path):
+    """Commit renames ONLY the basename: an output directory whose
+    path itself contains '_tmp_' must not have the directory segment
+    rewritten (regression: full-path .replace broke the rename)."""
+    import json
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "stage_tmp_dir" / "out")
+    df = spark.range(20).selectExpr("id AS doc_id", "CAST(id AS STRING) AS grp")
+    df.repartition(2).write.format("synthdocs").option("path", out).mode(
+        "append"
+    ).save()
+    parts = [f for f in os.listdir(out) if f.startswith("part_")]
+    assert parts and not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(p["n_rows"] for p in manifest["parts"]) == 20

@@ -128,6 +128,11 @@ def run_check(spark, con, sf_dir: str, only=None, show_time: bool = False):
     for name, fn in contract.QUERIES.items():
         if only and name not in only:
             continue
+        # queries persist() intermediates for their own single-scan
+        # plans; each sweep iteration builds fresh DataFrames, so
+        # without this the cached blocks of 150 queries accumulate for
+        # the session's life and degrade the tail of the sweep
+        spark.catalog.clearCache()
         sql = contract.ORACLES.get(name)
         t0 = time.perf_counter()
         try:
