@@ -66,6 +66,10 @@ HEAVY = [
     # expression-side work, so regressions here mean a plan change)
     "embedding_semantic_dedup",
     "docs_chunk_retrieval",
+    # round 5: the PRODUCTION SemDeDup path (arrow_assign+arrow_pairs,
+    # numpy block matmuls) -- the number a 100 TB run would see; the
+    # expression form above stays as the oracle-shaped reference point
+    "embedding_semantic_dedup_arrow",
 ]
 
 

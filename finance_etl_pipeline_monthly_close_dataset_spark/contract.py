@@ -6515,6 +6515,24 @@ FROM drops WHERE rn = 1
 )
 
 
+def q_embedding_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup path: same Lloyd-trained cells and
+    keep-lowest-id drop rule as ``embedding_semantic_dedup``, but the
+    cell assignment is the Arrow-batched numpy matmul
+    (``assign_cells_arrow``) and the within-cell compare is one numpy
+    block matmul per cell (``applyInPandas`` over cell groups) -- the
+    inner loop a 100 TB run would use (16x the expression form on the
+    200k x 32d stress, PLANS.md). Registered as its OWN contract query
+    against the SAME DuckDB oracle, so the vectorized path is value-
+    checked -- not just equivalence-unit-tested against the expression
+    form -- and benched per-round as the number that matters."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans.lloyd_kmeans(emb, k=4, n_iters=2)
+    return similarity.semantic_dedup(
+        emb, cents, threshold=0.4, arrow_assign=True, arrow_pairs=True
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window --
 # one representative per SURVEY §2 family plus the flagship analytics
@@ -6681,6 +6699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_enriched": q_events_streamed_enriched,
     "synthdocs_source": q_synthdocs_source,
     "docs_semantic_contamination": q_docs_semantic_contamination,
+    "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
 }
 
 ORACLES: dict[str, str] = {
@@ -6774,6 +6793,9 @@ ORACLES: dict[str, str] = {
     "excess_stock_suppliers": SQL_EXCESS_STOCK_SUPPLIERS,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "embedding_semantic_dedup": SQL_EMBEDDING_SEMANTIC_DEDUP,
+    # the vectorized production path must reproduce the exact same
+    # drop set as the expression form: one oracle, two implementations
+    "embedding_semantic_dedup_arrow": SQL_EMBEDDING_SEMANTIC_DEDUP,
     "events_stateful_sessions": SQL_EVENTS_STATEFUL_SESSIONS,
     "docs_chunk_retrieval": SQL_DOCS_CHUNK_RETRIEVAL,
     "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,

@@ -7,10 +7,13 @@ Lloyd's iterations directly on DataFrames with DETERMINISTIC,
 cross-engine-reproducible arithmetic:
 
 * init: the k lowest-id vectors (rounded to 6 dp);
-* assign: crossJoin-broadcast of the k centroids + map-side
-  ``min_by`` argmin (ties break on cell id) -- the shuffle carries one
-  row per vector, never the k-way expansion (same pattern as
-  ``ivf_topk``'s explicit-centroid path);
+* assign: the centroids are a driver-side k x d literal between
+  iterations, so the argmin is ONE expression per row --
+  ``array_min`` over k ``(d2, cell)`` structs (struct ordering =
+  distance then cell id, the same tie-break as ``min_by``) -- a
+  ZERO-SHUFFLE map pass, no k-way row expansion and no groupBy to
+  reassemble it (the crossJoin+min_by form this replaces shuffled all
+  N vectors once per iteration);
 * update: posexplode to (cell, pos, value), partial-aggregated means
   per (cell, pos) -- shuffle is ~k x d rows after map-side combine --
   reassembled into arrays and ROUNDED to 6 dp on the driver before
@@ -49,6 +52,38 @@ def _d2(vec_col: str, cent_col: str):
     )
 
 
+def _argmin_best(
+    vec_col: str, centroids: list[list[float]], cells: list[int] | None = None
+):
+    """Nearest-cell ``(d2, cell)`` struct against a DRIVER-SIDE
+    centroid list: ``array_min`` over k ``(d2, cell)`` structs. Struct
+    comparison orders by d2 then cell, so ties break on the lowest
+    cell id -- bit-identical arithmetic and tie-breaks to the
+    crossJoin+``min_by`` form, with zero shuffle and no k-way row
+    expansion."""
+    structs = []
+    for i, c in enumerate(centroids):
+        cell_id = cells[i] if cells is not None else i
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        # HOF form deliberately: an unrolled k*d term chain was tried
+        # and is WORSE -- the optimizer clones the giant tree into the
+        # scan's pushed predicates and plan time dominates (10s vs 2s)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), cent,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(int(cell_id)).alias("cell")))
+    return F.array_min(F.array(*structs))
+
+
+def _argmin_cell(vec_col: str, centroids: list[list[float]]):
+    return _argmin_best(vec_col, centroids)["cell"]
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int = 4,
@@ -73,18 +108,7 @@ def lloyd_kmeans(
     centroids = [[float(x) for x in r["c"]] for r in init_rows]
 
     for _ in range(n_iters):
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
-        )
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent_df))
-            .withColumn("_d2", _d2("_vec", "centroid"))
-            .groupBy("_id")
-            .agg(
-                F.min_by(F.col("cell"), F.struct(F.col("_d2"), F.col("cell"))).alias("cell"),
-                F.first("_vec").alias("_vec"),
-            )
-        )
+        assigned = vecs.withColumn("cell", _argmin_cell("_vec", centroids))
         # per-(cell, position) means; map-side combine collapses the
         # posexplode before the shuffle, which then carries ~k x d rows
         means = (
@@ -116,18 +140,18 @@ def kmeans_profile(
     inertia) -- the scalars that make the trained model
     value-checkable without hashing float arrays."""
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-    assigned = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("_d2", _d2("_vec", "centroid"))
-        .groupBy("_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("cell"), F.col("_d2")),
-                F.struct(F.col("_d2"), F.col("cell")),
-            ).alias("best")
-        )
-        .select(F.col("best.cell").alias("cell"), F.col("best._d2").alias("d2"))
+    # k x d bounded collect: the trained model is driver-sized by
+    # construction, and inlining it as a literal makes the assignment
+    # a zero-shuffle map pass (same trade as lloyd_kmeans itself)
+    cent_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
     )
+    assigned = vecs.select(
+        _argmin_best(
+            "_vec", [c for _, c in cent_rows], cells=[i for i, _ in cent_rows]
+        ).alias("best")
+    ).select(F.col("best.cell").alias("cell"), F.col("best.d2").alias("d2"))
     norm = F.round(
         F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, v: a + v * v)), 6
     )

@@ -425,10 +425,11 @@ def semantic_dedup(
     """
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     if arrow_assign:
-        cells = assign_cells_arrow(df, centroids, id_col=id_col, vec_col=vec_col)
-        assigned = vecs.join(
-            cells.select(F.col(id_col).alias("_id"), "cell"), on="_id"
-        )
+        # keep_vec: the assignment batch emits (id, cell, vec) in one
+        # pass, so no shuffle join is needed to reattach the embedding
+        assigned = assign_cells_arrow(
+            df, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+        ).select(F.col(id_col).alias("_id"), "cell", F.col(vec_col).alias("_vec"))
     else:
         assigned = _hof_assign(vecs, centroids)
     if arrow_pairs:
@@ -498,6 +499,7 @@ def assign_cells_arrow(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Arrow-batched nearest-centroid assignment: each batch computes
     the full ``block x centroids`` squared-distance matrix in numpy and
@@ -519,9 +521,12 @@ def assign_cells_arrow(
     cm = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     cm_sq = (cm * cm).sum(axis=1)  # (k,)
 
-    out_schema = (
-        f"{id_col} {df.schema[id_col].dataType.simpleString()}, cell int"
-    )
+    # keep_vec carries the vector through the same Arrow batch so the
+    # caller needs NO join to reunite (id, cell) with the embedding --
+    # semantic_dedup's pair stage groups by cell directly
+    out_schema = f"{id_col} {df.schema[id_col].dataType.simpleString()}, cell int"
+    if keep_vec:
+        out_schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
 
     def assign(batches):
         for pdf in batches:
@@ -532,7 +537,10 @@ def assign_cells_arrow(
             # constant per row, so argmin needs only the last two terms
             d2 = cm_sq[None, :] - 2.0 * (vm @ cm.T)
             best = cells[np.argmin(d2, axis=1)]
-            yield pd.DataFrame({id_col: pdf[id_col].values, "cell": best.astype("int32")})
+            out = {id_col: pdf[id_col].values, "cell": best.astype("int32")}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col].values
+            yield pd.DataFrame(out)
 
     from .dedup import spread_partitions
 
