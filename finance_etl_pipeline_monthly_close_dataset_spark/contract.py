@@ -1383,11 +1383,23 @@ def q_docs_ngram_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured LSH recall for n-gram-Jaccard near-dup detection, the
     production-shape counterpart of ``docs_ngram_jaccard`` (mirrors
     ``embedding_lsh_recall``): the found set is banded-LSH candidates
-    exact-verified at Jaccard >= 0.5 over the FULL corpus; the truth
-    set is the guaranteed-recall inverted shingle index
-    (``dedup.shingle_index_candidates`` -- any pair with Jaccard > 0
-    shares a shingle) exact-verified at the same threshold. found is a
-    subset of truth by construction, so recall = n_found / n_truth.
+    exact-verified at Jaccard >= 0.5; the truth set is the
+    guaranteed-recall inverted shingle index with EXACT Jaccard
+    computed from index match-counts
+    (``dedup.ngram_jaccard_index_pairs`` -- any qualifying pair shares
+    a shingle, |A ∩ B| is the per-pair match count, |A ∪ B| from set
+    sizes; no per-pair array ops). found is a subset of truth by
+    construction, so recall = n_found / n_truth.
+
+    SAMPLED truth set: recall is estimated over pairs ANCHORED at a
+    deterministic 25% md5-bucket doc-sample (the ``sample_by_hash``
+    scheme, applied to the pair's smaller id) -- the exact inverted
+    index over a full corpus is infeasible at scale, and an unbiased
+    estimate on a hash-sample is how a production run measures recall.
+    The anchor predicate is applied to the a-side BELOW the index
+    self-join, so the quadratic runs against the sampled a-side only
+    (4x cheaper at 25%). The full-corpus form is pinned by
+    ``test_ngram_recall_full_corpus_small_n``.
 
     The oracle asserts recall = 1.0: on this corpus every >= 0.5 pair
     sits >= 0.88 Jaccard, deep inside the 32-hash/8-band recall-1
@@ -1395,9 +1407,18 @@ def q_docs_ngram_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a silently degraded metric. Both global counts are 1-row
     aggregates broadcast together (bounded)."""
     docs = t(spark, sf_dir, "documents")
-    found = dedup.near_dup_minhash(docs, threshold=0.5)
-    truth = dedup.ngram_jaccard_pairs(
-        docs, dedup.shingle_index_candidates(docs), threshold=0.5
+
+    def in_sample(id_c: F.Column) -> F.Column:
+        # corpus._hash_bucket's scheme on the pair's smaller id:
+        # 16-bit md5 bucket < 0.25 * 65536
+        bucket = F.conv(F.substring(F.md5(id_c.cast("string")), 1, 4), 16, 10)
+        return bucket.cast("int") < F.lit(16384)
+
+    found = dedup.near_dup_minhash(docs, threshold=0.5).filter(
+        in_sample(F.col("id_a"))
+    )
+    truth = dedup.ngram_jaccard_index_pairs(
+        docs, threshold=0.5, a_predicate=in_sample
     )
     n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -1422,6 +1443,7 @@ WITH sh AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 4)) AS INT) < 16384
 ), truth AS (
   SELECT cand.id_a, cand.id_b
   FROM cand

@@ -68,6 +68,64 @@ def test_ngram_jaccard_exact_values(spark):
     assert 0.3 <= by_pair[("d1", "d3")] < 1.0
 
 
+def test_ngram_jaccard_index_pairs_matches_verify_form(spark):
+    """The index-count Jaccard (|A∩B| = per-pair shingle match count,
+    |A∪B| from set sizes) must produce the identical pair set AND
+    identical jaccard values as the candidates+array-verify form, at
+    every threshold."""
+    docs = _docs(spark)
+    for thr in (0.1, 0.5, 0.9):
+        via_index = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_index_pairs(docs, threshold=thr).collect()
+        }
+        via_verify = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                docs, dedup.shingle_index_candidates(docs), threshold=thr
+            ).collect()
+        }
+        assert via_index == via_verify
+
+
+def test_ngram_recall_full_corpus_small_n(spark):
+    """FULL-corpus recall form (the pre-round-5 contract query shape,
+    kept as the small-n ground truth now that the contract query
+    estimates recall on a 25% md5 doc-sample): LSH found set over the
+    whole corpus vs the complete inverted-index truth set. On this
+    corpus every qualifying pair is deep inside the 32-hash/8-band
+    recall-1 regime, so recall must be exactly 1.0."""
+    docs = _docs(spark)
+    truth = dedup.ngram_jaccard_index_pairs(docs, threshold=0.5)
+    found = dedup.near_dup_minhash(docs, threshold=0.5)
+    t_set = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    f_set = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    assert t_set, "corpus must contain at least one qualifying pair"
+    assert f_set <= t_set  # found is a subset of truth by construction
+    assert f_set == t_set  # recall = 1.0
+
+
+def test_ngram_jaccard_index_pairs_a_predicate_anchors(spark):
+    """a_predicate restricts the pair's SMALLER id before the
+    self-join: pairs anchored outside the sample disappear, pairs
+    anchored inside keep their exact jaccard."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_index_pairs(docs, threshold=0.1).collect()
+    }
+    sampled = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_index_pairs(
+            docs, threshold=0.1, a_predicate=lambda c: c == F.lit("d1")
+        ).collect()
+    }
+    assert sampled == {k: v for k, v in full.items() if k[0] == "d1"}
+    assert sampled  # d1 anchors at least one pair in the fixture
+
+
 def test_simhash_near_pairs(spark):
     sigs = dedup.simhash_signatures(_docs(spark))
     pairs = dedup.simhash_near_pairs(sigs, max_hamming=10).collect()
