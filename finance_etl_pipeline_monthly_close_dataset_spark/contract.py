@@ -1666,9 +1666,15 @@ def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = events_table(spark, sf_dir).filter(F.col("user_id") == 7)
     bucket = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 21600) * 21600)
-    counts = e.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_events"))
-    bounds = e.agg(
-        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    # persisted one-user aggregate (tiny): the spine bounds derive
+    # from the SAME grouped counts instead of a second events scan
+    counts = (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .persist()
+    )
+    bounds = counts.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))).alias("bucket")
@@ -4162,7 +4168,10 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the (tiny) day spine, so the output is one row per observed
     day, each counting users active in [day-6, day]."""
     e = events_table(spark, sf_dir)
-    user_days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # persisted deduped pairs (at most users x days rows): the day
+    # spine and the contribution explode both read the cache instead
+    # of re-deduping the raw event stream twice
+    user_days = e.select("user_id", F.to_date("ts").alias("day")).distinct().persist()
     days = user_days.select("day").distinct()
     contrib = user_days.select(
         "user_id",

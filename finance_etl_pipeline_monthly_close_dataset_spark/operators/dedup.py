@@ -388,7 +388,14 @@ def simhash_near_pairs(
     by pigeonhole, any pair within the distance shares at least one
     exact chunk, so the join is equality on (chunk_idx, chunk_value),
     never a cross product.
+
+    ``signatures`` is persisted here: both self-join sides read the
+    (id, long) projection, and without the cache the signature
+    aggregate -- a full corpus tokenize + 64 conditional sums --
+    computes twice (plan_lint multi_scan). The cache is doc-count
+    rows of two columns, the cheapest thing in the pipeline.
     """
+    signatures = signatures.persist()
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 

@@ -15,9 +15,11 @@ arrive.
 2. full-outer-join current rows with the update batch on the business
    key -- ONE shuffle on the key (Catalyst broadcasts the update side
    when it is small, the common case for dimension deltas);
-3. classify each key with null-safe comparisons: unchanged / changed /
-   new; emit carried rows, closed rows (``effective_to = batch_date``),
-   and freshly-opened rows in a single select-per-branch union.
+3. classify each key with null-safe comparisons in a SINGLE pass: each
+   joined row emits an array of output versions -- [carried], [closed,
+   opened], or [opened] -- exploded once. (A filter-per-branch union
+   would recompute the join per branch: 6 scans of the dimension,
+   caught by plan_lint's scan counter.)
 
 No windows, no collect: the whole merge is joins + projections, so it
 scales to a billion-row dimension exactly like any co-partitioned
@@ -77,35 +79,38 @@ def scd2_merge(
         F.lit(False),
     )
 
-    carried = joined.filter(has_cur & (~has_upd | ~changed)).select(
-        *keys,
-        *[F.col(f"c.{c}").alias(c) for c in tracked],
-        F.col("c.effective_from").alias("effective_from"),
-        F.col("c.effective_to").alias("effective_to"),
-        F.col("c.is_current").alias("is_current"),
+    def version(side: str, eff_from, eff_to, is_cur) -> F.Column:
+        return F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(f"{side}.{c}").alias(c) for c in tracked],
+            eff_from.cast("string").alias("effective_from"),
+            eff_to.cast("string").alias("effective_to"),
+            is_cur.alias("is_current"),
+        )
+
+    carried = version(
+        "c",
+        F.col("c.effective_from"),
+        F.col("c.effective_to"),
+        F.col("c.is_current"),
     )
-    closed = joined.filter(has_cur & has_upd & changed).select(
-        *keys,
-        *[F.col(f"c.{c}").alias(c) for c in tracked],
-        F.col("c.effective_from").alias("effective_from"),
-        F.lit(batch_date).alias("effective_to"),
-        F.lit(False).alias("is_current"),
+    closed = version(
+        "c", F.col("c.effective_from"), F.lit(batch_date), F.lit(False)
     )
-    opened = joined.filter(has_upd & (~has_cur | changed)).select(
-        *keys,
-        *[F.col(f"u.{c}").alias(c) for c in tracked],
-        F.lit(batch_date).alias("effective_from"),
-        F.lit(None).cast("string").alias("effective_to"),
-        F.lit(True).alias("is_current"),
+    opened = version(
+        "u", F.lit(batch_date), F.lit(None).cast("string"), F.lit(True)
+    )
+    # one row -> its output version(s); exploded in the SAME pass so
+    # the full outer join is computed exactly once
+    versions = (
+        F.when(has_cur & (~has_upd | ~changed), F.array(carried))
+        .when(has_cur & has_upd & changed, F.array(closed, opened))
+        .otherwise(F.array(opened))  # new key: update side only
     )
 
     out_cols = keys + tracked + list(META_COLS)
-    return (
-        history.select(*out_cols)
-        .unionByName(carried)
-        .unionByName(closed)
-        .unionByName(opened)
-    )
+    merged = joined.select(F.explode(versions).alias("_v")).select("_v.*")
+    return history.select(*out_cols).unionByName(merged.select(*out_cols))
 
 
 def scd2_initial(dim: DataFrame, initial_date: str) -> DataFrame:

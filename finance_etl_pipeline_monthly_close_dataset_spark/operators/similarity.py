@@ -437,8 +437,12 @@ def semantic_dedup(
     # stage each vector's norm ONCE before the pair join: cosine per
     # pair then costs one dot-product fold instead of three (the norms
     # are the same doubles either way, so the oracle's inline-norm SQL
-    # still matches bit-for-bit)
-    staged = assigned.select("_id", "cell", "_vec", _norm(F.col("_vec")).alias("_nm"))
+    # still matches bit-for-bit). PERSISTED: the a and b pair sides
+    # both read this projection -- without the cache the corpus (and
+    # the assignment argmin) computes twice.
+    staged = assigned.select(
+        "_id", "cell", "_vec", _norm(F.col("_vec")).alias("_nm")
+    ).persist()
     a = staged.select(
         F.col("_id").alias("id_a"), F.col("cell").alias("_ca"),
         F.col("_vec").alias("_va"), F.col("_nm").alias("_na"),

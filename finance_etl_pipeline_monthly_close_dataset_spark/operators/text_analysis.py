@@ -284,9 +284,13 @@ def unigram_logprob(
     aggregate. N and V are a bounded 1-row driver scalar, same pattern
     as ``tfidf_top_terms``'s ``n_docs``.
     """
+    # persisted: the (doc, token) stream feeds both the LM counts and
+    # the per-doc join-back -- without the cache the corpus tokenizes
+    # twice (plan_lint multi_scan). Spillable; the sweep/bench harness
+    # clears caches between queries.
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    )
+    ).persist()
     freq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     totals = freq.agg(
         F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")

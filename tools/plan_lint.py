@@ -11,9 +11,19 @@ plan, and flags the patterns that kill a plan at 100x scale:
   distribution is ``SinglePartition`` (global sort of the full input).
 * ``Exchange SinglePartition`` feeding anything other than a final
   scalar aggregate / limit collect.
+* Multi-scans -- the same source table scanned more than once in one
+  query plan (the round-4 hand-audit regression class, mechanized:
+  every physical ``Scan parquet`` node's file is counted per table;
+  persisted intermediates appear as ``InMemoryTableScan`` and count
+  zero, which is exactly the point of the persist).
 
 Known-and-justified sites are allowlisted EXPLICITLY with the reason,
 so a new offender fails loudly instead of hiding in the noise.
+Multi-scan allows use the key ``multi_scan:<table>``; a justified
+reason is one of: self-join/self-union shapes where the two scans push
+DIFFERENT filters (each scan reads less than a shared scan would),
+probe-vs-corpus ANN shapes, recall measurements (found vs truth),
+two-snapshot CDC, and bounded dimension rescans.
 
 Usage: python tools/plan_lint.py [sf_dir] [query ...]
 """
@@ -149,6 +159,11 @@ FLAG_PATTERNS = {
     "python_row": re.compile(r"BatchEvalPython"),
 }
 
+# one per physical Scan node in the formatted detail section
+_SCAN_RE = re.compile(
+    r"Location: InMemoryFileIndex(?:\(\d+ paths?\))? \[[^\]]*?/([A-Za-z_0-9]+)\.parquet"
+)
+
 
 def formatted_plan(df) -> str:
     buf = io.StringIO()
@@ -157,12 +172,24 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+def scan_counts(plan: str) -> dict[str, int]:
+    """Physical parquet scans per source table (ReusedExchange shares
+    don't re-list a Location; InMemoryTableScan hides cached builds)."""
+    counts: dict[str, int] = {}
+    for m in _SCAN_RE.finditer(plan):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
 def lint_plan(name: str, plan: str) -> list[str]:
     flags: list[str] = []
     allow = ALLOW.get(name, {})
     for key, pat in FLAG_PATTERNS.items():
         if pat.search(plan) and key not in allow:
             flags.append(key)
+    for table, n in sorted(scan_counts(plan).items()):
+        if n > 1 and f"multi_scan:{table}" not in allow:
+            flags.append(f"multi_scan:{table}x{n}")
     # single-partition window: the Window node's child Sort has a
     # global=true sort or the Exchange above it is SinglePartition
     if "single_partition_window" not in allow:
@@ -193,11 +220,12 @@ def main() -> int:
             bad += 1
             continue
         flags = lint_plan(name, plan)
+        scans = " ".join(f"{t}={n}" for t, n in sorted(scan_counts(plan).items()))
         if flags:
             bad += 1
-            print(f"FLAG  {name}: {', '.join(sorted(set(flags)))}")
+            print(f"FLAG  {name}: {', '.join(sorted(set(flags)))}  [scans: {scans}]")
         else:
-            print(f"ok    {name}")
+            print(f"ok    {name}  [scans: {scans}]")
     print(f"\n{bad} flagged")
     return 1 if bad else 0
 
