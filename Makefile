@@ -1,9 +1,9 @@
 # Developer entry points (PYTHONPATH=repo root is assumed; all targets
 # run on local[32] Spark).
 
-.PHONY: test check check-all checkall bench smoke e2e preflight
+.PHONY: test check check-all checkall bench smoke e2e preflight lint
 
-ROUND ?= 04
+ROUND ?= 06
 
 checkall: preflight  ## full-registry 3-SF oracle sweep -> CHECKALL_r$(ROUND).json
 	python tools/checkall.py --out CHECKALL_r$(ROUND).json
@@ -14,8 +14,11 @@ preflight:        ## fail loudly if testdata parquet schemas drifted
 test:
 	python -m pytest tests/ -q
 
-check: preflight  ## every contract query vs its DuckDB oracle at sf0.01
+check: preflight lint  ## every contract query vs its DuckDB oracle at sf0.01
 	python tools/check_contract.py /root/testdata/sf0.01
+
+lint:             ## physical-plan lint over the full registry (0 flags = pass)
+	python tools/plan_lint.py /root/testdata/sf0.001
 
 check-all:        ## the same at all three scale factors (catches float/cast divergence)
 	python tools/check_contract.py /root/testdata/sf0.001

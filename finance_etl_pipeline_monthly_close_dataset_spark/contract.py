@@ -4321,9 +4321,14 @@ def q_lineitem_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-build time; the returned plan itself is a SINGLE job -- the
     total comes from summing the grouped counts (broadcast back as a
     1-row scalar), and exchange reuse means both the counts branch and
-    the total branch read ONE shuffle of ONE lineitem scan. At 100 TB
-    the sketch replaces the exact group-by when only the hot keys are
-    needed (skew detection feeding the salted join path)."""
+    the total branch read ONE shuffle of ONE lineitem scan. The STATIC
+    plan prints two lineitem scans because AQE defers exchange reuse
+    to runtime: the executed plan's total branch is ``ReusedExchange``
+    over the grouped shuffle (asserted by
+    ``test_heavy_hitters_exchange_reuse_fires``), so one scan runs.
+    At 100 TB the sketch replaces the exact group-by when only the
+    hot keys are needed (skew detection feeding the salted join
+    path)."""
     li = t(spark, sf_dir, "lineitem")
     support = 1.0 / 1000.0
     # bounded driver scalar: freqItems returns at most 1/support items
@@ -4908,27 +4913,48 @@ def q_lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
       no-false-negative guarantee means the oracle asserts 0, so a
       broken filter is a hash mismatch, not a quiet wrong plan.
 
-    Scale shape: the bitmap is a 1-row broadcast (256 longs); the
-    pre-filter is a scan-side expression, so the join shuffle behind
-    it carries ~matches instead of the whole fact. The three 1-row
-    stat aggregates broadcast together (bounded)."""
+    Scale shape (round 6): ONE branch, ONE lineitem scan. Each
+    distinct fact key is annotated with two flags -- ``bloom_pass``
+    (the membership expression as a column instead of a filter) and
+    ``true_match`` (left join against the broadcast build side) -- and
+    all four counts come off a single final aggregate of the flagged
+    frame. The round-5 form ran four separate count branches
+    crossJoined together, re-reading lineitem 5x and supplier 4x; the
+    tiny build side persists so the bitmap-build subtree and the join
+    side share one supplier scan."""
     supp = (
         t(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == 5)
         .select("s_suppkey")
+        .persist()
     )
     li_keys = t(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
     bf = bloom.bloom_build(supp, "s_suppkey", _BLOOM_BITS, _BLOOM_HASHES)
-    kept = bloom.bloom_prefilter(li_keys, bf, "l_suppkey", _BLOOM_BITS, _BLOOM_HASHES)
-    true_match = li_keys.join(
-        supp, li_keys["l_suppkey"] == supp["s_suppkey"], "left_semi"
+    staged = li_keys.crossJoin(F.broadcast(bf)).withColumn(
+        "_pos", bloom.bloom_positions(F.col("l_suppkey"), _BLOOM_BITS, _BLOOM_HASHES)
     )
-    missed = true_match.join(kept, on="l_suppkey", how="left_anti")
-    return (
-        li_keys.agg(F.count(F.lit(1)).alias("n_fact_keys"))
-        .crossJoin(F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_bloom_pass"))))
-        .crossJoin(F.broadcast(true_match.agg(F.count(F.lit(1)).alias("n_true_match"))))
-        .crossJoin(F.broadcast(missed.agg(F.count(F.lit(1)).alias("n_false_negatives"))))
+    flagged = staged.withColumn(
+        "bloom_pass",
+        F.expr(
+            "forall(_pos, p -> "
+            "(element_at(bloom_words, cast(p div 64 as int) + 1) "
+            "& shiftleft(1L, cast(p % 64 as int))) != 0)"
+        ),
+    ).join(
+        F.broadcast(
+            supp.select(F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("_m"))
+        ),
+        on="l_suppkey",
+        how="left",
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_fact_keys"),
+        one_if(F.col("bloom_pass")).alias("n_bloom_pass"),
+        one_if(F.col("_m").isNotNull()).alias("n_true_match"),
+        one_if(F.col("_m").isNotNull() & ~F.col("bloom_pass")).alias(
+            "n_false_negatives"
+        ),
     )
 
 

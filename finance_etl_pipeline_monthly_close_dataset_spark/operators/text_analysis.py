@@ -125,38 +125,56 @@ def repetition_features(
     bigram (boilerplate / degenerate-generation filter; Rae et al.'s
     'fraction of characters in most common n-gram' family).
 
-    One explode over NON-distinct bigrams -> per-(doc, gram) counts ->
-    per-doc argmax with a window PARTITIONED by doc (deterministic
-    tie-break on the gram); the shuffled data is the (doc, gram) grid,
-    never the corpus text. Deterministic and exactly SQL-expressible.
+    Fully map-side: the per-document mode is a sorted-run fold --
+    ``array_sort`` the bigram array, then one ``aggregate`` pass finds
+    the longest run (equal counts break to the lexicographically
+    smallest gram, because the first maximal run in ascending order IS
+    the smallest). Zero shuffles, zero joins, ONE corpus scan; the
+    round-5 form (explode -> per-(doc,gram) counts -> window argmax ->
+    join back to a second scan) shuffled the (doc, gram) grid and read
+    the corpus twice. O(n log n) per document for the sort.
     """
-    from pyspark.sql.window import Window
-
     from .text import ngrams_of
 
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    base = staged.select(
+    run = lambda acc, g: F.when(g == acc["prev"], acc["run"] + F.lit(1)).otherwise(  # noqa: E731
+        F.lit(1)
+    )
+    best = F.aggregate(
+        F.array_sort(ngrams_of(F.col("_toks"), 2)),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best_n"),
+            F.lit(None).cast("string").alias("best_g"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            run(acc, g).alias("run"),
+            F.greatest(run(acc, g), acc["best_n"]).alias("best_n"),
+            F.when(run(acc, g) > acc["best_n"], g)
+            .otherwise(acc["best_g"])
+            .alias("best_g"),
+        ),
+    )
+    safe_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
+    return staged.select(
         F.col(id_col),
         F.size(F.col("_toks")).alias("n_tokens"),
         F.size(F.array_distinct(F.col("_toks"))).alias("n_distinct"),
-    )
-    grams = staged.select(
-        F.col(id_col), F.explode(ngrams_of(F.col("_toks"), 2)).alias("g")
-    )
-    counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("g").asc())
-    top = counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    safe_tokens = F.greatest(F.col("n_tokens"), F.lit(1))
-    return base.join(top, on=id_col).select(
+        best.alias("_best"),
+    ).select(
         id_col,
         "n_tokens",
         F.round(F.col("n_distinct") / safe_tokens.cast("double"), 6).alias(
             "distinct_ratio"
         ),
-        F.col("g").alias("top_bigram"),
-        F.col("n").cast("int").alias("top_bigram_n"),
+        F.col("_best.best_g").alias("top_bigram"),
+        F.col("_best.best_n").cast("int").alias("top_bigram_n"),
         F.round(
-            F.col("n") / F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double"), 6
+            F.col("_best.best_n")
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double"),
+            6,
         ).alias("top_bigram_frac"),
     )
 
@@ -362,27 +380,48 @@ def bigram_lift(
     the phrase-detection pass (word2vec-style phrase merging, vocab
     augmentation) a training-data pipeline runs before tokenization.
 
-    Scale shape: one explode for bigram counts, one for unigram
-    counts, then two joins keyed on the (vocabulary-sized, already
-    aggregated) token counts -- never on raw rows. All counts are
-    exact integers; the only float op is one double division, so the
-    ranking is portable across engines. Ties break on count then on
-    the bigram string (total order).
+    Scale shape: ONE corpus scan -- unigrams and bigrams ride the same
+    explode as (kind, gram) structs (kind disambiguates a 1-token
+    doc's degenerate "bigram" from a real unigram occurrence), so one
+    groupBy counts both vocabularies in one shuffle. The grouped
+    counts (vocabulary-sized, orders of magnitude below the corpus)
+    persist; the unigram side, the bigram side, and the global token
+    total all derive from that cache -- the round-5 form exploded the
+    corpus twice. All counts are exact integers; the only float op is
+    one double division, so the ranking is portable across engines.
+    Ties break on count then on the bigram string (total order).
     """
     from .text import ngrams_of, tokens
 
-    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    # persisted vocabulary-sized aggregate: the global token count
-    # derives from it in-plan (no third corpus scan, no build-time job)
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok")).persist()
+    staged = df.select(tokens(F.col(text_col)).alias("_toks"))
+    grams = staged.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("_toks"),
+                    lambda t: F.struct(F.lit(0).alias("kind"), t.alias("g")),
+                ),
+                F.transform(
+                    ngrams_of(F.col("_toks"), 2),
+                    lambda b: F.struct(F.lit(1).alias("kind"), b.alias("g")),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.kind").alias("kind"), F.col("e.g").alias("g"))
+    # persisted vocabulary-sized aggregate: every downstream branch
+    # (unigram join sides, bigram candidates, global token count)
+    # reads this cache instead of re-scanning the corpus
+    counts = (
+        grams.groupBy("kind", "g").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    uni = counts.filter(F.col("kind") == 0).select(
+        F.col("g").alias("token"), F.col("c").alias("c_tok")
+    )
     n_total = uni.agg(F.sum("c_tok").alias("n")).first()["n"]
 
     bi = (
-        df.select(tokens(F.col(text_col)).alias("_toks"))
-        .select(F.explode(ngrams_of(F.col("_toks"), 2)).alias("bigram"))
-        .filter(F.col("bigram").contains(" "))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+        counts.filter((F.col("kind") == 1) & F.col("g").contains(" "))
+        .select(F.col("g").alias("bigram"), F.col("c").alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
         .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))

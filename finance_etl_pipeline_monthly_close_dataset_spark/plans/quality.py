@@ -160,13 +160,42 @@ def _exception_struct(column: str, check: str, failure_case: Column) -> Column:
     )
 
 
-def collect_exceptions(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+def collect_exceptions(
+    df: DataFrame, spec: DatasetSpec, persist_intermediates: bool = True
+) -> DataFrame:
     """All row-level + key-uniqueness exceptions for one dataset.
 
     Row-level checks run in a single scan via an array of conditional
     structs per row, exploded to exception rows (equivalent of
     pandera's lazy=True collect-all semantics, quality.py:98-115).
+
+    Single-scan guarantee: the row-level explode and each
+    key-uniqueness group-by are separate consumers of the source, so a
+    naive plan scans it once per consumer (the round-5 lint finding).
+    When more than one consumer exists, the declared-column slice is
+    projected once and persisted (MEMORY_AND_DISK); every branch then
+    reads the cache and the source parquet is scanned exactly once.
+    ``persist_intermediates=False`` opts out for callers that manage
+    caching themselves (the cache lives until the session clears it --
+    spark.catalog.clearCache() or an explicit unpersist by the owner
+    of the returned plan's lifecycle).
     """
+    # checks may only reference declared columns, so the persisted
+    # slice projects declared + their raw-text shadows + the row id
+    declared = set(spec.columns)
+    proj = [
+        c
+        for c in df.columns
+        if c == ROW_ID_COL
+        or c in declared
+        or (c.startswith(RAW_PREFIX) and c[len(RAW_PREFIX):] in declared)
+    ]
+    n_consumers = (
+        1 if (spec.not_null or spec.checks) else 0
+    ) + sum(1 for ks in spec.unique_keys if all(k in df.columns for k in ks))
+    df = df.select(*proj)
+    if persist_intermediates and n_consumers > 1:
+        df = df.persist()
     idx = F.col(ROW_ID_COL) if ROW_ID_COL in df.columns else F.lit(None).cast("long")
 
     structs: list[Column] = []

@@ -55,24 +55,6 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     # broadcast nested-loop joins whose broadcast side is bounded by
     # construction (probe sets, literal scaffolds, sliced baselines):
-    "embedding_cosine_topk": {
-        "nested_loop": "probe set broadcasts (bounded); corpus never shuffles"
-    },
-    "embedding_ivf_topk": {
-        "nested_loop": "probe set broadcasts; cells equality-join the corpus"
-    },
-    "embedding_lsh_recall": {
-        "nested_loop": "the exact side IS the bounded probe-broadcast scan "
-        "the recall metric is defined against; LSH side equality-joins"
-    },
-    "embedding_near_dup": {
-        "nested_loop": "exact all-pairs BASELINE the LSH/MinHash paths are "
-        "measured against (docstring); 100 TB path is bucketed"
-    },
-    "docs_ngram_jaccard": {
-        "nested_loop": "pair generation over a bounded doc_id<120 slice; "
-        "production path takes candidate pairs from LSH banding"
-    },
     "dq_summary_status": {
         "nested_loop": "five-row literal dataset scaffold joins the summary"
     },
@@ -84,30 +66,21 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "lineitem_heavy_hitters": {
         "nested_loop": "1-row total broadcast derived from the grouped "
-        "counts; exchange reuse keeps it one lineitem scan"
+        "counts; exchange reuse keeps it one lineitem scan",
+        "multi_scan:lineitem": "static-plan artifact: AQE defers reuse "
+        "to runtime, where the total branch is a ReusedExchange over "
+        "the grouped shuffle (post-execution plan asserted by "
+        "test_heavy_hitters_exchange_reuse_fires) -- one scan executes",
     },
     "embedding_kmeans_centroids": {
         "nested_loop": "k=4 trained centroids broadcast for the "
         "assignment argmin -- the k-way expansion collapses map-side "
         "via min_by before any shuffle"
     },
-    "embedding_ivf_trained_topk": {
-        "nested_loop": "same k=4 centroid broadcast (assignment + "
-        "probe-cell ranking); search join is cell-equality"
-    },
-    "docs_leakage_split": {
-        "nested_loop": "1-row global leaky-fingerprint count broadcast "
-        "onto the 3-row per-split summary",
-    },
     "lineitem_bloom_semijoin": {
         "nested_loop": "1-row broadcasts: the 256-long bloom bitmap "
         "plus three single-row stat aggregates",
         "exchange_single": "the same single-row stat aggregates",
-    },
-    "docs_ngram_jaccard_recall": {
-        "nested_loop": "two 1-row global counts (n_found, n_truth) "
-        "broadcast together for the recall ratio",
-        "exchange_single": "the same two single-row count aggregates",
     },
     "docs_semantic_contamination": {
         "nested_loop": "bounded benchmark slice (doc_id < 10) broadcasts "
@@ -117,10 +90,6 @@ ALLOW: dict[str, dict[str, str]] = {
         "nested_loop": "cross-midnight carry: sessions range-join the "
         "broadcast DAY dimension (~31 rows) -- bounded by calendar "
         "days, not data",
-    },
-    "events_type_pagerank": {
-        "nested_loop": "1-row node-count broadcast crossed with the "
-        "type-cardinality (5-node) rank table each iteration",
     },
     "embedding_semantic_dedup": {
         "nested_loop": "k=4 trained centroids broadcast for the cell "
@@ -140,17 +109,162 @@ ALLOW: dict[str, dict[str, str]] = {
         "1.5x-average threshold",
         "exchange_single": "the same single-row global aggregate",
     },
+    # ---- multi_scan adjudication (round 6): every remaining >1-scan
+    # plan is a documented design decision. Categories: two-snapshot
+    # (CDC/SCD compare two versions by definition), probe-vs-corpus
+    # (a bounded probe slice scans beside the corpus it searches),
+    # measurement (recall/contamination joins a found set against an
+    # independently-derived truth set), disjoint-slice (self-join /
+    # self-union branches push DIFFERENT filters, so the scans
+    # together read each row once -- splitting beats one unfiltered
+    # scan feeding both), two-role-dim (a bounded dimension joins the
+    # same fact under two roles), derived-threshold (pass 1 computes
+    # the tiny aggregate that parametrizes pass 2's filter; sharing
+    # would persist a corpus-sized intermediate), iterative (each
+    # round re-reads its bounded input by design).
+    "snapshot_cdc_diff": {
+        "multi_scan:orders": "two-snapshot CDC: the diff of two "
+        "versioned slices IS two scans with different snapshot filters"
+    },
+    "customer_scd2": {
+        "multi_scan:customer": "two-snapshot SCD2: current dimension "
+        "vs incoming snapshot are distinct slices of the same table "
+        "in this test harness; production reads two real tables"
+    },
+    "part_fuzzy_pairs": {
+        "multi_scan:part": "blocked self-join: both sides push the "
+        "block-key projection; a self-join's two sides are one "
+        "logical scan each"
+    },
+    "events_asof_last_purchase": {
+        "multi_scan:events": "disjoint-slice self-join: purchase "
+        "rows as-of-join view rows; each scan pushes its own "
+        "event_type filter, together reading each row once"
+    },
+    "events_range_join": {
+        "multi_scan:events": "disjoint-slice self-join: session "
+        "windows range-join point events, each side with its own "
+        "pushed event_type filter"
+    },
+    "set_operations": {
+        "multi_scan:orders": "disjoint-slice self-union: the 1996 and "
+        "1997 cohorts push different year filters (persisted "
+        "customer-cardinality sets stop EXCEPT+INTERSECT doubling it)"
+    },
+    "hot_keys_join_revenue": {
+        "multi_scan:lineitem": "hybrid skew routing: hot and tail "
+        "branches push complementary key filters, so the two scans "
+        "together read each fact row exactly once",
+        "multi_scan:orders": "same routing on the build side: "
+        "broadcast slice for hot keys, shuffle slice for the tail",
+    },
     "idle_rich_customers": {
+        "multi_scan:customer": "TPC-H Q22 decorrelation: the "
+        "above-average threshold is a 1-row aggregate over a "
+        "different (positive-balance) slice than the main filter scan",
         "nested_loop": "1-row positive-balance (sum, count) broadcast for "
         "the Q22 above-average filter",
-        "exchange_single": "the same single-row global aggregate",
+        "exchange_single": "the same single-row global aggregate"
+    },
+    "docs_contamination": {
+        "multi_scan:documents": "measurement shape: the bounded "
+        "benchmark slice broadcasts against the corpus it is "
+        "checked for leakage into",
+        "exchange_single": "broadcast benchmark side is tiny"
+    },
+    "docs_leakage_split": {
+        "multi_scan:documents": "measurement shape: train and test "
+        "split slices (different md5-cutoff filters) join on "
+        "fingerprints to count leaks",
+        "nested_loop": "1-row global leaky-fingerprint count broadcast "
+        "onto the 3-row per-split summary"
+    },
+    "docs_ngram_jaccard": {
+        "multi_scan:documents": "labeled quadratic BASELINE: truth-set "
+        "generation joins shingle projections of a bounded slice "
+        "against itself",
+        "nested_loop": "pair generation over a bounded doc_id<120 slice; "
+        "production path takes candidate pairs from LSH banding"
+    },
+    "docs_ngram_jaccard_recall": {
+        "multi_scan:documents": "recall measurement: the LSH found "
+        "set and the sampled exact truth set derive from separate "
+        "scans by definition (found vs independent ground truth)",
+        "nested_loop": "two 1-row global counts (n_found, n_truth) "
+        "broadcast together for the recall ratio",
+        "exchange_single": "the same two single-row count aggregates"
+    },
+    "docs_token_budget_mix": {
+        "multi_scan:documents": "derived-threshold two-pass: pass 1 "
+        "aggregates per-source token totals (tiny), pass 2 filters "
+        "the corpus by the derived keep-fraction; sharing the scan "
+        "would persist a corpus-sized tokenized intermediate -- "
+        "rescanning is the 100 TB-correct choice",
+    },
+    "embedding_cosine_topk": {
+        "multi_scan:embeddings": "probe-vs-corpus: the bounded probe "
+        "slice (vec_id filter pushed) broadcasts against the corpus "
+        "scan it searches",
+        "nested_loop": "probe set broadcasts (bounded); corpus never shuffles"
+    },
+    "embedding_lsh_topk": {
+        "multi_scan:embeddings": "probe-vs-corpus: bounded probe "
+        "slice beside the bucketed corpus scan"
+    },
+    "embedding_ivf_topk": {
+        "multi_scan:embeddings": "probe-vs-corpus plus the "
+        "deterministic sampled-centroid slice (vec_id-bounded): "
+        "corpus assignment, probe assignment, and quantizer are "
+        "separate bounded roles of one table",
+        "nested_loop": "probe set broadcasts; cells equality-join the corpus"
+    },
+    "embedding_ivf_trained_topk": {
+        "multi_scan:embeddings": "probe-vs-corpus: corpus cell "
+        "assignment + bounded probe slice; the trained centroids "
+        "are driver literals (build-time jobs, not plan scans)",
+        "nested_loop": "same k=4 centroid broadcast (assignment + "
+        "probe-cell ranking); search join is cell-equality"
+    },
+    "embedding_lsh_recall": {
+        "multi_scan:embeddings": "recall measurement: LSH found set "
+        "vs brute-force truth set over probe and corpus roles -- the "
+        "metric is DEFINED as a join of independently-derived sets",
+        "nested_loop": "the exact side IS the bounded probe-broadcast scan "
+        "the recall metric is defined against; LSH side equality-joins"
+    },
+    "embedding_near_dup": {
+        "multi_scan:embeddings": "labeled all-pairs BASELINE the "
+        "bucketed paths are measured against",
+        "nested_loop": "exact all-pairs BASELINE the LSH/MinHash paths are "
+        "measured against (docstring); 100 TB path is bucketed"
+    },
+    "nation_market_share": {
+        "multi_scan:nation": "two-role dimension: customer-nation vs "
+        "supplier-nation join the same 25-row broadcast dim under "
+        "two roles (TPC-H Q8 shape)"
+    },
+    "nation_pair_trade": {
+        "multi_scan:nation": "two-role dimension: supplier-nation vs "
+        "customer-nation pair (TPC-H Q7 shape), 25-row broadcast dim"
+    },
+    "orders_incremental_state": {
+        "multi_scan:orders": "incremental-maintenance simulation: "
+        "three disjoint hash-batch filters model three arriving "
+        "partitions; production aggregates only the new partition "
+        "per close and merges into persisted state"
+    },
+    "events_type_pagerank": {
+        "multi_scan:events": "iterative graph algorithm: the edge "
+        "aggregate and the node universe are two bounded projections "
+        "of the stream; ranks iterate over the 5-node type graph",
+        "nested_loop": "1-row node-count broadcast crossed with the "
+        "type-cardinality (5-node) rank table each iteration"
     },
     # global scalar outputs: one-row results legitimately coalesce
     "global_extremes": {"exchange_single": "single-row global aggregate"},
     "events_funnel": {"exchange_single": "single-row funnel summary"},
     "distinct_counts": {"exchange_single": "single-row global aggregate"},
     "group_stats_exact": {"exchange_single": "grand-total row in the output"},
-    "docs_contamination": {"exchange_single": "broadcast benchmark side is tiny"},
 }
 
 FLAG_PATTERNS = {
