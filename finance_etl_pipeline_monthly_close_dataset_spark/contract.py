@@ -6332,7 +6332,15 @@ SQL_ORDERS_PROFILE = " UNION ALL ".join(
         ("o_orderkey", "CAST({v} AS VARCHAR)"),
         ("o_custkey", "CAST({v} AS VARCHAR)"),
         ("o_orderstatus", "CAST({v} AS VARCHAR)"),
-        ("o_totalprice", "CAST(CAST({v} AS DECIMAL(38,6)) AS VARCHAR)"),
+        # mirrors profile._render's out-of-range fallback: TRY_CAST
+        # nulls (instead of raising) on DECIMAL(38,6) overflow, then
+        # the engine-native string takes over -- same contract as the
+        # Spark side for |v| >= 1e32
+        (
+            "o_totalprice",
+            "COALESCE(CAST(TRY_CAST({v} AS DECIMAL(38,6)) AS VARCHAR), "
+            "CAST({v} AS VARCHAR))",
+        ),
         ("o_orderdate", "strftime({v}, '%Y-%m-%d %H:%M:%S')"),
         ("o_orderpriority", "CAST({v} AS VARCHAR)"),
     ]

@@ -381,6 +381,7 @@ def simhash_near_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -389,13 +390,19 @@ def simhash_near_pairs(
     exact chunk, so the join is equality on (chunk_idx, chunk_value),
     never a cross product.
 
-    ``signatures`` is persisted here: both self-join sides read the
-    (id, long) projection, and without the cache the signature
-    aggregate -- a full corpus tokenize + 64 conditional sums --
-    computes twice (plan_lint multi_scan). The cache is doc-count
-    rows of two columns, the cheapest thing in the pipeline.
+    A DERIVED (id, simhash) projection is persisted (never the
+    caller's frame in place): both self-join sides read it, and
+    without the cache the signature aggregate -- a full corpus
+    tokenize + 64 conditional sums -- computes twice (plan_lint
+    multi_scan). The cache is doc-count rows of two columns, the
+    cheapest thing in the pipeline. ``persist_intermediates=False``
+    opts out for callers that manage caching themselves; the cache
+    otherwise lives until the session clears it (the sweep/bench
+    harness clears caches per query).
     """
-    signatures = signatures.persist()
+    signatures = signatures.select(F.col(id_col), F.col("simhash"))
+    if persist_intermediates:
+        signatures = signatures.persist()
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 

@@ -391,6 +391,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     arrow_assign: bool = False,
     arrow_pairs: bool = False,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster-then-compare.
 
@@ -442,7 +443,11 @@ def semantic_dedup(
     # the assignment argmin) computes twice.
     staged = assigned.select(
         "_id", "cell", "_vec", _norm(F.col("_vec")).alias("_nm")
-    ).persist()
+    )
+    if persist_intermediates:
+        # derived projection, not the caller's frame; lives until the
+        # session clears caches (persist_intermediates=False opts out)
+        staged = staged.persist()
     a = staged.select(
         F.col("_id").alias("id_a"), F.col("cell").alias("_ca"),
         F.col("_vec").alias("_va"), F.col("_nm").alias("_na"),

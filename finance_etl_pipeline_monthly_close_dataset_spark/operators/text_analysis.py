@@ -224,6 +224,7 @@ def tfidf_top_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF.
 
@@ -241,7 +242,9 @@ def tfidf_top_terms(
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_intermediates:
+        tf = tf.persist()
     # N counts ALL documents, including ones that tokenize to zero
     # tokens (empty/whitespace text) -- the (doc, term) grid would
     # silently drop those and shift every idf value. The extra pass
@@ -280,7 +283,10 @@ PII_PATTERNS = (
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Mean per-token surprisal under the corpus's own add-one-smoothed
     unigram language model -- the model-free stand-in for perplexity
@@ -308,7 +314,9 @@ def unigram_logprob(
     # clears caches between queries.
     terms = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).persist()
+    )
+    if persist_intermediates:
+        terms = terms.persist()
     freq = terms.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     totals = freq.agg(
         F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
@@ -374,6 +382,7 @@ def bigram_lift(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 20,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Collocation mining: top-k bigrams by lift (the log-free PMI
     core), ``lift = P(ab) / (P(a)·P(b)) = c_ab · N / (c_a · c_b)`` --
@@ -411,9 +420,9 @@ def bigram_lift(
     # persisted vocabulary-sized aggregate: every downstream branch
     # (unigram join sides, bigram candidates, global token count)
     # reads this cache instead of re-scanning the corpus
-    counts = (
-        grams.groupBy("kind", "g").agg(F.count(F.lit(1)).alias("c")).persist()
-    )
+    counts = grams.groupBy("kind", "g").agg(F.count(F.lit(1)).alias("c"))
+    if persist_intermediates:
+        counts = counts.persist()
     uni = counts.filter(F.col("kind") == 0).select(
         F.col("g").alias("token"), F.col("c").alias("c_tok")
     )

@@ -194,10 +194,17 @@ class JsonlCommitWriter(DataSourceWriter):
     format). Rows stream through; O(1) memory per task."""
 
     def __init__(self, options, schema):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlcommit writer needs a path")
         self.fields = [f.name for f in schema.fields]
+        # per-JOB namespace, minted once on the driver and shipped to
+        # every task: commit/abort sweep only THIS job's staged files,
+        # so two concurrent append jobs into one directory can no
+        # longer delete each other's in-flight parts (round-5 advice)
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json as _json
@@ -205,7 +212,9 @@ class JsonlCommitWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        staged = os.path.join(
+            self.path, f"_tmp_{self.job_id}_{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         with open(staged, "w") as fh:
             for row in iterator:
@@ -216,11 +225,14 @@ class JsonlCommitWriter(DataSourceWriter):
     def _sweep_orphans(self, keep: set) -> None:
         # a task that died mid-write never returned a commit message,
         # so its staged file is in nobody's message list -- remove any
-        # _tmp_*.jsonl not owned by a surviving message
+        # of THIS job's _tmp_ files not owned by a surviving message
+        # (other jobs' staged files carry a different job_id and are
+        # never touched)
         import glob
         import os
 
-        for orphan in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
+        pattern = os.path.join(self.path, f"_tmp_{self.job_id}_*.jsonl")
+        for orphan in glob.glob(pattern):
             if orphan not in keep:
                 try:
                     os.remove(orphan)
@@ -237,7 +249,9 @@ class JsonlCommitWriter(DataSourceWriter):
             if m is None:
                 continue
             # rename ONLY the basename: the directory path itself may
-            # legitimately contain '_tmp_' and must not be rewritten
+            # legitimately contain '_tmp_' and must not be rewritten;
+            # the job_id stays in the final name (part_<job>_<task>),
+            # keeping concurrent jobs' parts collision-free
             name = os.path.basename(m.staged)
             final = os.path.join(self.path, "part_" + name[len("_tmp_"):])
             os.rename(m.staged, final)

@@ -1574,3 +1574,38 @@ def test_synthdocs_writer_tmp_in_dir_path(spark, tmp_path):
     assert parts and not [f for f in os.listdir(out) if f.startswith("_tmp_")]
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert sum(p["n_rows"] for p in manifest["parts"]) == 20
+
+
+def test_synthdocs_writer_concurrent_job_isolation(spark, tmp_path):
+    """Staged files are namespaced per job (_tmp_<job>_<task>.jsonl):
+    one job's commit/abort sweep must never delete ANOTHER job's
+    in-flight staged files in the same directory (round-5 advice --
+    the keep-set protected nothing once committed files were renamed,
+    so concurrent appends could silently drop each other's rows)."""
+    import json
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "jl_concurrent")
+    os.makedirs(out)
+    # another job's in-flight staged file, mid-write at commit time
+    foreign = os.path.join(out, "_tmp_otherjob000000_deadbeef.jsonl")
+    with open(foreign, "w") as fh:
+        fh.write('{"doc_id": 1, "grp": "x"}\n')
+
+    df = spark.range(30).selectExpr("id AS doc_id", "CAST(id AS STRING) AS grp")
+    df.repartition(2).write.format("synthdocs").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = os.listdir(out)
+    assert os.path.basename(foreign) in files  # survived the sweep
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(p["n_rows"] for p in manifest["parts"]) == 30
+    # this job's own staged files are gone, its parts are visible
+    own = [f for f in files if f.startswith("part_")]
+    assert len(own) == 2
