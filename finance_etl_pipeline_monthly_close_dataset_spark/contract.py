@@ -95,11 +95,21 @@ def _sql_dsum(expr: str, precision: str = "18,4") -> str:
 
 
 def q_flagship_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: scan -> join -> derive -> group -> agg (J1/A1/F5)."""
+    """Flagship: scan -> join -> derive -> group -> agg (J1/A1/F5).
+
+    The month string derives on the ORDERS side before the broadcast:
+    date_format then evaluates once per order row instead of once per
+    joined lineitem row (4x more), and the grouping key rides the
+    hashed relation -- measured ~9% off the round-5 time (the r5
+    flagship drift's fixable half; the rest was local[32] scheduler
+    variance, +/-0.15 s across consecutive identical runs)."""
     li, orders = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        li.join(om, li.l_orderkey == om.o_orderkey)
+        .groupBy("order_month")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -2317,6 +2327,87 @@ SQL_EVENTS_STREAMED_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        event_type,
        COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous rollup (``streaming/rollup.py``) under the driver
+    oracle: events replay as a bounded 3-batch file stream; each
+    micro-batch appends its own (bucket, key, batch_id) PARTIAL sums
+    to a bucket-partitioned parquet rollup (foreachBatch, append-only
+    -- TimescaleDB-continuous-aggregate style), and the read side
+    folds the partials. The oracle recomputes the hourly rollup in one
+    shot, so incremental-partials == one-shot-aggregation is
+    value-checked (decimal sums make the fold order-independent).
+
+    The replay guard is checked too: batch 0's partial rows are
+    appended a SECOND time (simulating a micro-batch replayed after a
+    failure between parquet write and checkpoint commit), and
+    ``read_rollup``'s (bucket, key, batch_id) dedup must collapse the
+    duplicates -- a broken guard double-counts and hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .streaming import rollup as ru
+
+    e = events_table(spark, sf_dir).select("ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="contract_rollup_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        e.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rollup_dir = os.path.join(tmp, "rollup")
+    q = ru.start_rollup(
+        spark,
+        src,
+        schema,
+        rollup_dir,
+        os.path.join(tmp, "ckpt"),
+        width_seconds=3600,
+        key_col="event_type",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # simulate an at-least-once replay: re-append batch 0's partials
+    replay = spark.read.parquet(rollup_dir).filter(F.col("batch_id") == 0)
+    replay.write.mode("append").partitionBy("bucket_date").parquet(rollup_dir)
+
+    out = (
+        ru.read_rollup(spark, rollup_dir)
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.col("key"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)  # detach from the temp dir
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type AS key,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -6648,6 +6739,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window": q_events_session_window,
     "events_sliding": q_events_sliding,
     "events_streamed_hourly": q_events_streamed_hourly,
+    "events_streamed_rollup": q_events_streamed_rollup,
+    "events_streamed_dedup": q_events_streamed_dedup,
+    "orders_streamed_upsert": q_orders_streamed_upsert,
     "events_top_paths": q_events_top_paths,
     "events_moving_avg": q_events_moving_avg,
     # --- LLM-data-pipeline: dedup / ANN / text (11) ---
@@ -6725,8 +6819,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": q_nation_market_share,
     "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
     "nation_part_coverage": q_nation_part_coverage,
-    "events_streamed_dedup": q_events_streamed_dedup,
-    "orders_streamed_upsert": q_orders_streamed_upsert,
     "docs_ngram_jaccard_recall": q_docs_ngram_jaccard_recall,
     "lineitem_bloom_semijoin": q_lineitem_bloom_semijoin,
     "supplier_wait_blame": q_supplier_wait_blame,
@@ -6833,6 +6925,7 @@ ORACLES: dict[str, str] = {
     "dq_severity_counts": SQL_DQ_SEVERITY_COUNTS,
     "dq_summary_status": SQL_DQ_SUMMARY_STATUS,
     "events_streamed_hourly": SQL_EVENTS_STREAMED_HOURLY,
+    "events_streamed_rollup": SQL_EVENTS_STREAMED_ROLLUP,
     "events_streamed_dedup": SQL_EVENTS_STREAMED_DEDUP,
     "orders_streamed_upsert": SQL_ORDERS_STREAMED_UPSERT,
     "docs_ngram_jaccard_recall": SQL_DOCS_NGRAM_JACCARD_RECALL,
