@@ -96,14 +96,34 @@ def run_month(
     }
 
     # -- DQ collection (pandera-lazy equivalent: ALL failures) ---------------
+    # sales/expenses fan into THREE check families (row-level explode,
+    # uniqueness group-by, COA anti-join), so their declared-column
+    # slices persist once here and every family reads the cache -- one
+    # CSV scan each. The other datasets go straight to
+    # collect_exceptions, which persists internally only when more
+    # than one family consumes the scan (measured at the 10M stress:
+    # persisting the single-consumer payroll/inventory slices too
+    # REGRESSED run_month ~50% -- a cache nobody reads twice is pure
+    # write amplification).
     specs = build_dataset_specs(settings.allowed_currencies, settings.base_currency)
+    from .quality import checked_slice
+
+    slices = {
+        name: checked_slice(frames[name], specs[name]).persist()
+        for name in ("sales", "expenses")
+    }
     exceptions = spark.createDataFrame([], DQ_EXCEPTIONS_SCHEMA)
     for name, df in frames.items():
         exceptions = exceptions.unionByName(schema_shape_exceptions(spark, df, specs[name]))
-        exceptions = exceptions.unionByName(collect_exceptions(df, specs[name]))
-    exceptions = exceptions.unionByName(account_in_coa_exceptions(sales, "sales", dim_accounts))
+        checked = slices.get(name, df)
+        exceptions = exceptions.unionByName(
+            collect_exceptions(checked, specs[name], persist_intermediates=name not in slices)
+        )
     exceptions = exceptions.unionByName(
-        account_in_coa_exceptions(expenses, "expenses", dim_accounts)
+        account_in_coa_exceptions(slices["sales"], "sales", dim_accounts)
+    )
+    exceptions = exceptions.unionByName(
+        account_in_coa_exceptions(slices["expenses"], "expenses", dim_accounts)
     )
 
     dq_exceptions = add_severity(exceptions).cache()  # forced: the gate must decide
@@ -178,6 +198,12 @@ def run_month(
         )
 
     dq_exceptions.unpersist()
+    # the check slices are released HERE, not right after the
+    # exceptions count: unpersisting them mid-run forced the later
+    # dq consumers back through uncached slice plans (measured +60%
+    # on the 10M stress month)
+    for s in slices.values():
+        s.unpersist()
 
     outputs = {
         "dq_exceptions": dq_exceptions_path,

@@ -152,6 +152,24 @@ def build_dataset_specs(
     }
 
 
+def checked_slice(df: DataFrame, spec: DatasetSpec) -> DataFrame:
+    """The projection every check can run against: declared columns +
+    their raw-text shadows + the row id. Checks may only reference
+    declared columns, so callers that fan one dataset into several
+    check families (row-level, uniqueness, COA membership) can build
+    this once, persist it, and hand it to each -- the source is then
+    scanned exactly once however many families consume it."""
+    declared = set(spec.columns)
+    proj = [
+        c
+        for c in df.columns
+        if c == ROW_ID_COL
+        or c in declared
+        or (c.startswith(RAW_PREFIX) and c[len(RAW_PREFIX):] in declared)
+    ]
+    return df.select(*proj)
+
+
 def _exception_struct(column: str, check: str, failure_case: Column) -> Column:
     return F.struct(
         F.lit(column).alias("column"),
@@ -180,20 +198,10 @@ def collect_exceptions(
     spark.catalog.clearCache() or an explicit unpersist by the owner
     of the returned plan's lifecycle).
     """
-    # checks may only reference declared columns, so the persisted
-    # slice projects declared + their raw-text shadows + the row id
-    declared = set(spec.columns)
-    proj = [
-        c
-        for c in df.columns
-        if c == ROW_ID_COL
-        or c in declared
-        or (c.startswith(RAW_PREFIX) and c[len(RAW_PREFIX):] in declared)
-    ]
     n_consumers = (
         1 if (spec.not_null or spec.checks) else 0
     ) + sum(1 for ks in spec.unique_keys if all(k in df.columns for k in ks))
-    df = df.select(*proj)
+    df = checked_slice(df, spec)
     if persist_intermediates and n_consumers > 1:
         df = df.persist()
     idx = F.col(ROW_ID_COL) if ROW_ID_COL in df.columns else F.lit(None).cast("long")

