@@ -350,15 +350,17 @@ def decode_images_numpy(
     media: DataFrame, feature_dim: int = 8, resize_to: tuple[int, int] = (224, 224)
 ) -> DataFrame:
     """REAL image decode with no image library: P6 PPM and 24-bit BMP
-    payloads are parsed with numpy (``_decode_ppm`` / ``_decode_bmp``)
-    and PNG with stdlib zlib + numpy (``_decode_png`` -- DEFLATE
-    inflate + None/Sub/Up/Average/Paeth row-filter reversal), then
-    nearest-neighbor resized and reduced to channel-mean + grid-mean
-    features -- over the same Arrow-batch ``mapInPandas`` plumbing as
-    the stub and PIL paths. JPEG still requires PIL
-    (``decode_images_real``); rows whose payload fails to parse come
-    back with null dimensions instead of failing the batch, exactly
-    how a 100 TB decode job must treat corrupt media."""
+    payloads are parsed with numpy (``_decode_ppm`` / ``_decode_bmp``),
+    PNG with stdlib zlib + numpy (``_decode_png`` -- DEFLATE
+    inflate + None/Sub/Up/Average/Paeth row-filter reversal), and
+    baseline JPEG with the pure-numpy Huffman + IDCT decoder
+    (``jpeg.decode_jpeg`` -- SOF0, 4:4:4/4:2:2/4:2:0, restart markers;
+    round 6, closing the last PIL gate), then nearest-neighbor resized
+    and reduced to channel-mean + grid-mean features -- over the same
+    Arrow-batch ``mapInPandas`` plumbing as the stub and PIL paths.
+    Rows whose payload fails to parse (including progressive JPEG)
+    come back with null dimensions instead of failing the batch,
+    exactly how a 100 TB decode job must treat corrupt media."""
     import numpy as np  # noqa: F401 - fail fast on the driver if absent
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -374,6 +376,10 @@ def decode_images_numpy(
                         arr = _decode_ppm(raw)
                     elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                         arr = _decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg
+
+                        arr = decode_jpeg(raw)
                     else:
                         arr = _decode_bmp(raw)
                     arr = _resize_nearest(arr, resize_to[0], resize_to[1])

@@ -1609,3 +1609,101 @@ def test_synthdocs_writer_concurrent_job_isolation(spark, tmp_path):
     # this job's own staged files are gone, its parts are visible
     own = [f for f in files if f.startswith("part_")]
     assert len(own) == 2
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec (pure numpy, round 6 -- the last PIL gate
+    closed): encode->decode roundtrips within lossy-codec tolerance
+    for 4:4:4, 4:2:0 (chroma upsample path), grayscale, odd
+    dimensions, and restart markers (DRI/RSTn + DC-predictor reset).
+    The decoder reads quant/Huffman tables from the file's own
+    DQT/DHT segments, so the roundtrip exercises the full parse
+    path foreign encoders hit."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [(xx * 255 / 55), (yy * 255 / 39), ((xx + yy) * 255 / 94)], axis=2
+    ).astype(np.uint8)
+
+    for kwargs, tol_mean in [
+        ({}, 3.0),
+        ({"subsample": True}, 4.0),
+        ({"restart_interval": 2}, 3.0),
+        ({"subsample": True, "restart_interval": 1}, 4.0),
+    ]:
+        out = decode_jpeg(encode_jpeg_baseline(img, **kwargs))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < tol_mean, (kwargs, err.mean())
+
+    # grayscale -> 3-channel replication
+    g = (xx * 2 + yy).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg_baseline(g))
+    assert og.shape == (40, 56, 3)
+    assert np.array_equal(og[:, :, 0], og[:, :, 1])
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).mean() < 3.0
+
+    # odd dimensions + subsampling (padding/crop path)
+    img2 = img[:37, :51]
+    out2 = decode_jpeg(encode_jpeg_baseline(img2, subsample=True))
+    assert out2.shape == (37, 51, 3)
+    assert np.abs(out2.astype(int) - img2.astype(int)).mean() < 4.0
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    import numpy as np
+    import pytest as _pytest
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # progressive (SOF2) must raise, not mis-decode
+    b = bytearray(encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+    # truncated entropy data
+    full = encode_jpeg_baseline(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with _pytest.raises(ValueError):
+        decode_jpeg(full[: len(full) // 2])
+
+
+def test_decode_images_numpy_jpeg_payload(spark):
+    """JPEG payloads ride the same mapInPandas path as PPM/BMP/PNG:
+    real decode + features; corrupt JPEG -> null row."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images_numpy,
+    )
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    good = encode_jpeg_baseline(img)
+    rows = [
+        (1, "image", bytearray(good), "image/jpeg", 16, 16, None),
+        (2, "image", bytearray(b"\xff\xd8\x00broken"), "image/jpeg", 16, 16, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in decode_images_numpy(media, feature_dim=8, resize_to=(4, 4)).collect()
+    }
+    assert (out[1].out_width, out[1].out_height) == (4, 4)
+    # flat gray image -> every channel/grid mean ~128/255
+    assert all(abs(x - 128.0 / 255.0) < 0.02 for x in out[1].feature[:7])
+    assert out[2].out_width is None and out[2].feature is None
