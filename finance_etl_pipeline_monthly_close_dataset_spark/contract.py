@@ -2244,6 +2244,82 @@ FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
 """.format(toks=_SQL_TOKENS)
 
 
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (``operators/pii.py``): the testdata corpus carries
+    no PII, so deterministic emails / phone numbers / IPv4 addresses
+    are injected into doc_id-keyed slices FIRST (both engines perform
+    the identical injection), then the scrub's per-pattern counts and
+    the md5 of the redacted text are value-checked -- the oracle
+    reproduces the exact match sets byte-for-byte because the
+    patterns use only Java-regex/RE2-shared syntax. One scan, zero
+    shuffles, pure codegen expressions."""
+    from .operators import pii as pii_mod
+
+    docs = t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567 today")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(" logged"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_mod.scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+SQL_DOCS_PII_SCRUB = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 today' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' logged'
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INTEGER) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS scrub_md5
+FROM injected
+"""
+
+
 def q_docs_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sample (corpus.sample_by_hash): the
     reproducible 25% subset -- identical membership across engines,
@@ -6790,6 +6866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_typed": q_events_json_typed,
     "hot_keys_join_revenue": q_hot_keys_join_revenue,
     "docs_repetition": q_docs_repetition,
+    "docs_pii_scrub": q_docs_pii_scrub,
     "docs_sample_deterministic": q_docs_sample_deterministic,
     "order_gap_stats": q_order_gap_stats,
     "group_stats_exact": q_group_stats_exact,
@@ -6970,6 +7047,7 @@ ORACLES: dict[str, str] = {
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
     "docs_repetition": SQL_DOCS_REPETITION,
+    "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_sample_deterministic": SQL_DOCS_SAMPLE_DETERMINISTIC,
     "docs_dup_components": SQL_DOCS_DUP_COMPONENTS,
     "customer_scd2": SQL_CUSTOMER_SCD2,

@@ -185,13 +185,26 @@ class _JsonlCommit(WriterCommitMessage):
 
 class JsonlCommitWriter(DataSourceWriter):
     """JSONL writer with real two-phase commit: every task streams its
-    partition to a STAGED ``_tmp_<uuid>.jsonl`` file and returns a
-    commit message; the driver's ``commit`` renames the staged files
-    into place and writes a ``_SUCCESS`` manifest listing every part
-    with its row count, while ``abort`` deletes the staged files -- so
-    a failed job leaves NO visible output (the atomicity contract
-    DataFrameWriter gives parquet, reproduced for a hand-rolled
-    format). Rows stream through; O(1) memory per task."""
+    partition into a per-JOB staging subdirectory
+    (``_staging_<job>/<task>.jsonl``) and returns a commit message;
+    the driver's ``commit`` renames the staged files into place as
+    ``part_<job>_<task>.jsonl`` and writes a ``_SUCCESS`` manifest
+    listing every part with its row count, while ``abort`` removes the
+    whole staging directory -- so a failed job leaves NO visible
+    output (the atomicity contract DataFrameWriter gives parquet,
+    reproduced for a hand-rolled format). Rows stream through; O(1)
+    memory per task.
+
+    Concurrency + straggler safety (round-6 design, replacing the
+    flat ``_tmp_`` sweep): the staging namespace is the job id, so
+    concurrent append jobs into one directory cannot touch each
+    other's in-flight files; underscore-prefixed names keep staging
+    invisible to Spark/glob readers of the output. A straggler task
+    that is still writing when the driver aborts either writes into
+    the already-unlinked directory (orphaned inode, freed on close)
+    or trips over the TOMBSTONE file commit/abort leave at the
+    staging path -- its ``makedirs`` raises, so no stray file can
+    materialize after teardown (the round-5 flat-sweep race)."""
 
     def __init__(self, options, schema):
         import uuid
@@ -200,21 +213,23 @@ class JsonlCommitWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonlcommit writer needs a path")
         self.fields = [f.name for f in schema.fields]
-        # per-JOB namespace, minted once on the driver and shipped to
-        # every task: commit/abort sweep only THIS job's staged files,
-        # so two concurrent append jobs into one directory can no
-        # longer delete each other's in-flight parts (round-5 advice)
         self.job_id = uuid.uuid4().hex[:12]
+
+    @property
+    def _staging(self) -> str:
+        import os
+
+        return os.path.join(self.path, f"_staging_{self.job_id}")
 
     def write(self, iterator):
         import json as _json
         import os
         import uuid
 
-        os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(
-            self.path, f"_tmp_{self.job_id}_{uuid.uuid4().hex}.jsonl"
-        )
+        # raises if the tombstone file occupies the staging path --
+        # exactly what a post-abort straggler should do
+        os.makedirs(self._staging, exist_ok=True)
+        staged = os.path.join(self._staging, f"{uuid.uuid4().hex}.jsonl")
         n = 0
         with open(staged, "w") as fh:
             for row in iterator:
@@ -222,21 +237,25 @@ class JsonlCommitWriter(DataSourceWriter):
                 n += 1
         return _JsonlCommit(staged=staged, n_rows=n)
 
-    def _sweep_orphans(self, keep: set) -> None:
-        # a task that died mid-write never returned a commit message,
-        # so its staged file is in nobody's message list -- remove any
-        # of THIS job's _tmp_ files not owned by a surviving message
-        # (other jobs' staged files carry a different job_id and are
-        # never touched)
-        import glob
-        import os
+    def _teardown_staging(self) -> None:
+        """Remove the staging dir and leave a tombstone FILE at its
+        path so a straggler task's makedirs fails instead of
+        recreating it."""
+        import shutil
 
-        pattern = os.path.join(self.path, f"_tmp_{self.job_id}_*.jsonl")
-        for orphan in glob.glob(pattern):
-            if orphan not in keep:
-                try:
-                    os.remove(orphan)
-                except OSError:
+        shutil.rmtree(self._staging, ignore_errors=True)
+        try:
+            with open(self._staging, "x"):
+                pass
+        except (FileExistsError, NotADirectoryError, OSError):
+            # a straggler recreated the dir in the gap: clear it once
+            # more; if the tombstone still cannot land, give up --
+            # the leftovers are underscore-hidden from readers
+            import contextlib
+
+            shutil.rmtree(self._staging, ignore_errors=True)
+            with contextlib.suppress(OSError):
+                with open(self._staging, "x"):
                     pass
 
     def commit(self, messages):
@@ -244,27 +263,19 @@ class JsonlCommitWriter(DataSourceWriter):
         import os
 
         manifest = []
-        live = set()
         for m in messages:
             if m is None:
                 continue
-            # rename ONLY the basename: the directory path itself may
-            # legitimately contain '_tmp_' and must not be rewritten;
-            # the job_id stays in the final name (part_<job>_<task>),
+            # job_id stays in the final name (part_<job>_<task>),
             # keeping concurrent jobs' parts collision-free
-            name = os.path.basename(m.staged)
-            final = os.path.join(self.path, "part_" + name[len("_tmp_"):])
+            final = os.path.join(
+                self.path, f"part_{self.job_id}_" + os.path.basename(m.staged)
+            )
             os.rename(m.staged, final)
-            live.add(m.staged)
             manifest.append({"file": os.path.basename(final), "n_rows": m.n_rows})
-        self._sweep_orphans(live)
+        self._teardown_staging()
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             _json.dump({"parts": manifest}, fh)
 
     def abort(self, messages):
-        import os
-
-        for m in messages:
-            if m is not None and os.path.exists(m.staged):
-                os.remove(m.staged)
-        self._sweep_orphans(set())
+        self._teardown_staging()

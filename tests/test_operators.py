@@ -1528,7 +1528,11 @@ def test_synthdocs_writer_two_phase_commit(spark, tmp_path):
         "append"
     ).save()
     parts = [f for f in os.listdir(out) if f.startswith("part_")]
-    assert parts and not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+    # staging is gone; only the underscore-hidden tombstone remains
+    assert parts and not [
+        f for f in os.listdir(out)
+        if f.startswith("_staging_") and os.path.isdir(os.path.join(out, f))
+    ]
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert sum(p["n_rows"] for p in manifest["parts"]) == 100
     back = spark.read.json(out + "/part_*.jsonl")
@@ -1547,10 +1551,14 @@ def test_synthdocs_writer_two_phase_commit(spark, tmp_path):
     leftovers = os.listdir(bad_out) if os.path.exists(bad_out) else []
     assert not [f for f in leftovers if f.startswith("part_")]
     assert "_SUCCESS" not in leftovers
-    # orphan sweep: a task that died mid-write never returns a commit
-    # message, so its staged file is in nobody's message list -- abort
-    # must still remove it
-    assert not [f for f in leftovers if f.startswith("_tmp_")]
+    # abort removes the whole staging dir (a task that died mid-write
+    # never returns a commit message; its file lived in staging) and
+    # leaves a tombstone FILE so a straggler's makedirs fails instead
+    # of resurrecting the dir -- the round-5 sweep race
+    staging = [f for f in leftovers if f.startswith("_staging_")]
+    assert all(
+        os.path.isfile(os.path.join(bad_out, f)) for f in staging
+    ), staging
 
 
 def test_synthdocs_writer_tmp_in_dir_path(spark, tmp_path):
@@ -1571,17 +1579,21 @@ def test_synthdocs_writer_tmp_in_dir_path(spark, tmp_path):
         "append"
     ).save()
     parts = [f for f in os.listdir(out) if f.startswith("part_")]
-    assert parts and not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+    assert parts and not [
+        f for f in os.listdir(out)
+        if f.startswith("_staging_") and os.path.isdir(os.path.join(out, f))
+    ]
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert sum(p["n_rows"] for p in manifest["parts"]) == 20
 
 
 def test_synthdocs_writer_concurrent_job_isolation(spark, tmp_path):
-    """Staged files are namespaced per job (_tmp_<job>_<task>.jsonl):
-    one job's commit/abort sweep must never delete ANOTHER job's
+    """Staging is namespaced per job (_staging_<job>/<task>.jsonl):
+    one job's commit/abort teardown must never delete ANOTHER job's
     in-flight staged files in the same directory (round-5 advice --
-    the keep-set protected nothing once committed files were renamed,
-    so concurrent appends could silently drop each other's rows)."""
+    the old flat sweep's keep-set protected nothing once committed
+    files were renamed, so concurrent appends could silently drop
+    each other's rows)."""
     import json
     import os
 
@@ -1591,9 +1603,9 @@ def test_synthdocs_writer_concurrent_job_isolation(spark, tmp_path):
 
     register(spark)
     out = str(tmp_path / "jl_concurrent")
-    os.makedirs(out)
+    os.makedirs(os.path.join(out, "_staging_otherjob0000"))
     # another job's in-flight staged file, mid-write at commit time
-    foreign = os.path.join(out, "_tmp_otherjob000000_deadbeef.jsonl")
+    foreign = os.path.join(out, "_staging_otherjob0000", "deadbeef.jsonl")
     with open(foreign, "w") as fh:
         fh.write('{"doc_id": 1, "grp": "x"}\n')
 
@@ -1602,8 +1614,8 @@ def test_synthdocs_writer_concurrent_job_isolation(spark, tmp_path):
         "append"
     ).save()
 
+    assert os.path.exists(foreign)  # survived the other job's teardown
     files = os.listdir(out)
-    assert os.path.basename(foreign) in files  # survived the sweep
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert sum(p["n_rows"] for p in manifest["parts"]) == 30
     # this job's own staged files are gone, its parts are visible
