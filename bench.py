@@ -70,6 +70,11 @@ HEAVY = [
     # numpy block matmuls) -- the number a 100 TB run would see; the
     # expression form above stays as the oracle-shaped reference point
     "embedding_semantic_dedup_arrow",
+    # round 6: the production Lloyd path (Arrow-batched assignment +
+    # per-cell sums in one numpy pass, zero shuffle) -- at sf0.1 the
+    # job overhead dominates so it only edges the HOF form; the gap is
+    # the N x k interpreted-lambda cost, which grows with k
+    "embedding_kmeans_centroids_arrow",
 ]
 
 

@@ -4666,6 +4666,21 @@ def q_embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_profile(emb, cents).orderBy("cell")
 
 
+def q_embedding_kmeans_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION Lloyd path (``lloyd_kmeans(arrow=True)``): each
+    iteration's assignment AND per-cell sums come from one
+    Arrow-batched numpy pass (two BLAS matmuls per batch, zero
+    shuffle, driver fsum combine) instead of the N x k HOF argmin +
+    posexplode shuffle. Checked against the SAME unrolled DuckDB
+    oracle as ``embedding_kmeans_centroids``: the two paths may
+    differ only by float-summation order inside the 6-dp centroid
+    rounding, so a real divergence is a hash mismatch. Same pattern
+    as ``embedding_semantic_dedup_arrow`` (round-5)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans.lloyd_kmeans(emb, k=4, n_iters=2, arrow=True)
+    return kmeans.kmeans_profile(emb, cents).orderBy("cell")
+
+
 def _km_d2_sql(vec: str, cent: str, dim: int = 64) -> str:
     return (
         f"list_sum([ (CAST({vec}[x] AS DOUBLE) - {cent}[x])"
@@ -6901,6 +6916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_wait_blame": q_supplier_wait_blame,
     "lineitem_key_skew": q_lineitem_key_skew,
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
+    "embedding_kmeans_centroids_arrow": q_embedding_kmeans_centroids_arrow,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "orders_incremental_state": q_orders_incremental_state,
     "orders_priority_percentiles": q_orders_priority_percentiles,
@@ -7010,6 +7026,7 @@ ORACLES: dict[str, str] = {
     "supplier_wait_blame": SQL_SUPPLIER_WAIT_BLAME,
     "lineitem_key_skew": SQL_LINEITEM_KEY_SKEW,
     "embedding_kmeans_centroids": SQL_EMBEDDING_KMEANS_CENTROIDS,
+    "embedding_kmeans_centroids_arrow": SQL_EMBEDDING_KMEANS_CENTROIDS,
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
     "orders_priority_percentiles": SQL_ORDERS_PRIORITY_PERCENTILES,

@@ -84,6 +84,38 @@ def _argmin_cell(vec_col: str, centroids: list[list[float]]):
     return _argmin_best(vec_col, centroids)["cell"]
 
 
+def _arrow_cell_partials(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """One Arrow-batched pass: per (batch, cell), the vector count and
+    per-dimension float64 sums. Assignment is two BLAS matmuls per
+    batch (argmin over ``||c||^2 - 2 v.c``; first-minimal index =
+    lowest cell id, the HOF path's exact tie-break); the emitted
+    partials are ~k rows per batch, so the driver combine is bounded
+    by k x n_batches regardless of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import spread_partitions
+
+    cm = np.array(centroids, dtype=np.float64)
+    cm_sq = (cm * cm).sum(axis=1)
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            best = np.argmin(cm_sq[None, :] - 2.0 * (vm @ cm.T), axis=1)
+            rows = []
+            for cell in np.unique(best):
+                m = vm[best == cell]
+                rows.append((int(cell), int(m.shape[0]), m.sum(axis=0).tolist()))
+            yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+
+    return spread_partitions(vecs).mapInPandas(
+        part, schema="cell int, n long, s array<double>"
+    )
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int = 4,
@@ -91,11 +123,26 @@ def lloyd_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    arrow: bool = False,
 ) -> DataFrame:
     """Run ``n_iters`` Lloyd iterations; returns a small
     ``(cell int, centroid array<double>)`` DataFrame suitable for
     ``similarity.ivf_topk(..., centroids=...)``. Fully deterministic:
-    same data -> same centroids on any engine."""
+    same data -> same centroids on any engine.
+
+    ``arrow=True`` swaps the HOF argmin + posexplode update for one
+    Arrow-batched numpy pass per iteration (``_arrow_cell_partials``)
+    -- assignment and per-cell sums come out of the same two BLAS
+    matmuls, the shuffle disappears entirely (partials are k rows per
+    batch, combined on the driver with order-independent
+    ``math.fsum``), and the N x k interpreted-lambda cost goes with
+    it. The large-k production path, same pattern as
+    ``semantic_dedup(arrow_assign=True)``; oracle-paired by
+    ``embedding_kmeans_centroids_arrow`` against the SAME unrolled
+    SQL, so divergence beyond float-summation-order ulps (absorbed by
+    the ``decimals`` rounding) is a hash mismatch, not a drift."""
+    import math
+
     spark = df.sparkSession
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
 
@@ -108,19 +155,33 @@ def lloyd_kmeans(
     centroids = [[float(x) for x in r["c"]] for r in init_rows]
 
     for _ in range(n_iters):
-        assigned = vecs.withColumn("cell", _argmin_cell("_vec", centroids))
-        # per-(cell, position) means; map-side combine collapses the
-        # posexplode before the shuffle, which then carries ~k x d rows
-        means = (
-            assigned.select("cell", F.posexplode("_vec").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.transform("pm", lambda s: F.round(s["m"], decimals)).alias("c"))
-            .collect()
-        )
-        new = {r["cell"]: [float(x) for x in r["c"]] for r in means}
+        if arrow:
+            partials = _arrow_cell_partials(vecs, centroids).collect()
+            acc: dict[int, tuple[int, list[list[float]]]] = {}
+            for r in partials:
+                n_prev, sums = acc.get(r["cell"], (0, []))
+                acc[r["cell"]] = (n_prev + r["n"], sums + [list(r["s"])])
+            new = {
+                cell: [
+                    round(math.fsum(s[d] for s in sums) / n, decimals)
+                    for d in range(len(sums[0]))
+                ]
+                for cell, (n, sums) in acc.items()
+            }
+        else:
+            assigned = vecs.withColumn("cell", _argmin_cell("_vec", centroids))
+            # per-(cell, position) means; map-side combine collapses the
+            # posexplode before the shuffle, which then carries ~k x d rows
+            means = (
+                assigned.select("cell", F.posexplode("_vec").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("cell", F.transform("pm", lambda s: F.round(s["m"], decimals)).alias("c"))
+                .collect()
+            )
+            new = {r["cell"]: [float(x) for x in r["c"]] for r in means}
         # an emptied cell keeps its previous centroid (standard Lloyd's)
         centroids = [new.get(i, centroids[i]) for i in range(k)]
 
