@@ -154,6 +154,51 @@ def _svg_lines(series: dict[str, list[tuple[str, float]]], title: str) -> str:
     )
 
 
+def plotly_line_figure(
+    series: dict[str, list[tuple[str, float]]], title: str, y_title: str
+) -> dict:
+    """Plotly-figure JSON (the reference's px.line shape: one
+    lines+markers scatter trace per entity) built as a PLAIN dict --
+    no plotly dependency. ``json.dumps`` of this dict is a valid
+    ``Plotly.newPlot`` figure, so the reference's chart library can
+    render our numbers unchanged (reference
+    scripts/build_dashboard.py:103-122)."""
+    data = [
+        {
+            "type": "scatter",
+            "mode": "lines+markers",
+            "name": name,
+            "x": [m for m, _ in sorted(pts)],
+            "y": [v for _, v in sorted(pts)],
+        }
+        for name, pts in sorted(series.items())
+    ]
+    return {
+        "data": data,
+        "layout": {
+            "title": {"text": title},
+            "xaxis": {"title": {"text": "month"}},
+            "yaxis": {"title": {"text": y_title}},
+        },
+    }
+
+
+def plotly_hbar_figure(pairs: list[tuple[str, float]], title: str) -> dict:
+    """px.bar(orientation='h') shape as a plain dict (reference
+    scripts/build_dashboard.py:164-166)."""
+    return {
+        "data": [
+            {
+                "type": "bar",
+                "orientation": "h",
+                "x": [v for _, v in pairs],
+                "y": [label for label, _ in pairs],
+            }
+        ],
+        "layout": {"title": {"text": title}},
+    }
+
+
 def build_dashboard(
     spark: SparkSession,
     curated_dir: str | Path,
@@ -179,6 +224,8 @@ def build_dashboard(
     # trend charts over the top-8 entities
     trend_html = "<p class='muted'>No KPI chart available.</p>"
     trend2_html = ""
+    rev_series: dict[str, list[tuple[str, float]]] = {}
+    op_series: dict[str, list[tuple[str, float]]] = {}
     top = top_entities_by_revenue(kpi2, 8)
     if top:
         pts = (
@@ -186,8 +233,6 @@ def build_dashboard(
             .select("entity", "month", "Revenue", "operating_profit")
             .collect()
         )
-        rev_series: dict[str, list[tuple[str, float]]] = {}
-        op_series: dict[str, list[tuple[str, float]]] = {}
         for r in pts:
             rev_series.setdefault(r["entity"], []).append((r["month"], float(r["Revenue"] or 0)))
             if r["operating_profit"] is not None:
@@ -237,6 +282,33 @@ def build_dashboard(
     sum_rows, sum_cols = _csv_rows("dq_summary.csv")
     ex_rows, ex_cols = _csv_rows("dq_exceptions.csv")
 
+    # Plotly-parity sidecar: the same three charts as Plotly-figure
+    # JSON (plain dicts, no plotly import), written next to the HTML
+    # and embedded as an application/json block -- any plotly runtime
+    # hydrates them with Plotly.newPlot(el, fig.data, fig.layout),
+    # closing the reference's chart-library gap without taking the
+    # dependency.
+    import json as _json
+
+    figures = {
+        "revenue_trend": plotly_line_figure(
+            rev_series, "Revenue Trend (Top Entities)", "Revenue"
+        ),
+        "operating_profit_trend": plotly_line_figure(
+            op_series, "Operating Profit Trend (Top Entities)", "operating_profit"
+        ),
+        "top_expense_accounts": plotly_hbar_figure(
+            exp, "Top Expense Accounts (Abs Value)"
+        ),
+    }
+    figures_path = out.parent / "dashboard_figures.json"
+    figures_path.write_text(_json.dumps(figures, indent=1), encoding="utf-8")
+    figures_block = (
+        "<script type=\"application/json\" id=\"plotly-figures\">"
+        + _json.dumps(figures)
+        + "</script>"
+    )
+
     page = f"""<!doctype html>
 <html>
 <head>
@@ -259,6 +331,7 @@ def build_dashboard(
   <div class="card"><h2>Expense Breakdown</h2>{exp_html}</div>
   <div class="card"><h2>Data Quality Summary</h2>{_table_html(sum_rows, sum_cols)}
     <h3>DQ Exceptions (sample)</h3>{_table_html(ex_rows, ex_cols)}</div>
+  {figures_block}
 </body>
 </html>"""
     out.write_text(page, encoding="utf-8")

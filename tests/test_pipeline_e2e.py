@@ -150,6 +150,26 @@ def test_dashboard_builds(outputs, tmp_path):
     assert "Top Expense Accounts" in html
     assert "TLM" in html and "UPE" in html
 
+    # Plotly-parity sidecar (round 6): same three charts as plain
+    # Plotly-figure JSON, embedded AND written next to the HTML
+    import json
+
+    figures = json.loads((tmp_path / "dashboard_figures.json").read_text())
+    assert set(figures) == {
+        "revenue_trend", "operating_profit_trend", "top_expense_accounts"
+    }
+    rev = figures["revenue_trend"]
+    assert rev["data"] and all(t["type"] == "scatter" for t in rev["data"])
+    entities = {t["name"] for t in rev["data"]}
+    assert {"TLM", "UPE"} <= entities
+    # the trace carries the golden KPI value (seed-42: TLM Revenue)
+    tlm = next(t for t in rev["data"] if t["name"] == "TLM")
+    assert any(abs(v - 48129.36) < 0.01 for v in tlm["y"])
+    bar = figures["top_expense_accounts"]["data"][0]
+    assert bar["type"] == "bar" and bar["orientation"] == "h"
+    assert len(bar["x"]) == len(bar["y"]) > 0
+    assert 'id="plotly-figures"' in html
+
 
 def test_empty_month_runs_clean(spark, tmp_path):
     """Header-only raw files (a month with zero activity) must flow
