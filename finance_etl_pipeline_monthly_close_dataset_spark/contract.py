@@ -2291,9 +2291,14 @@ def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
-_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+# the oracle embeds the ENGINE's own canonical pattern table, so the
+# two can never drift (operators/pii.py restricts itself to
+# Java-regex/RE2-shared syntax precisely to make this sound)
+from .operators.pii import PII_PATTERNS as _PII_PATTERNS  # noqa: E402
+
+_PII_EMAIL = dict((k, p) for k, p in _PII_PATTERNS)["email"]
+_PII_PHONE = dict((k, p) for k, p in _PII_PATTERNS)["phone"]
+_PII_IP = dict((k, p) for k, p in _PII_PATTERNS)["ipv4"]
 
 SQL_DOCS_PII_SCRUB = f"""
 WITH injected AS (
@@ -2315,7 +2320,7 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(regexp_replace(text,
            '{_PII_EMAIL}', '<EMAIL>', 'g'),
            '{_PII_PHONE}', '<PHONE>', 'g'),
-           '{_PII_IP}', '<IP>', 'g')) AS scrub_md5
+           '{_PII_IP}', '<IPV4>', 'g')) AS scrub_md5
 FROM injected
 """
 

@@ -270,16 +270,10 @@ def tfidf_top_terms(
 
 # Order matters: emails first (their local part can contain digits a
 # phone pattern would half-match), then phones, then bare IPv4s.
-PII_PATTERNS = (
-    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
-    # phone must be SHAPED like a phone (optional +cc, then 3-3-4
-    # groups), not any long digit run: a finance corpus is full of
-    # ISO dates and id numbers that a loose [\d\s-]{7,} class would
-    # mangle. Dotted phones (415.555.0134) are the accepted false
-    # negative -- dots would collide with IPv4/version shapes.
-    ("phone", r"\+?\d{0,2}[\s-]?\(?\d{3}\)?[\s-]?\d{3}[\s-]?\d{4}\b"),
-    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-)
+# canonical PII module: the pattern table and both redaction surfaces
+# live in operators/pii.py; re-exported here for back-compat (the
+# corpus CLI and earlier tests import them from text_analysis)
+from .pii import PII_PATTERNS, redact_pii  # noqa: F401  (re-export)
 
 
 def unigram_logprob(
@@ -335,45 +329,6 @@ def unigram_logprob(
                 F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_neg_logprob"),
         )
-    )
-
-
-def redact_pii(
-    df: DataFrame,
-    text_col: str = "text",
-    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
-) -> DataFrame:
-    """Scrub common PII shapes from a text column before training.
-
-    Each kind is replaced by a ``[KIND]`` placeholder via chained
-    ``regexp_replace`` (JVM-side, whole-stage-codegen'd -- a pure map,
-    no shuffle, no Python). Adds ``n_redactions``: how many
-    placeholders the row received, so a downstream filter can drop
-    PII-dense documents entirely (the usual policy) instead of
-    keeping heavily-redacted text.
-
-    Regex-based scrubbing is a floor, not a guarantee -- names,
-    addresses, and free-form identifiers need an NER pass (model
-    inference via mapInPandas) that this container cannot host; the
-    operator seam is the same either way.
-    """
-    patterns = [(k, p) for k, p in PII_PATTERNS if k in kinds]
-    unknown = set(kinds) - {k for k, _ in PII_PATTERNS}
-    if unknown:
-        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
-    # count each pattern against the stage-intermediate text (before
-    # its own replacement): counting placeholders afterwards would
-    # overcount documents that legitimately contain '[EMAIL]' etc.
-    out = F.col(text_col)
-    n = F.lit(0)
-    for kind, pat in patterns:
-        n = n + F.regexp_count(out, F.lit(pat))
-        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
-    return (
-        df.withColumn("_redacted", out)
-        .withColumn("n_redactions", n.cast("int"))
-        .withColumn(text_col, F.col("_redacted"))
-        .drop("_redacted")
     )
 
 
