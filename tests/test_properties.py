@@ -458,3 +458,76 @@ def test_chunk_embeddings_match_mirror_on_random_text(spark, texts):
         toks = [x for x in t.lower().strip().split() if x]
         if len(toks) <= 64:
             assert rows[(i, 0)] == embed_text(t, dim=8)
+
+
+# --- JPEG codec: random images roundtrip (no Spark needed) -----------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mode=st.sampled_from(["smooth", "noise"]),
+    subsample=st.booleans(),
+    restart=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_roundtrip_random_images(h, w, seed, mode, subsample, restart):
+    """decode(encode(img)) must (a) never error, (b) keep exact shape,
+    (c) stay within lossy-codec error bounds: smooth content tight,
+    white noise bounded by the worst-case of Annex-K quantization.
+    Covers arbitrary (odd, tiny, 1-pixel) dimensions, 4:2:0, and
+    restart intervals."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    if mode == "smooth":
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 7 + yy * 5) % 256
+        img = np.stack([base, (base + 40) % 256, (base + 90) % 256], axis=2).astype(
+            np.uint8
+        )
+    else:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+    out = decode_jpeg(encode_jpeg_baseline(img, subsample=subsample, restart_interval=restart))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    # noise is the quantizer's worst case; smooth content has wrap-around
+    # edges every 256/7 px, so allow ringing but far from garbage
+    assert err < (90.0 if mode == "noise" else 40.0), (mode, err)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=30),
+)
+def test_repetition_fold_matches_python_argmax(spark, toks):
+    """The sorted-run fold's (count desc, gram asc) winner must equal a
+    plain Python Counter argmax over the same bigram list -- including
+    the degenerate 0/1-token documents (single pseudo-bigram)."""
+    from collections import Counter
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.text_analysis import (
+        repetition_features,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_features(df).first()
+
+    if len(toks) >= 2:
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    else:
+        grams = [" ".join(toks)]  # ngrams_of emits one degenerate element
+    counts = Counter(grams)
+    best_n = max(counts.values())
+    best_g = min(g for g, n in counts.items() if n == best_n)
+    assert row["top_bigram"] == best_g
+    assert row["top_bigram_n"] == best_n
+    assert row["n_tokens"] == len(toks)
