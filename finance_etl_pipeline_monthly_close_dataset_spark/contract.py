@@ -5121,12 +5121,7 @@ def q_lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_pos", bloom.bloom_positions(F.col("l_suppkey"), _BLOOM_BITS, _BLOOM_HASHES)
     )
     flagged = staged.withColumn(
-        "bloom_pass",
-        F.expr(
-            "forall(_pos, p -> "
-            "(element_at(bloom_words, cast(p div 64 as int) + 1) "
-            "& shiftleft(1L, cast(p % 64 as int))) != 0)"
-        ),
+        "bloom_pass", bloom.bloom_might_contain_expr()
     ).join(
         F.broadcast(
             supp.select(F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("_m"))

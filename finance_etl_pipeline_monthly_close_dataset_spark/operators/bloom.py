@@ -88,6 +88,18 @@ def bloom_build(
     )
 
 
+def bloom_might_contain_expr(pos_col: str = "_pos", words_col: str = "bloom_words") -> Column:
+    """The membership test as ONE reusable expression: every position
+    bit set in the packed bitmap. Shared by ``bloom_prefilter`` and
+    the oracle-checked contract query, so the bit-indexing semantics
+    cannot drift between the production filter and its check."""
+    return F.expr(
+        f"forall({pos_col}, p -> "
+        f"(element_at({words_col}, cast(p div 64 as int) + 1) "
+        f"& shiftleft(1L, cast(p % 64 as int))) != 0)"
+    )
+
+
 def bloom_prefilter(
     fact: DataFrame,
     bloom: DataFrame,
@@ -103,9 +115,4 @@ def bloom_prefilter(
     staged = fact.crossJoin(F.broadcast(bloom)).withColumn(
         "_pos", bloom_positions(F.col(key_col), num_bits, num_hashes)
     )
-    might_contain = (
-        "forall(_pos, p -> "
-        "(element_at(bloom_words, cast(p div 64 as int) + 1) "
-        "& shiftleft(1L, cast(p % 64 as int))) != 0)"
-    )
-    return staged.filter(F.expr(might_contain)).drop("_pos", "bloom_words")
+    return staged.filter(bloom_might_contain_expr()).drop("_pos", "bloom_words")

@@ -9,9 +9,10 @@ color-transform convention.
 
 ``decode_jpeg`` supports the baseline-DCT frame type (SOF0): 8-bit
 samples, Huffman entropy coding, grayscale or YCbCr with any
-sampling-factor combination up to 4x4 (covers 4:4:4, 4:2:2, 4:2:0),
-restart markers, multiple DQT/DHT segments, 16-bit quant-table
-precision. Progressive (SOF2), arithmetic coding, and hierarchical
+integer-ratio sampling-factor combination (covers 4:4:4, 4:2:2,
+4:2:0; non-integer ratios like 3x3-vs-2x2 reject cleanly), restart
+markers, 0xFF fill bytes before markers, multiple DQT/DHT segments,
+16-bit quant-table precision. Progressive (SOF2), arithmetic coding, and hierarchical
 modes raise ``ValueError`` -- the caller's corrupt-payload path turns
 that into a null row, never a failed batch.
 
@@ -187,7 +188,11 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+        bit = (self.bitbuf >> self.nbits) & 1
+        # discard the consumed bit: without this mask the buffer grows
+        # into an unbounded bigint and decode goes O(n^2) in scan size
+        self.bitbuf &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
         v = 0
@@ -236,6 +241,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; real encoders emit them, so skip (not a new marker)
+        while pos + 1 < n and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -301,6 +310,15 @@ def _decode_scan(b, data_pos, frame, sel, qt, huff, restart_interval):
     max_v = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
+    for c in comps:
+        # spec-legal but exotic: non-integer upsampling ratios (e.g.
+        # luma 3x3 with chroma 2x2) would need fractional resampling;
+        # reject cleanly so the caller nulls the row instead of
+        # decoding wrongly-sized planes
+        if max_h % c["h"] or max_v % c["v"]:
+            raise ValueError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} vs {max_h}x{max_v}"
+            )
     planes = []
     for c in comps:
         planes.append(
@@ -382,6 +400,7 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             byte = (self.acc >> self.nbits) & 0xFF
+            self.acc &= (1 << self.nbits) - 1  # drop emitted bits
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # stuffing

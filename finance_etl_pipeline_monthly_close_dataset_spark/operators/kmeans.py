@@ -90,7 +90,17 @@ def _arrow_cell_partials(vecs: DataFrame, centroids: list[list[float]]) -> DataF
     batch (argmin over ``||c||^2 - 2 v.c``; first-minimal index =
     lowest cell id, the HOF path's exact tie-break); the emitted
     partials are ~k rows per batch, so the driver combine is bounded
-    by k x n_batches regardless of corpus size."""
+    by k x n_batches regardless of corpus size.
+
+    Numerics caveat (same as ``similarity.assign_cells_arrow``): the
+    BLAS form computes distances in a different summation order than
+    the HOF/oracle fold, so an assignment can flip on a NEAR-EXACT
+    distance tie; downstream that would shift a centroid mean by
+    ~1/|cell|. The oracle pairing makes such a flip a visible hash
+    mismatch rather than silent drift -- none occurs on the driver
+    testdata at any SF (CHECKALL) -- but on adversarial data the
+    arrow path's assignment is argmin-equivalent only up to float
+    ulps, not bit-identical."""
     import numpy as np
     import pandas as pd
 
@@ -139,8 +149,9 @@ def lloyd_kmeans(
     it. The large-k production path, same pattern as
     ``semantic_dedup(arrow_assign=True)``; oracle-paired by
     ``embedding_kmeans_centroids_arrow`` against the SAME unrolled
-    SQL, so divergence beyond float-summation-order ulps (absorbed by
-    the ``decimals`` rounding) is a hash mismatch, not a drift."""
+    SQL, so any assignment flip on a near-exact distance tie (the one
+    way the paths can diverge -- see ``_arrow_cell_partials``) is a
+    hash mismatch, not a silent drift."""
     import math
 
     spark = df.sparkSession

@@ -6,13 +6,14 @@ iteration via ``mapInPandas``, partition behavior. Decode paths, by
 format family:
 
 - ``decode_images_numpy``: REAL decode with no image library --
-  P6 PPM and 24-bit BMP in pure numpy, plus PNG via stdlib ``zlib``
-  (DEFLATE + row-filter reversal, ``_decode_png``) -- parse,
-  nearest-neighbor resize, channel/grid-mean features; corrupt
-  payloads yield null rows, never failed batches.
-- ``decode_images_real``: PIL-gated path for the remaining compressed
-  formats (JPEG); raises ``NotImplementedError`` where PIL is absent
-  (this container) and activates unchanged where it is installed.
+  P6 PPM and 24-bit BMP in pure numpy, PNG via stdlib ``zlib``
+  (DEFLATE + row-filter reversal, ``_decode_png``), and baseline
+  JPEG via the pure-numpy Huffman + IDCT decoder (``jpeg.py``,
+  round 6) -- parse, nearest-neighbor resize, channel/grid-mean
+  features; corrupt payloads yield null rows, never failed batches.
+- ``decode_images_real``: PIL-gated alternative path; raises
+  ``NotImplementedError`` where PIL is absent (this container) and
+  activates unchanged where it is installed.
 - ``decode_images``: deterministic stub for plumbing tests.
 
 At 100 TB: binary payloads stay in executor-local Arrow batches; only
@@ -394,7 +395,10 @@ def decode_images_numpy(
                             feat,
                         )
                     )
-                except (ValueError, IndexError, OverflowError):
+                except (ValueError, IndexError, OverflowError, KeyError, struct_error):
+                    # KeyError / struct.error: a corrupt JPEG whose SOS
+                    # references an undefined table or whose header
+                    # truncates mid-struct -- same null-row contract
                     rows.append(
                         (
                             media_id,
