@@ -4804,6 +4804,108 @@ FROM ranked WHERE rank <= {k}
 SQL_EMBEDDING_IVF_TRAINED_TOPK = _ivf_trained_sql()
 
 
+def q_orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram sketch
+    (``sketches.quantile_histogram_state``): orders arrive as TWO
+    deterministic hash batches, each aggregates into a per-priority
+    256-bucket equi-width state, the states MERGE (vector add), and
+    p50/p90/p99 come off the merged histogram -- the quantile
+    counterpart of ``orders_incremental_state``. Unlike
+    percentile_approx's engine-specific KLL internals, every bucket
+    count and the rank-walk estimate are exact arithmetic, so the
+    DuckDB oracle rebuilds the identical histogram in one shot
+    (merge == direct is implied by count equality) and reproduces
+    the estimates bit-for-bit. ``within_bound`` asserts the sketch's
+    error contract -- every estimate within 2 bucket widths of the
+    exact interpolated percentile -- in BOTH engines, so a bound
+    violation is a hash mismatch. The exact-percentile side is a
+    second scan by definition (measurement shape, allowlisted)."""
+    from .operators import sketches as sk
+
+    LO, HI, NB = 0.0, 512000.0, 256
+    w = (HI - LO) / NB
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    states = []
+    for i in range(2):
+        batch = o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(2)) == i).drop(
+            "o_orderkey"
+        )
+        states.append(
+            sk.quantile_histogram_state(
+                batch, "o_totalprice", ["o_orderpriority"], LO, HI, NB
+            )
+        )
+    merged = sk.merge_quantile_states(states[0], states[1], ["o_orderpriority"])
+    est = sk.quantiles_from_state(merged, [0.5, 0.9, 0.99], LO, HI)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.5d, 0.9d, 0.99d))").alias("_ex")
+    )
+    bound = F.lit(2.0 * w)
+    within = (
+        (F.abs(F.col("p50") - F.col("_ex")[0]) <= bound)
+        & (F.abs(F.col("p90") - F.col("_ex")[1]) <= bound)
+        & (F.abs(F.col("p99") - F.col("_ex")[2]) <= bound)
+    )
+    return est.join(exact, on="o_orderpriority").select(
+        "o_orderpriority",
+        "n_rows",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        "p50",
+        "p90",
+        "p99",
+        within.alias("within_bound"),
+    )
+
+
+SQL_ORDERS_QUANTILE_SKETCH = """
+WITH src AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+),
+hist AS (
+  SELECT o_orderpriority,
+         LEAST(GREATEST(CAST(floor(o_totalprice / 2000.0) AS BIGINT), 0), 255) AS b,
+         COUNT(*) AS c
+  FROM src GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderpriority, SUM(c) AS n FROM hist GROUP BY 1
+),
+walk AS (
+  SELECT h.o_orderpriority, h.b, t.n,
+         SUM(h.c) OVER (PARTITION BY h.o_orderpriority ORDER BY h.b) AS cum
+  FROM hist h JOIN tot t USING (o_orderpriority)
+),
+est AS (
+  SELECT o_orderpriority,
+         MIN(CASE WHEN cum >= CEIL(0.5 * n)  THEN b END) AS b50,
+         MIN(CASE WHEN cum >= CEIL(0.9 * n)  THEN b END) AS b90,
+         MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN b END) AS b99
+  FROM walk GROUP BY 1
+),
+exact AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_rows,
+         round(MIN(o_totalprice), 2) AS min_value,
+         round(MAX(o_totalprice), 2) AS max_value,
+         quantile_cont(o_totalprice, 0.5)  AS x50,
+         quantile_cont(o_totalprice, 0.9)  AS x90,
+         quantile_cont(o_totalprice, 0.99) AS x99
+  FROM src GROUP BY 1
+)
+SELECT e.o_orderpriority, x.n_rows, x.min_value, x.max_value,
+       round((e.b50 + 1) * 2000.0, 6) AS p50,
+       round((e.b90 + 1) * 2000.0, 6) AS p90,
+       round((e.b99 + 1) * 2000.0, 6) AS p99,
+       (abs((e.b50 + 1) * 2000.0 - x.x50) <= 4000.0
+        AND abs((e.b90 + 1) * 2000.0 - x.x90) <= 4000.0
+        AND abs((e.b99 + 1) * 2000.0 - x.x99) <= 4000.0) AS within_bound
+FROM est e JOIN exact x USING (o_orderpriority)
+"""
+
+
 def q_orders_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (``operators/matview.py``):
     orders arrive as three deterministic hash batches; each batch is
@@ -6919,6 +7021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans_centroids_arrow": q_embedding_kmeans_centroids_arrow,
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "orders_incremental_state": q_orders_incremental_state,
+    "orders_quantile_sketch": q_orders_quantile_sketch,
     "orders_priority_percentiles": q_orders_priority_percentiles,
     "orders_versioned_cdf": q_orders_versioned_cdf,
     "docs_leakage_split": q_docs_leakage_split,
@@ -7029,6 +7132,7 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans_centroids_arrow": SQL_EMBEDDING_KMEANS_CENTROIDS,
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
+    "orders_quantile_sketch": SQL_ORDERS_QUANTILE_SKETCH,
     "orders_priority_percentiles": SQL_ORDERS_PRIORITY_PERCENTILES,
     "orders_versioned_cdf": SQL_ORDERS_VERSIONED_CDF,
     "docs_leakage_split": SQL_DOCS_LEAKAGE_SPLIT,

@@ -80,3 +80,146 @@ def hll_rollup(
     return grouped.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias(estimate_col)
     )
+
+
+# -- mergeable quantile-histogram sketch ------------------------------------
+#
+# The HLL family above answers DISTINCT rollups without raw re-scans;
+# this answers QUANTILE rollups the same way. A fixed [lo, hi)
+# equi-width histogram is a fully mergeable state (vector add), error
+# is bounded by ONE bucket width by construction, and -- unlike
+# percentile_approx's engine-specific KLL/GK internals -- every count
+# and the final estimate are exact integer/float arithmetic any
+# engine reproduces bit-for-bit, so the sketch is oracle-checkable
+# (`orders_quantile_sketch`), not just plausible.
+
+
+def quantile_histogram_state(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-key mergeable quantile state: dense ``array<long>`` bucket
+    counts over ``n_buckets`` equi-width bins of [lo, hi) (values
+    outside clamp to the edge bins -- widen [lo, hi) if the tail
+    matters), plus row count and exact min/max. One partial-aggregated
+    shuffle of (keys x touched-buckets) rows; the densify is the same
+    map_from_entries + transform(sequence) shape as
+    ``bloom.bloom_build``."""
+    w = (hi - lo) / n_buckets
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    per_bucket = (
+        df.select(*keys, b.alias("_b"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+        )
+    )
+    return (
+        per_bucket.groupBy(*keys)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_b", "_n"))).alias("_bm"),
+            F.sum("_n").alias("n_rows"),
+            F.min("_mn").alias("min_value"),
+            F.max("_mx").alias("max_value"),
+        )
+        .select(
+            *keys,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_bm"), i.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("bucket_counts"),
+            "n_rows",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def merge_quantile_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """merge(state(A), state(B)) == state(A UNION B) exactly: bucket
+    vectors add element-wise, counts add, min/max fold. Full outer on
+    the keys so a key present in only one increment passes through."""
+    bb = b.select(
+        *keys,
+        F.col("bucket_counts").alias("_bc2"),
+        F.col("n_rows").alias("_n2"),
+        F.col("min_value").alias("_mn2"),
+        F.col("max_value").alias("_mx2"),
+    )
+    joined = a.join(bb, on=keys, how="full_outer")
+    zero = F.transform(
+        F.coalesce(F.col("bucket_counts"), F.col("_bc2")), lambda _: F.lit(0).cast("long")
+    )
+    return joined.select(
+        *keys,
+        F.zip_with(
+            F.coalesce(F.col("bucket_counts"), zero),
+            F.coalesce(F.col("_bc2"), zero),
+            lambda x, y: x + y,
+        ).alias("bucket_counts"),
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_n2"), F.lit(0))).alias(
+            "n_rows"
+        ),
+        F.least(
+            F.coalesce(F.col("min_value"), F.col("_mn2")),
+            F.coalesce(F.col("_mn2"), F.col("min_value")),
+        ).alias("min_value"),
+        F.greatest(
+            F.coalesce(F.col("max_value"), F.col("_mx2")),
+            F.coalesce(F.col("_mx2"), F.col("max_value")),
+        ).alias("max_value"),
+    )
+
+
+def quantiles_from_state(
+    state: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Estimate each q as the UPPER EDGE of the bucket holding the
+    q-th ranked row (rank = ceil(q * n), rank-exact against the
+    histogram): |estimate - exact_quantile| <= bucket width, because
+    the exact order statistic lies inside that bucket. One fold over
+    the counts array per q -- no explode, no shuffle beyond the
+    state itself."""
+    n_buckets_expr = F.size(F.col("bucket_counts"))
+    w = None  # derived per-row: (hi - lo) / size
+    out = state
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
+        # fold: (cum, ans) -- first bucket where cum >= target wins
+        found = F.aggregate(
+            F.zip_with(
+                F.col("bucket_counts"),
+                F.sequence(F.lit(0), n_buckets_expr - 1),
+                lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("ans")
+            ),
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["c"]).alias("cum"),
+                F.when(
+                    (acc["ans"] < 0) & (acc["cum"] + e["c"] >= target), e["i"]
+                )
+                .otherwise(acc["ans"])
+                .alias("ans"),
+            ),
+        )["ans"]
+        est = F.lit(lo) + (found.cast("double") + 1.0) * (
+            (F.lit(hi) - F.lit(lo)) / n_buckets_expr.cast("double")
+        )
+        out = out.withColumn(f"p{int(q * 100)}", F.round(est, 6))
+    return out.drop("bucket_counts")

@@ -411,3 +411,47 @@ def test_partitioned_lake_join_uses_dynamic_partition_pruning(spark, tmp_path):
     got = j.collect()[0]["s"]
     want = sum(i * 1.5 for i in range(50_000) if i % 12 == 3)
     assert abs(got - want) < 1e-6
+
+
+def test_quantile_histogram_state_merge_equals_direct(spark):
+    """merge(state(A), state(B)) must equal state(A UNION B) exactly --
+    bucket vectors, counts, min/max -- including a key present in only
+    one increment (full-outer pass-through)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
+        merge_quantile_states,
+        quantile_histogram_state,
+        quantiles_from_state,
+    )
+
+    rows = [("a", float(v)) for v in range(0, 1000, 7)] + [
+        ("b", float(v * v % 997)) for v in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a = df.filter("v < 400")
+    b_side = df.filter("v >= 400")  # key 'b' may vanish from one side
+
+    lo, hi, nb = 0.0, 1024.0, 64
+    direct = quantile_histogram_state(df, "v", ["k"], lo, hi, nb)
+    merged = merge_quantile_states(
+        quantile_histogram_state(a, "v", ["k"], lo, hi, nb),
+        quantile_histogram_state(b_side, "v", ["k"], lo, hi, nb),
+        ["k"],
+    )
+    d = {r["k"]: r for r in direct.collect()}
+    m = {r["k"]: r for r in merged.collect()}
+    assert set(d) == set(m)
+    for k in d:
+        assert d[k]["bucket_counts"] == m[k]["bucket_counts"]
+        assert d[k]["n_rows"] == m[k]["n_rows"]
+        assert d[k]["min_value"] == m[k]["min_value"]
+        assert d[k]["max_value"] == m[k]["max_value"]
+
+    # the rank-walk estimate is within one bucket width of the exact
+    # order statistic by construction
+    est = {r["k"]: r for r in quantiles_from_state(merged, [0.5], lo, hi).collect()}
+    import numpy as np
+
+    for k in d:
+        vals = sorted(v for kk, v in rows if kk == k)
+        exact = float(np.quantile(vals, 0.5))
+        assert abs(est[k]["p50"] - exact) <= 2 * (hi - lo) / nb

@@ -253,6 +253,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "partitions; production aggregates only the new partition "
         "per close and merges into persisted state"
     },
+    "orders_quantile_sketch": {
+        "multi_scan:orders": "incremental simulation (two disjoint "
+        "hash batches -> merged histogram state) PLUS measurement: "
+        "the exact-percentile side the within_bound flag is defined "
+        "against is a separate scan by definition"
+    },
     "events_type_pagerank": {
         "multi_scan:events": "iterative graph algorithm: the edge "
         "aggregate and the node universe are two bounded projections "
