@@ -2296,9 +2296,10 @@ def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Java-regex/RE2-shared syntax precisely to make this sound)
 from .operators.pii import PII_PATTERNS as _PII_PATTERNS  # noqa: E402
 
-_PII_EMAIL = dict((k, p) for k, p in _PII_PATTERNS)["email"]
-_PII_PHONE = dict((k, p) for k, p in _PII_PATTERNS)["phone"]
-_PII_IP = dict((k, p) for k, p in _PII_PATTERNS)["ipv4"]
+_PII_BY_NAME = dict(_PII_PATTERNS)
+_PII_EMAIL = _PII_BY_NAME["email"]
+_PII_PHONE = _PII_BY_NAME["phone"]
+_PII_IP = _PII_BY_NAME["ipv4"]
 
 SQL_DOCS_PII_SCRUB = f"""
 WITH injected AS (
@@ -4804,6 +4805,10 @@ FROM ranked WHERE rank <= {k}
 SQL_EMBEDDING_IVF_TRAINED_TOPK = _ivf_trained_sql()
 
 
+_QSK_LO, _QSK_HI, _QSK_NB = 0.0, 512000.0, 256
+_QSK_W = (_QSK_HI - _QSK_LO) / _QSK_NB
+
+
 def q_orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-histogram sketch
     (``sketches.quantile_histogram_state``): orders arrive as TWO
@@ -4815,15 +4820,21 @@ def q_orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the rank-walk estimate are exact arithmetic, so the
     DuckDB oracle rebuilds the identical histogram in one shot
     (merge == direct is implied by count equality) and reproduces
-    the estimates bit-for-bit. ``within_bound`` asserts the sketch's
-    error contract -- every estimate within 2 bucket widths of the
-    exact interpolated percentile -- in BOTH engines, so a bound
-    violation is a hash mismatch. The exact-percentile side is a
-    second scan by definition (measurement shape, allowlisted)."""
+    the estimates bit-for-bit.
+
+    ``within_bound`` asserts the sketch's THEOREM: the estimate is
+    the upper edge of the bucket holding the order statistic at rank
+    ceil(q*n), so |estimate - that order statistic| <= one bucket
+    width whenever values lie inside [lo, hi) -- both engines compute
+    the flag from the same explicit sorted-array rank lookup (the
+    check side may collect per-group values; the sketch side never
+    does). A violation flips the flag to false in BOTH engines -- the
+    hashed result records it, the committed CHECKALL shows TRUE, and
+    ``test_quantile_sketch_bound_holds`` fails outright. The
+    exact-rank side is a second scan by definition (measurement
+    shape, allowlisted)."""
     from .operators import sketches as sk
 
-    LO, HI, NB = 0.0, 512000.0, 256
-    w = (HI - LO) / NB
     o = t(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice", "o_orderkey"
     )
@@ -4834,19 +4845,25 @@ def q_orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         states.append(
             sk.quantile_histogram_state(
-                batch, "o_totalprice", ["o_orderpriority"], LO, HI, NB
+                batch, "o_totalprice", ["o_orderpriority"], _QSK_LO, _QSK_HI, _QSK_NB
             )
         )
     merged = sk.merge_quantile_states(states[0], states[1], ["o_orderpriority"])
-    est = sk.quantiles_from_state(merged, [0.5, 0.9, 0.99], LO, HI)
+    est = sk.quantiles_from_state(merged, [0.5, 0.9, 0.99], _QSK_LO, _QSK_HI)
     exact = o.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, array(0.5d, 0.9d, 0.99d))").alias("_ex")
+        F.sort_array(F.collect_list("o_totalprice")).alias("_sv"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    bound = F.lit(2.0 * w)
+
+    def order_stat(q: float):
+        return F.element_at(
+            F.col("_sv"), F.ceil(F.lit(q) * F.col("_n")).cast("int")
+        )
+
     within = (
-        (F.abs(F.col("p50") - F.col("_ex")[0]) <= bound)
-        & (F.abs(F.col("p90") - F.col("_ex")[1]) <= bound)
-        & (F.abs(F.col("p99") - F.col("_ex")[2]) <= bound)
+        (F.abs(F.col("p50") - order_stat(0.5)) <= F.lit(_QSK_W))
+        & (F.abs(F.col("p90") - order_stat(0.9)) <= F.lit(_QSK_W))
+        & (F.abs(F.col("p99") - order_stat(0.99)) <= F.lit(_QSK_W))
     )
     return est.join(exact, on="o_orderpriority").select(
         "o_orderpriority",
@@ -4860,13 +4877,16 @@ def q_orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ORDERS_QUANTILE_SKETCH = """
+# every constant derives from _QSK_* -- the drift-proofing pattern the
+# PII oracle uses (the histogram math on both sides is ONE definition)
+SQL_ORDERS_QUANTILE_SKETCH = f"""
 WITH src AS (
   SELECT o_orderpriority, o_totalprice FROM orders
 ),
 hist AS (
   SELECT o_orderpriority,
-         LEAST(GREATEST(CAST(floor(o_totalprice / 2000.0) AS BIGINT), 0), 255) AS b,
+         LEAST(GREATEST(CAST(floor((o_totalprice - {_QSK_LO}) / {_QSK_W}) AS BIGINT), 0),
+               {_QSK_NB - 1}) AS b,
          COUNT(*) AS c
   FROM src GROUP BY 1, 2
 ),
@@ -4890,18 +4910,16 @@ exact AS (
          COUNT(*) AS n_rows,
          round(MIN(o_totalprice), 2) AS min_value,
          round(MAX(o_totalprice), 2) AS max_value,
-         quantile_cont(o_totalprice, 0.5)  AS x50,
-         quantile_cont(o_totalprice, 0.9)  AS x90,
-         quantile_cont(o_totalprice, 0.99) AS x99
+         array_agg(o_totalprice ORDER BY o_totalprice) AS sv
   FROM src GROUP BY 1
 )
 SELECT e.o_orderpriority, x.n_rows, x.min_value, x.max_value,
-       round((e.b50 + 1) * 2000.0, 6) AS p50,
-       round((e.b90 + 1) * 2000.0, 6) AS p90,
-       round((e.b99 + 1) * 2000.0, 6) AS p99,
-       (abs((e.b50 + 1) * 2000.0 - x.x50) <= 4000.0
-        AND abs((e.b90 + 1) * 2000.0 - x.x90) <= 4000.0
-        AND abs((e.b99 + 1) * 2000.0 - x.x99) <= 4000.0) AS within_bound
+       round({_QSK_LO} + (e.b50 + 1) * {_QSK_W}, 6) AS p50,
+       round({_QSK_LO} + (e.b90 + 1) * {_QSK_W}, 6) AS p90,
+       round({_QSK_LO} + (e.b99 + 1) * {_QSK_W}, 6) AS p99,
+       (abs({_QSK_LO} + (e.b50 + 1) * {_QSK_W} - x.sv[CAST(CEIL(0.5 * x.n_rows) AS BIGINT)]) <= {_QSK_W}
+        AND abs({_QSK_LO} + (e.b90 + 1) * {_QSK_W} - x.sv[CAST(CEIL(0.9 * x.n_rows) AS BIGINT)]) <= {_QSK_W}
+        AND abs({_QSK_LO} + (e.b99 + 1) * {_QSK_W} - x.sv[CAST(CEIL(0.99 * x.n_rows) AS BIGINT)]) <= {_QSK_W}) AS within_bound
 FROM est e JOIN exact x USING (o_orderpriority)
 """
 

@@ -243,14 +243,18 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             raise ValueError("marker sync lost")
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
         # marker; real encoders emit them, so skip (not a new marker)
-        while pos + 1 < n and b[pos + 1] == 0xFF:
+        while pos + 2 < n and b[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > n:
+            raise ValueError("truncated after fill bytes")
         marker = b[pos + 1]
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         seglen = struct.unpack_from(">H", b, pos)[0]
         body = b[pos + 2 : pos + seglen]
+        if len(body) != max(0, seglen - 2):
+            raise ValueError("truncated segment body")
         if marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0
             while i < len(body):
@@ -283,7 +287,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                h_i, v_i = hv >> 4, hv & 0x0F
+                if h_i < 1 or v_i < 1:
+                    raise ValueError("invalid sampling factor 0 in SOF")
+                comps.append({"id": cid, "h": h_i, "v": v_i, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG process (SOF{marker - 0xC0})")

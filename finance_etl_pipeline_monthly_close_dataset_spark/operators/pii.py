@@ -22,8 +22,10 @@ Two surfaces over ONE shared pattern table:
 
 Pattern portability: only syntax shared by Java's ``j.u.regex``
 (Spark) and RE2 (DuckDB/Go) -- character classes, bounded repetition,
-non-capturing groups, ``\\b`` word boundaries; no backreferences or
-lookaround -- so an external engine reproduces the exact match set.
+non-capturing groups, ``\\b`` word boundaries; no backreferences,
+lookaround, or ``\\s`` (Java's includes U+000B vertical tab, RE2's
+does not -- explicit ``[ \\t]`` classes instead) -- so an external
+engine reproduces the exact match set.
 Regex scrubbing is a floor, not a guarantee: names, addresses, and
 free-form identifiers need an NER pass (model inference via
 mapInPandas, not hostable in this container); the operator seam is
@@ -45,7 +47,7 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     # ISO dates and id numbers that a loose [\d\s-]{7,} class would
     # mangle. Dotted phones (415.555.0134) are the accepted false
     # negative -- dots would collide with IPv4/version shapes.
-    ("phone", r"\+?\d{0,2}[\s-]?\(?\d{3}\)?[\s-]?\d{3}[\s-]?\d{4}\b"),
+    ("phone", r"\+?\d{0,2}[ \t-]?\(?\d{3}\)?[ \t-]?\d{3}[ \t-]?\d{4}\b"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
 )
 

@@ -195,7 +195,6 @@ def quantiles_from_state(
     the counts array per q -- no explode, no shuffle beyond the
     state itself."""
     n_buckets_expr = F.size(F.col("bucket_counts"))
-    w = None  # derived per-row: (hi - lo) / size
     out = state
     for q in qs:
         target = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
@@ -221,5 +220,8 @@ def quantiles_from_state(
         est = F.lit(lo) + (found.cast("double") + 1.0) * (
             (F.lit(hi) - F.lit(lo)) / n_buckets_expr.cast("double")
         )
-        out = out.withColumn(f"p{int(q * 100)}", F.round(est, 6))
+        # p50, p99, p99_9, p2_5 -- fractional quantiles cannot
+        # silently collide with integer ones
+        name = "p" + str(q * 100).rstrip("0").rstrip(".").replace(".", "_")
+        out = out.withColumn(name, F.round(est, 6))
     return out.drop("bucket_counts")

@@ -423,12 +423,14 @@ def test_quantile_histogram_state_merge_equals_direct(spark):
         quantiles_from_state,
     )
 
+    # key 'b' is entirely below the split, so it exists in only ONE
+    # increment -- the full-outer pass-through path is really hit
     rows = [("a", float(v)) for v in range(0, 1000, 7)] + [
-        ("b", float(v * v % 997)) for v in range(200)
+        ("b", float(v % 397)) for v in range(200)
     ]
     df = spark.createDataFrame(rows, "k string, v double")
     a = df.filter("v < 400")
-    b_side = df.filter("v >= 400")  # key 'b' may vanish from one side
+    b_side = df.filter("v >= 400")
 
     lo, hi, nb = 0.0, 1024.0, 64
     direct = quantile_histogram_state(df, "v", ["k"], lo, hi, nb)
@@ -455,3 +457,15 @@ def test_quantile_histogram_state_merge_equals_direct(spark):
         vals = sorted(v for kk, v in rows if kk == k)
         exact = float(np.quantile(vals, 0.5))
         assert abs(est[k]["p50"] - exact) <= 2 * (hi - lo) / nb
+
+
+def test_quantile_sketch_bound_holds(spark):
+    """The contract query's within_bound flag must be TRUE -- this is
+    what makes a bound violation an actual failure rather than an
+    identically-false flag that still hash-matches the oracle."""
+    from finance_etl_pipeline_monthly_close_dataset_spark import contract
+
+    rows = contract.QUERIES["orders_quantile_sketch"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r["within_bound"] for r in rows), rows
