@@ -38,6 +38,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _round_half_up(x: float, decimals: int) -> float:
+    """Round half AWAY from zero at ``decimals`` places, matching
+    Spark's ``F.round`` (HALF_UP) and DuckDB's ``round`` so the
+    driver-side Arrow combine cannot diverge from the HOF path or the
+    oracle by rounding mode (Python's ``round`` is half-to-even)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-decimals)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _d2(vec_col: str, cent_col: str):
     """Squared L2 distance between two array columns (double math,
     index order summation -- DuckDB's list_sum over a comprehension
@@ -151,7 +162,15 @@ def lloyd_kmeans(
     ``embedding_kmeans_centroids_arrow`` against the SAME unrolled
     SQL, so any assignment flip on a near-exact distance tie (the one
     way the paths can diverge -- see ``_arrow_cell_partials``) is a
-    hash mismatch, not a silent drift."""
+    hash mismatch, not a silent drift.
+
+    Rounding mode: the driver-side combine rounds HALF_UP via
+    ``_round_half_up`` (Decimal quantize), matching ``F.round`` on the
+    HOF path and DuckDB's ``round`` in the oracle -- Python's builtin
+    ``round`` is banker's (half-to-even) and would diverge whenever a
+    cell mean lands on an exact half at the ``decimals``-th place.
+    With that pinned, float-summation order is the only remaining way
+    the two paths can diverge."""
     import math
 
     spark = df.sparkSession
@@ -174,7 +193,7 @@ def lloyd_kmeans(
                 acc[r["cell"]] = (n_prev + r["n"], sums + [list(r["s"])])
             new = {
                 cell: [
-                    round(math.fsum(s[d] for s in sums) / n, decimals)
+                    _round_half_up(math.fsum(s[d] for s in sums) / n, decimals)
                     for d in range(len(sums[0]))
                 ]
                 for cell, (n, sums) in acc.items()
