@@ -6901,13 +6901,15 @@ def q_embedding_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # Registry order is load-bearing: the driver's correctness gate checks
-# only the first 50 entries, so positions 0-49 are a curated window --
-# one representative per SURVEY §2 family plus the flagship analytics
-# (SCD2, CDC, cube/grouping sets), the DQ surface, the event-stream
-# suite, and the LLM-data-pipeline operators (dedup, ANN, text).
-# Everything below the TAIL marker is equally real and oracle-paired;
-# it is verified by tools/check_contract.py (which runs ALL entries)
-# and by pytest, just not by the driver's 50-slot window.
+# only the first 50 entries, so positions 0-49 are a curated window.
+# The dict literal below keeps its original (round 1-7) grouping for
+# readability; the ACTUAL driver-facing order is applied afterwards by
+# the `_DRIVER_WINDOW` rotation (see below), which promotes queries
+# that have never produced a driver-side CORRECTNESS row into the
+# 50-slot window while pinning a handful of sentinels.  Everything
+# outside the window is equally real and oracle-paired; it is verified
+# by tools/check_contract.py (which runs ALL entries) and by pytest,
+# just not by the driver's 50-slot window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- §2 core: scan/filter/join/agg/sort/function families (16) ---
     "flagship_revenue_by_month": q_flagship_revenue_by_month,
@@ -7071,6 +7073,82 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthdocs_source": q_synthdocs_source,
     "docs_semantic_contamination": q_docs_semantic_contamination,
     "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
+}
+
+# Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
+# correctness gate only ever checks positions 0-49, and rounds 1-7 ran
+# the SAME first 50, so 105 queries had never produced a driver-side
+# CORRECTNESS row.  This list re-derives the window: 8 long-green
+# sentinels stay pinned (flagship, pricing, the DQ trio, SCD2/CDC, one
+# streamed query) and the remaining 42 slots go to queries promoted
+# from the previously-unchecked tail -- the TPC-H decision-support
+# batch, the kmeans / IVF / SemDeDup family (round 7's only code
+# change landed there with no driver net), the sketch/state/versioned
+# suite, the streaming tail, and PII scrub.  Queries not named here
+# keep their relative literal order after position 49; nothing is
+# added or removed, so check_contract / checkall still cover all
+# entries.
+_DRIVER_WINDOW: list[str] = [
+    # pinned sentinels (driver-green every round since round 1)
+    "flagship_revenue_by_month",
+    "pricing_summary",
+    "dq_exceptions_orders",
+    "dq_severity_counts",
+    "dq_summary_status",
+    "customer_scd2",
+    "snapshot_cdc_diff",
+    "events_streamed_dedup",
+    # TPC-H decision-support batch (never driver-checked before r8)
+    "part_cheapest_supplier",
+    "nation_pair_trade",
+    "important_parts_value",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "supplier_part_counts",
+    "small_order_revenue",
+    "large_volume_orders",
+    "bracket_pricing_revenue",
+    "excess_stock_suppliers",
+    "idle_rich_customers",
+    "forecast_revenue_change",
+    "returned_item_customers",
+    "nation_profit",
+    "lineitem_priority_mix",
+    # embedding / ANN / kmeans family (r7's change landed here unchecked)
+    "embedding_kmeans_centroids",
+    "embedding_kmeans_centroids_arrow",
+    "embedding_ivf_trained_topk",
+    "embedding_semantic_dedup",
+    "embedding_semantic_dedup_arrow",
+    "docs_semantic_contamination",
+    "docs_chunk_retrieval",
+    "docs_cluster_best",
+    "docs_ngram_jaccard_recall",
+    # sketches / incremental state / versioned lake
+    "orders_quantile_sketch",
+    "orders_priority_percentiles",
+    "orders_incremental_state",
+    "orders_versioned_cdf",
+    # corpus curation tail
+    "docs_pii_scrub",
+    "docs_leakage_split",
+    "docs_token_budget_mix",
+    "lineitem_bloom_semijoin",
+    # streaming tail + custom source
+    "events_streamed_attribution",
+    "events_streamed_late_drop",
+    "events_streamed_enriched",
+    "events_stateful_sessions",
+    "events_type_pagerank",
+    "events_max_concurrent",
+    "synthdocs_source",
+    "orders_profile",
+    "supplier_wait_blame",
+]
+
+QUERIES = {
+    **{name: QUERIES[name] for name in _DRIVER_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_DRIVER_WINDOW)},
 }
 
 ORACLES: dict[str, str] = {

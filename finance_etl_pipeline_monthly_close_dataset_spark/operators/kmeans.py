@@ -40,11 +40,21 @@ from pyspark.sql import functions as F
 
 def _round_half_up(x: float, decimals: int) -> float:
     """Round half AWAY from zero at ``decimals`` places, matching
-    Spark's ``F.round`` (HALF_UP) and DuckDB's ``round`` so the
-    driver-side Arrow combine cannot diverge from the HOF path or the
-    oracle by rounding mode (Python's ``round`` is half-to-even)."""
+    Spark's ``F.round`` (HALF_UP on the decimal repr) so the
+    driver-side Arrow combine cannot diverge from the HOF path by
+    rounding mode (Python's ``round`` is half-to-even).  NOTE: this
+    pins arrow==HOF parity only -- DuckDB's ``round`` on doubles
+    scales and ``std::round``s the BINARY value, which can land one
+    ulp below a repr-exact half (e.g. 0.1308615 -> DuckDB 0.130861 vs
+    F.round 0.130862), so oracle divergence on repr-exact halves is a
+    shared, latent exposure of BOTH paths, not something this helper
+    can close.  Non-finite values pass through unchanged, mirroring
+    Catalyst's Round (Decimal.quantize would raise on +/-inf)."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
+    if not math.isfinite(x):
+        return x
     q = Decimal(1).scaleb(-decimals)
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
@@ -166,11 +176,16 @@ def lloyd_kmeans(
 
     Rounding mode: the driver-side combine rounds HALF_UP via
     ``_round_half_up`` (Decimal quantize), matching ``F.round`` on the
-    HOF path and DuckDB's ``round`` in the oracle -- Python's builtin
-    ``round`` is banker's (half-to-even) and would diverge whenever a
-    cell mean lands on an exact half at the ``decimals``-th place.
-    With that pinned, float-summation order is the only remaining way
-    the two paths can diverge."""
+    HOF path -- Python's builtin ``round`` is banker's (half-to-even)
+    and would diverge whenever a cell mean lands on an exact half at
+    the ``decimals``-th place.  With that pinned, float-summation
+    order is the only remaining way the ARROW and HOF paths can
+    diverge.  The DuckDB oracle is a separate, weaker story: its
+    ``round`` on doubles rounds the binary value, which can sit one
+    ulp below a repr-exact half and round the other way -- a latent
+    oracle exposure SHARED by both paths (see ``_round_half_up``),
+    not closed by this helper; no such half occurs in the driver
+    testdata at any SF (CHECKALL)."""
     import math
 
     spark = df.sparkSession

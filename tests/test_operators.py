@@ -1140,6 +1140,27 @@ def test_lloyd_kmeans_hand_computed(spark):
     assert prof[0]["avg_d2"] == 0.25 and prof[1]["avg_d2"] == 0.25
 
 
+def test_round_half_up_modes_and_nonfinite():
+    """_round_half_up must (a) round half away from zero like Spark's
+    F.round where Python's builtin round() is banker's, (b) handle
+    negatives symmetrically, and (c) pass NaN/+-inf through unchanged
+    instead of raising decimal.InvalidOperation (ADVICE r7: Catalyst's
+    Round propagates non-finite values)."""
+    import math
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        _round_half_up,
+    )
+
+    assert _round_half_up(0.0000005, 6) == 0.000001  # builtin round -> 0.0
+    assert _round_half_up(-0.0000005, 6) == -0.000001
+    assert _round_half_up(2.5, 0) == 3.0 and _round_half_up(-2.5, 0) == -3.0
+    assert _round_half_up(0.1234564, 6) == 0.123456
+    assert _round_half_up(float("inf"), 6) == float("inf")
+    assert _round_half_up(float("-inf"), 6) == float("-inf")
+    assert math.isnan(_round_half_up(float("nan"), 6))
+
+
 def test_ivf_topk_accepts_lloyd_centroids(spark):
     """The trained quantizer plugs straight into ivf_topk's explicit-
     centroids path: every probe's top-1 under nprobe=2/k=2 must equal
