@@ -2461,6 +2461,12 @@ def q_events_streamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "ckpt"),
         width_seconds=3600,
         key_col="event_type",
+        # one source file per micro-batch: without this the bounded
+        # file stream swallows all 3 staged files in ONE batch and the
+        # "3-batch incremental fold" the docstring claims never runs
+        # (ADVICE r6); with it, 3 distinct batch_ids land in the
+        # rollup and read_rollup's cross-batch fold is exercised
+        max_files_per_trigger=1,
     )
     try:
         q.processAllAvailable()

@@ -201,11 +201,19 @@ class _BitReader:
         return v
 
     def align_and_expect_rst(self) -> None:
-        """Byte-align and consume the RSTn marker at a restart."""
+        """Byte-align and consume the RSTn marker at a restart.
+
+        T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        marker, so ``FF FF D0`` is a legal restart -- skip the fill
+        bytes before checking the marker byte (ADVICE r6: the old
+        check read the fill byte as a non-RST marker and rejected
+        spec-conformant streams)."""
         self.bitbuf = 0
         self.nbits = 0
         d = self.data
-        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
             return
         raise ValueError("expected RST marker")
@@ -228,7 +236,21 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG -> HxWx3 uint8 RGB (grayscale replicates)."""
+    """Baseline JPEG -> HxWx3 uint8 RGB (grayscale replicates).
+
+    Raises ``ValueError`` for ANY malformed payload: internal
+    ``KeyError`` (scan references an undefined Huffman/quant table)
+    and ``struct.error`` (header truncates mid-field) are re-raised
+    as ``ValueError`` here, so callers' corrupt-media handling can
+    catch ``ValueError`` alone instead of a blanket tuple that would
+    also swallow genuine code bugs in other decoders (ADVICE r6)."""
+    try:
+        return _decode_jpeg_checked(b)
+    except (KeyError, struct.error) as exc:
+        raise ValueError(f"corrupt JPEG ({type(exc).__name__}: {exc})") from exc
+
+
+def _decode_jpeg_checked(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2

@@ -395,10 +395,13 @@ def decode_images_numpy(
                             feat,
                         )
                     )
-                except (ValueError, IndexError, OverflowError, KeyError, struct_error):
-                    # KeyError / struct.error: a corrupt JPEG whose SOS
-                    # references an undefined table or whose header
-                    # truncates mid-struct -- same null-row contract
+                except (ValueError, IndexError, OverflowError):
+                    # decode_jpeg re-raises its internal KeyError /
+                    # struct.error (undefined table, truncated header)
+                    # as ValueError, so this clause no longer needs to
+                    # catch them -- a KeyError escaping the PPM/PNG/BMP
+                    # paths is a code bug and now fails loudly instead
+                    # of being silently nulled (ADVICE r6)
                     rows.append(
                         (
                             media_id,

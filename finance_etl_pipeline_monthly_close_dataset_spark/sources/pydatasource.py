@@ -188,8 +188,10 @@ class JsonlCommitWriter(DataSourceWriter):
     partition into a per-JOB staging subdirectory
     (``_staging_<job>/<task>.jsonl``) and returns a commit message;
     the driver's ``commit`` renames the staged files into place as
-    ``part_<job>_<task>.jsonl`` and writes a ``_SUCCESS`` manifest
-    listing every part with its row count, while ``abort`` removes the
+    ``part_<job>_<task>.jsonl``, writes a per-job
+    ``_manifest_<job>.json``, and rebuilds ``_SUCCESS`` as the UNION
+    of all per-job manifests (so appended jobs accumulate instead of
+    overwriting each other's part lists), while ``abort`` removes the
     whole staging directory -- so a failed job leaves NO visible
     output (the atomicity contract DataFrameWriter gives parquet,
     reproduced for a hand-rolled format). Rows stream through; O(1)
@@ -274,8 +276,30 @@ class JsonlCommitWriter(DataSourceWriter):
             os.rename(m.staged, final)
             manifest.append({"file": os.path.basename(final), "n_rows": m.n_rows})
         self._teardown_staging()
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
-            _json.dump({"parts": manifest}, fh)
+        # Per-JOB manifest + aggregated _SUCCESS (ADVICE r6): the old
+        # code overwrote _SUCCESS with only THIS job's parts, so after
+        # a second append job the manifest undercounted the directory.
+        # Each job now writes its own _manifest_<job>.json atomically
+        # (tmp + rename), and _SUCCESS is rebuilt as the union of all
+        # per-job manifests present. Two jobs racing the rebuild each
+        # write a _SUCCESS that is a superset of their own parts, and
+        # the per-job manifests stay the authoritative record either
+        # way; both names are underscore-prefixed, so Spark/glob
+        # readers of the data never see them.
+        own = os.path.join(self.path, f"_manifest_{self.job_id}.json")
+        tmp = own + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"job_id": self.job_id, "parts": manifest}, fh)
+        os.replace(tmp, own)
+        parts = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("_manifest_") and name.endswith(".json"):
+                with open(os.path.join(self.path, name)) as fh:
+                    parts.extend(_json.load(fh)["parts"])
+        tmp = os.path.join(self.path, "_SUCCESS.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"parts": parts}, fh)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
 
     def abort(self, messages):
         self._teardown_staging()

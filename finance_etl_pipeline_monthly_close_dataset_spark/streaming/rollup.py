@@ -41,13 +41,24 @@ def start_rollup(
     checkpoint_dir: str,
     width_seconds: int = 3600,
     key_col: str = "event_type",
+    max_files_per_trigger: int | None = None,
 ):
     """Start the incremental rollup stream; returns the StreamingQuery.
 
     foreachBatch keeps the write path a plain batch parquet append, so
     the rollup table is readable by any engine mid-stream.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    source files -- tests replaying a bounded file stream set 1 so the
+    stream genuinely produces one micro-batch (and one batch_id) per
+    staged file instead of swallowing the whole backlog in a single
+    batch; production streams normally leave it unset and size
+    micro-batches by arrival.
     """
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         # batch_id rides along so a replayed micro-batch (failure after

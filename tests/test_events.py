@@ -311,6 +311,48 @@ def test_continuous_rollup_matches_batch_recompute(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "rollup_c")).filter("key = 'click'").count() == 1
 
 
+def test_rollup_max_files_per_trigger_batches(spark, tmp_path):
+    """With max_files_per_trigger=1, a backlog of 3 staged files must
+    produce 3 distinct micro-batches (3 batch_ids in the partials),
+    not one swallowed batch -- so the cross-batch fold that the
+    contract query claims to exercise genuinely runs (ADVICE r6)."""
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming import rollup
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "mft_src"
+    os.makedirs(src)
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    for i in range(3):
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(minutes=i), "click", float(i + 1))], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = rollup.start_rollup(
+        spark, str(src), schema, str(tmp_path / "mft_rollup"),
+        str(tmp_path / "mft_ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    partials = spark.read.parquet(str(tmp_path / "mft_rollup"))
+    assert partials.select("batch_id").distinct().count() == 3
+    got = {
+        (r["bucket"], r["key"]): (r["n_events"], r["sum_value"])
+        for r in rollup.read_rollup(spark, str(tmp_path / "mft_rollup")).collect()
+    }
+    assert got == {(t0, "click"): (3, 6.0)}
+
+
 def test_stream_stream_attribution_join(spark, tmp_path):
     import os
 

@@ -1559,6 +1559,35 @@ def test_synthdocs_writer_two_phase_commit(spark, tmp_path):
     back = spark.read.json(out + "/part_*.jsonl")
     assert back.count() == 100 and set(back.columns) == {"doc_id", "grp"}
 
+
+def test_synthdocs_writer_append_accumulates_manifest(spark, tmp_path):
+    """ADVICE r6: _SUCCESS must list the UNION of all committed jobs'
+    parts, not just the last job's -- a second append previously
+    overwrote the manifest and undercounted the directory. Each job
+    also leaves its own authoritative _manifest_<job>.json."""
+    import json
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "jl_append")
+    df1 = spark.range(20).selectExpr("id AS doc_id", "CAST(id AS STRING) AS grp")
+    df1.repartition(2).write.format("synthdocs").option("path", out).mode("append").save()
+    df2 = spark.range(30).selectExpr("id + 100 AS doc_id", "CAST(id AS STRING) AS grp")
+    df2.repartition(3).write.format("synthdocs").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(p["n_rows"] for p in manifest["parts"]) == 50
+    # manifest part list matches the visible part files exactly
+    parts_on_disk = {f for f in os.listdir(out) if f.startswith("part_")}
+    assert {p["file"] for p in manifest["parts"]} == parts_on_disk
+    job_manifests = [f for f in os.listdir(out) if f.startswith("_manifest_")]
+    assert len(job_manifests) == 2
+    assert spark.read.json(out + "/part_*.jsonl").count() == 50
+
     # a failing write must abort: staged files removed, no _SUCCESS
     bad_out = str(tmp_path / "jl_bad")
     bad = spark.range(10).selectExpr(
@@ -1710,6 +1739,46 @@ def test_jpeg_rejects_unsupported_and_corrupt():
     full = encode_jpeg_baseline(np.arange(64, dtype=np.uint8).reshape(8, 8))
     with _pytest.raises(ValueError):
         decode_jpeg(full[: len(full) // 2])
+    # a frame referencing an undefined quant table used to escape as
+    # KeyError (qt[c["tq"]]); decode_jpeg must normalize it to
+    # ValueError so callers' corrupt-media handling stays narrow
+    # (ADVICE r6)
+    b = bytearray(full)
+    i = bytes(b).find(b"\xff\xdb")  # first DQT
+    b[i + 4] = (b[i + 4] & 0xF0) | 0x0B  # re-home table to unused slot 11
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_fill_bytes_before_rst():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede ANY marker, including
+    RSTn inside the entropy stream. Insert a fill byte before the
+    first restart marker of a DRI-encoded image; the decode must still
+    succeed and match the unpadded decode exactly (ADVICE r6: the old
+    align_and_expect_rst read the fill byte as a non-RST marker)."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = np.stack([xx * 10, yy * 10, xx + yy], axis=2).astype(np.uint8)
+    enc = encode_jpeg_baseline(img, restart_interval=1)
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    # locate the first RSTn (FF D0-D7) in the entropy-coded data
+    rst = -1
+    i = sos + 2
+    while i + 1 < len(enc):
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7:
+            rst = i
+            break
+        i += 1
+    assert rst > 0, "encoder emitted no restart marker"
+    padded = enc[:rst] + b"\xff" + enc[rst:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
 
 
 def test_decode_images_numpy_jpeg_payload(spark):
