@@ -4930,6 +4930,87 @@ FROM est e JOIN exact x USING (o_orderpriority)
 """
 
 
+def q_orders_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-increment quantile rollup (``sketches.quantile_rollup``,
+    the quantile counterpart of ``hll_rollup``): every (year, month)
+    of orders aggregates ONCE into its own 256-bucket histogram state
+    -- the persistable monthly increment -- and yearly p50/p90/p99
+    come from merging each year's monthly states in one groupBy
+    (element-wise vector add), never re-scanning raw rows.  Because a
+    histogram of a union is exactly the sum of the histograms, the
+    DuckDB oracle rebuilds the yearly histogram in ONE shot from raw
+    orders and must reproduce every bucket-walk estimate bit-for-bit
+    -- merge-of-12 == direct is the checked identity.  Same [lo, hi)
+    x n_buckets config as ``orders_quantile_sketch`` (shared _QSK_*
+    constants, one definition of the histogram math)."""
+    from .operators import sketches as sk
+
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        "o_totalprice",
+    )
+    monthly = sk.quantile_histogram_state(
+        o, "o_totalprice", ["order_year", "order_month"], _QSK_LO, _QSK_HI, _QSK_NB
+    )
+    yearly = sk.quantile_rollup(monthly, ["order_year"])
+    return (
+        sk.quantiles_from_state(yearly, [0.5, 0.9, 0.99], _QSK_LO, _QSK_HI)
+        .select(
+            "order_year",
+            "n_rows",
+            F.round("min_value", 2).alias("min_value"),
+            F.round("max_value", 2).alias("max_value"),
+            "p50",
+            "p90",
+            "p99",
+        )
+        .orderBy("order_year")
+    )
+
+
+SQL_ORDERS_QUANTILE_ROLLUP = f"""
+WITH src AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_totalprice FROM orders
+),
+hist AS (
+  SELECT order_year,
+         LEAST(GREATEST(CAST(floor((o_totalprice - {_QSK_LO}) / {_QSK_W}) AS BIGINT), 0),
+               {_QSK_NB - 1}) AS b,
+         COUNT(*) AS c
+  FROM src GROUP BY 1, 2
+),
+tot AS (
+  SELECT order_year, SUM(c) AS n FROM hist GROUP BY 1
+),
+walk AS (
+  SELECT h.order_year, h.b, t.n,
+         SUM(h.c) OVER (PARTITION BY h.order_year ORDER BY h.b) AS cum
+  FROM hist h JOIN tot t USING (order_year)
+),
+est AS (
+  SELECT order_year,
+         MIN(CASE WHEN cum >= CEIL(0.5 * n)  THEN b END) AS b50,
+         MIN(CASE WHEN cum >= CEIL(0.9 * n)  THEN b END) AS b90,
+         MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN b END) AS b99
+  FROM walk GROUP BY 1
+),
+exact AS (
+  SELECT order_year,
+         COUNT(*) AS n_rows,
+         round(MIN(o_totalprice), 2) AS min_value,
+         round(MAX(o_totalprice), 2) AS max_value
+  FROM src GROUP BY 1
+)
+SELECT e.order_year, x.n_rows, x.min_value, x.max_value,
+       round({_QSK_LO} + (e.b50 + 1) * {_QSK_W}, 6) AS p50,
+       round({_QSK_LO} + (e.b90 + 1) * {_QSK_W}, 6) AS p90,
+       round({_QSK_LO} + (e.b99 + 1) * {_QSK_W}, 6) AS p99
+FROM est e JOIN exact x USING (order_year)
+ORDER BY e.order_year
+"""
+
+
 def q_orders_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (``operators/matview.py``):
     orders arrive as three deterministic hash batches; each batch is
@@ -6458,6 +6539,100 @@ SELECT doc_id, bench_id, sim AS cosine_sim FROM hits WHERE rn = 1
 SQL_DOCS_SEMANTIC_CONTAMINATION = _semantic_contamination_sql()
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle for the REAL image-decode path (r6 ask #4):
+    48 deterministic P6 PPMs (``multimodal.deterministic_ppm_media``
+    -- every pixel a closed-form function of (id, y, x, channel), five
+    widths x seven heights) ride the production
+    ``decode_images_numpy`` pipeline: binary parse, nearest-neighbor
+    resize to 8x6, channel-mean + 2x2-grid-mean features, Arrow-batch
+    ``mapInPandas``.  The DuckDB oracle NEVER sees the bytes -- it
+    recomputes the same features from the closed form with pure SQL
+    (range joins for pixels, the same floor-div resize indexing and
+    grid tiling) -- so a one-byte drift in header parse, raster
+    order, channel order, resize rounding, or feature math is a hash
+    mismatch, not a self-test tautology.  feature_dim=7 = 3 channel
+    means + 4 grid cells exactly (no truncation/padding edge);
+    features round at 4dp, far above float32 storage error (~1e-7 on
+    [0,1] values).  sf-independent by design: the corpus derives from
+    ids, not tables, so all three SFs check the identical decode."""
+    from .operators import multimodal as mm
+
+    media = mm.deterministic_ppm_media(spark, n=48)
+    feats = mm.decode_images_numpy(media, feature_dim=7, resize_to=(8, 6))
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            "out_width",
+            "out_height",
+            F.posexplode("feature").alias("feature_idx", "_v"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            "out_width",
+            "out_height",
+            "feature_idx",
+            F.round(F.col("_v").cast("double"), 4).alias("feature_value"),
+        )
+        .orderBy("media_id", "feature_idx")
+    )
+
+
+# one definition of the pixel/dims closed form, shared with
+# deterministic_ppm_media's docstring: v = (id*31 + y*7 + x*3 + c*11) % 256
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT CAST(range AS BIGINT) AS id FROM range(48)
+),
+dims AS (
+  SELECT id, 8 + (id % 5) * 4 AS w, 6 + (id % 7) * 2 AS h FROM m
+),
+-- nearest-neighbor resize to 8x6: out pixel (oy, ox) reads source
+-- pixel (min(oy*h//6, h-1), min(ox*w//8, w-1)) -- same floor-div
+-- indexing as _resize_nearest
+px AS (
+  SELECT d.id, oy.range AS oy, ox.range AS ox,
+         LEAST(CAST(oy.range * d.h AS BIGINT) // 6, d.h - 1) AS sy,
+         LEAST(CAST(ox.range * d.w AS BIGINT) // 8, d.w - 1) AS sx
+  FROM dims d, range(6) oy, range(8) ox
+),
+vals AS (
+  SELECT id, oy, ox,
+         ((id * 31 + sy * 7 + sx * 3 + 0 * 11) % 256) / 255.0 AS c0,
+         ((id * 31 + sy * 7 + sx * 3 + 1 * 11) % 256) / 255.0 AS c1,
+         ((id * 31 + sy * 7 + sx * 3 + 2 * 11) % 256) / 255.0 AS c2
+  FROM px
+),
+channel_means AS (
+  SELECT id, 0 AS feature_idx, AVG(c0) AS v FROM vals GROUP BY id
+  UNION ALL
+  SELECT id, 1, AVG(c1) FROM vals GROUP BY id
+  UNION ALL
+  SELECT id, 2, AVG(c2) FROM vals GROUP BY id
+),
+-- 2x2 grid means over the per-pixel channel mean: rows tile by 3
+-- (6//2), cols by 4 (8//2); feature_idx = 3 + gi*2 + gj
+grid_means AS (
+  SELECT id, 3 + CAST(oy // 3 AS INT) * 2 + CAST(ox // 4 AS INT) AS feature_idx,
+         AVG((c0 + c1 + c2) / 3.0) AS v
+  FROM vals GROUP BY 1, 2
+),
+feats AS (
+  SELECT * FROM channel_means UNION ALL SELECT * FROM grid_means
+)
+SELECT d.id AS media_id,
+       CAST(3 + length(CAST(d.w AS VARCHAR)) + 1 + length(CAST(d.h AS VARCHAR))
+            + 1 + 4 + d.w * d.h * 3 AS BIGINT) AS n_bytes,
+       8 AS out_width, 6 AS out_height,
+       CAST(f.feature_idx AS INT) AS feature_idx,
+       round(f.v, 4) AS feature_value
+FROM dims d JOIN feats f ON f.id = d.id
+ORDER BY media_id, feature_idx
+"""
+
+
 def q_synthdocs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource under the driver oracle
     (``sources/pydatasource.py``, Spark 4 ``pyspark.sql.datasource``
@@ -7048,6 +7223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_trained_topk": q_embedding_ivf_trained_topk,
     "orders_incremental_state": q_orders_incremental_state,
     "orders_quantile_sketch": q_orders_quantile_sketch,
+    "orders_quantile_rollup": q_orders_quantile_rollup,
     "orders_priority_percentiles": q_orders_priority_percentiles,
     "orders_versioned_cdf": q_orders_versioned_cdf,
     "docs_leakage_split": q_docs_leakage_split,
@@ -7077,6 +7253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_max_concurrent": q_events_max_concurrent,
     "events_streamed_enriched": q_events_streamed_enriched,
     "synthdocs_source": q_synthdocs_source,
+    "media_features": q_media_features,
     "docs_semantic_contamination": q_docs_semantic_contamination,
     "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
 }
@@ -7132,6 +7309,7 @@ _DRIVER_WINDOW: list[str] = [
     "docs_ngram_jaccard_recall",
     # sketches / incremental state / versioned lake
     "orders_quantile_sketch",
+    "orders_quantile_rollup",
     "orders_priority_percentiles",
     "orders_incremental_state",
     "orders_versioned_cdf",
@@ -7148,8 +7326,8 @@ _DRIVER_WINDOW: list[str] = [
     "events_type_pagerank",
     "events_max_concurrent",
     "synthdocs_source",
+    "media_features",
     "orders_profile",
-    "supplier_wait_blame",
 ]
 
 QUERIES = {
@@ -7235,6 +7413,7 @@ ORACLES: dict[str, str] = {
     "embedding_ivf_trained_topk": SQL_EMBEDDING_IVF_TRAINED_TOPK,
     "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
     "orders_quantile_sketch": SQL_ORDERS_QUANTILE_SKETCH,
+    "orders_quantile_rollup": SQL_ORDERS_QUANTILE_ROLLUP,
     "orders_priority_percentiles": SQL_ORDERS_PRIORITY_PERCENTILES,
     "orders_versioned_cdf": SQL_ORDERS_VERSIONED_CDF,
     "docs_leakage_split": SQL_DOCS_LEAKAGE_SPLIT,
@@ -7266,6 +7445,7 @@ ORACLES: dict[str, str] = {
     "events_max_concurrent": SQL_EVENTS_MAX_CONCURRENT,
     "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
+    "media_features": SQL_MEDIA_FEATURES,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

@@ -73,6 +73,47 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return base
 
 
+def deterministic_ppm_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-format media corpus: media_id -> a valid P6
+    PPM whose every pixel is the closed-form function
+
+        v(id, y, x, c) = (id*31 + y*7 + x*3 + c*11) % 256
+        w = 8 + (id % 5) * 4,  h = 6 + (id % 7) * 2
+
+    so an external engine can reproduce any decoded statistic by pure
+    arithmetic WITHOUT parsing bytes -- which is what lets the decode
+    path be oracle-checked end-to-end (``media_features``): if the
+    header parse, row order, channel order, resize indexing, or
+    feature math drift by one byte, the features stop matching the
+    closed form.  Payload bytes are built per-partition inside
+    ``mapInPandas`` (no driver-side materialization), the same
+    distributed-generation pattern as ``sources/pydatasource.py``."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = 8 + (mid % 5) * 4
+                h = 6 + (mid % 7) * 2
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                body = ((mid * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+                payload = f"P6\n{w} {h}\n255\n".encode() + body.tobytes()
+                rows.append((mid, "image", payload, "image/x-portable-pixmap",
+                             w, h, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime",
+                         "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def decode_images(
     media: DataFrame, feature_dim: int = 8, resize_to: tuple[int, int] = (224, 224)
 ) -> DataFrame:

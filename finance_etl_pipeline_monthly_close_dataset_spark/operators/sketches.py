@@ -182,6 +182,38 @@ def merge_quantile_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFr
     )
 
 
+def quantile_rollup(partials: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge MANY increment states up to a coarser grain in ONE
+    aggregation -- the quantile counterpart of ``hll_rollup`` (the
+    pairwise ``merge_quantile_states`` full-outer covers two-way
+    incremental maintenance; this covers "roll 12 monthly states to a
+    year" without chaining 11 joins).  Bucket vectors add element-wise
+    (``collect_list`` order is non-deterministic, but long addition is
+    exact and commutative, so the merged vector is deterministic),
+    counts add, min/max fold.  Input is states (KBs per increment),
+    never raw rows, so the shuffle carries rollup_groups x increments
+    arrays -- metadata-sized regardless of the underlying table; for
+    pathological increment counts per group, posexplode + groupBy(pos)
+    is the fallback shape (same trade as ``lloyd_kmeans``'s update).
+
+    All increments must share one histogram config (same [lo, hi) and
+    n_buckets) -- same contract as merging any sketch family."""
+    lists = F.collect_list("bucket_counts")
+    zero = F.transform(F.element_at(lists, 1), lambda _: F.lit(0).cast("long"))
+    merged = F.aggregate(
+        lists, zero, lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y)
+    )
+    grouped = (
+        partials.groupBy(*rollup_cols) if rollup_cols else partials.groupBy()
+    )
+    return grouped.agg(
+        merged.alias("bucket_counts"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
 def quantiles_from_state(
     state: DataFrame,
     qs: list[float],

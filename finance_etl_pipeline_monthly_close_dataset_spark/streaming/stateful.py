@@ -74,7 +74,7 @@ def streaming_sessionize(
     spark: SparkSession,
     parquet_dir: str,
     schema: T.StructType,
-    gap_minutes: int = 30,
+    gap_minutes: float = 30,
     idle_timeout: bool = False,
     source_options: dict | None = None,
 ) -> DataFrame:
@@ -101,11 +101,14 @@ def streaming_sessionize(
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if idle_timeout else GroupStateTimeout.NoTimeout
     )
+    # fractional gap_minutes supported so TTL tests can run second-
+    # scale timeouts; production callers pass whole minutes unchanged
+    gap_seconds = max(1, int(round(gap_minutes * 60)))
     return (
         stream.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group(gap_minutes * 60, idle_timeout),
+            _sessionize_group(gap_seconds, idle_timeout),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

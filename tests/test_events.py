@@ -135,7 +135,98 @@ def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
     assert got == batch
 
 
-def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+def test_stateful_sessionize_ttl_evicts_idle_key(spark, tmp_path):
+    """Processing-time TTL (r6 ask #6): a key idle longer than the gap
+    must have its state EVICTED (hasTimedOut -> remove) and then
+    RE-OPENED from scratch when it speaks again.  Evidence is the
+    session counter: user 1 ends run 1 in session 2; its next event is
+    only 1s of EVENT time later (same session had state survived), but
+    arrives after the processing-time TTL fired -- so the counter has
+    reset and the event gets session 1, which only an eviction can
+    produce."""
+    import os
+    import time
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = tmp_path / "ttl_src"
+    ckpt = str(tmp_path / "ttl_ckpt")
+    os.makedirs(src)
+
+    def stage(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0, 0)
+    gap_minutes = 3 / 60  # 3s gap for both sessionization and TTL
+
+    def run(query_name):
+        out = streaming_sessionize(
+            spark, str(src), schema, gap_minutes=gap_minutes, idle_timeout=True,
+            source_options={"maxFilesPerTrigger": 1},
+        )
+        return (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # armed ProcessingTimeTimeouts keep scheduling no-data batches, so
+    # processAllAvailable never settles (the module docstring's
+    # caveat) -- poll the memory sink for the expected rows instead.
+    # Those same no-data batches are what fires the eviction while the
+    # stream sits idle, so ONE query run covers the whole lifecycle
+    # (the memory sink cannot recover a checkpoint across restarts).
+    def wait_rows(sql, n, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            rows = spark.sql(sql).collect()
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {n} rows from: {sql}")
+
+    stage("b1", [(t0, 1), (t0 + dt.timedelta(seconds=10), 1)])
+    q = run("ttl_sessions")
+    try:
+        # user 1 produces TWO sessions (events 10s apart > 3s gap),
+        # leaving state (last_ts, session_id=2) with a 3s TTL armed
+        rows = wait_rows("select * from ttl_sessions where user_id = 1", 2)
+        assert {r["ts"]: r["session_id"] for r in rows} == {
+            t0: 1, t0 + dt.timedelta(seconds=10): 2,
+        }
+        # idle past the TTL: the pending timeout schedules no-data
+        # micro-batches, one of which calls the group fn with
+        # hasTimedOut=True and removes user 1's state
+        time.sleep(5)
+        # user 1 speaks again only 1s of EVENT time after its last
+        # event -- same session (id 2) had the state survived
+        stage("b3", [(t0 + dt.timedelta(seconds=11), 1)])
+        back = wait_rows(
+            "select * from ttl_sessions where user_id = 1 "
+            f"and ts = timestamp'{t0 + dt.timedelta(seconds=11)}'", 1,
+        )
+    finally:
+        q.stop()
+    # session 1, not 2: the counter restarted from empty state --
+    # which only a TTL eviction can produce
+    assert back[0]["session_id"] == 1
     """Event-time watermark semantics: a window finalizes once the
     watermark passes its end, and events arriving later than the
     watermark are dropped from the finalized result."""

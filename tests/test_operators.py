@@ -1559,6 +1559,28 @@ def test_synthdocs_writer_two_phase_commit(spark, tmp_path):
     back = spark.read.json(out + "/part_*.jsonl")
     assert back.count() == 100 and set(back.columns) == {"doc_id", "grp"}
 
+    # a failing write must abort: staged files removed, no _SUCCESS
+    bad_out = str(tmp_path / "jl_bad")
+    bad = spark.range(10).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 7 THEN raise_error('boom') ELSE CAST(id AS STRING) END AS grp",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.write.format("synthdocs").option("path", bad_out).mode("append").save()
+    leftovers = os.listdir(bad_out) if os.path.exists(bad_out) else []
+    assert not [f for f in leftovers if f.startswith("part_")]
+    assert "_SUCCESS" not in leftovers
+    # abort removes the whole staging dir (a task that died mid-write
+    # never returns a commit message; its file lived in staging) and
+    # leaves a tombstone FILE so a straggler's makedirs fails instead
+    # of resurrecting the dir -- the round-5 sweep race
+    staging = [f for f in leftovers if f.startswith("_staging_")]
+    assert all(
+        os.path.isfile(os.path.join(bad_out, f)) for f in staging
+    ), staging
+
 
 def test_synthdocs_writer_append_accumulates_manifest(spark, tmp_path):
     """ADVICE r6: _SUCCESS must list the UNION of all committed jobs'
@@ -1587,28 +1609,6 @@ def test_synthdocs_writer_append_accumulates_manifest(spark, tmp_path):
     job_manifests = [f for f in os.listdir(out) if f.startswith("_manifest_")]
     assert len(job_manifests) == 2
     assert spark.read.json(out + "/part_*.jsonl").count() == 50
-
-    # a failing write must abort: staged files removed, no _SUCCESS
-    bad_out = str(tmp_path / "jl_bad")
-    bad = spark.range(10).selectExpr(
-        "id AS doc_id",
-        "CASE WHEN id = 7 THEN raise_error('boom') ELSE CAST(id AS STRING) END AS grp",
-    )
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):
-        bad.write.format("synthdocs").option("path", bad_out).mode("append").save()
-    leftovers = os.listdir(bad_out) if os.path.exists(bad_out) else []
-    assert not [f for f in leftovers if f.startswith("part_")]
-    assert "_SUCCESS" not in leftovers
-    # abort removes the whole staging dir (a task that died mid-write
-    # never returns a commit message; its file lived in staging) and
-    # leaves a tombstone FILE so a straggler's makedirs fails instead
-    # of resurrecting the dir -- the round-5 sweep race
-    staging = [f for f in leftovers if f.startswith("_staging_")]
-    assert all(
-        os.path.isfile(os.path.join(bad_out, f)) for f in staging
-    ), staging
 
 
 def test_synthdocs_writer_tmp_in_dir_path(spark, tmp_path):

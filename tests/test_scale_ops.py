@@ -459,6 +459,38 @@ def test_quantile_histogram_state_merge_equals_direct(spark):
         assert abs(est[k]["p50"] - exact) <= 2 * (hi - lo) / nb
 
 
+def test_quantile_rollup_equals_direct(spark):
+    """Rolling N per-increment states up in ONE groupBy
+    (quantile_rollup) must equal the state computed directly over the
+    union -- bucket vectors, counts, min/max -- for every rollup key,
+    including a key whose rows all sit in one increment."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
+        quantile_histogram_state,
+        quantile_rollup,
+    )
+
+    rows = [
+        ("a", m, float((v * 37 + m * 101) % 1000))
+        for m in range(1, 13)
+        for v in range(40)
+    ] + [("b", 6, float(v)) for v in range(80)]  # 'b' exists in month 6 only
+    df = spark.createDataFrame(rows, "k string, m int, v double")
+
+    lo, hi, nb = 0.0, 1024.0, 64
+    monthly = quantile_histogram_state(df, "v", ["k", "m"], lo, hi, nb)
+    rolled = {r["k"]: r for r in quantile_rollup(monthly, ["k"]).collect()}
+    direct = {
+        r["k"]: r
+        for r in quantile_histogram_state(df.drop("m"), "v", ["k"], lo, hi, nb).collect()
+    }
+    assert set(rolled) == set(direct)
+    for k in direct:
+        assert rolled[k]["bucket_counts"] == direct[k]["bucket_counts"]
+        assert rolled[k]["n_rows"] == direct[k]["n_rows"]
+        assert rolled[k]["min_value"] == direct[k]["min_value"]
+        assert rolled[k]["max_value"] == direct[k]["max_value"]
+
+
 def test_quantile_sketch_bound_holds(spark):
     """The contract query's within_bound flag must be TRUE -- this is
     what makes a bound violation an actual failure rather than an

@@ -85,6 +85,14 @@ ALLOW: dict[str, dict[str, str]] = {
     "docs_semantic_contamination": {
         "nested_loop": "bounded benchmark slice (doc_id < 10) broadcasts "
         "as dim-wide integer rows against the corpus embeddings",
+        "multi_scan:documents": "the second scan is the benchmark "
+        "slice with doc_id < 10 PUSHED to parquet (row-group pruning "
+        "makes it metadata-cheap at any corpus size); persisting the "
+        "full embed to save it would cost more than it saves. "
+        "Rounds 1-7 hid this scan behind another query's cached plan "
+        "(InMemoryTableScan) purely by registry execution order -- "
+        "the r8 window rotation exposed the standalone plan, which "
+        "was always 2 scans",
     },
     "events_max_concurrent": {
         "nested_loop": "cross-midnight carry: sessions range-join the "
