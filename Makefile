@@ -3,7 +3,13 @@
 
 .PHONY: test check check-all checkall bench smoke e2e preflight lint
 
-ROUND ?= 06
+ROUND ?= 08
+
+# RULE (r7 verdict): any commit touching operators/ or contract.py runs
+#   python tools/check_contract.py /root/testdata/sf0.01 <affected queries...>
+# BEFORE the commit, and each round commits a fresh CHECKALL_r$(ROUND).json
+# at end-of-round HEAD (make checkall) -- a change landing in the driver
+# window's tail must never ship without oracle evidence.
 
 checkall: preflight  ## full-registry 3-SF oracle sweep -> CHECKALL_r$(ROUND).json
 	python tools/checkall.py --out CHECKALL_r$(ROUND).json

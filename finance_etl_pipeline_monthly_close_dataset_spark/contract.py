@@ -6633,6 +6633,83 @@ ORDER BY media_id, feature_idx
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle for the REAL audio-decode path -- the WAV
+    counterpart of ``media_features``: 32 deterministic RIFF/WAVE
+    files (16-bit PCM mono @8 kHz, every sample a closed form of
+    (id, k); ``multimodal.deterministic_wav_media``) ride the
+    production ``decode_audio_wav`` pipeline (RIFF chunk walk, int16
+    -> [-1,1] scaling, RMS / zero-crossing / peak / duration).  The
+    DuckDB oracle recomputes the statistics from the closed form
+    with pure SQL (lag() for crossings, sqrt(avg()) for RMS) without
+    parsing a byte, so header-layout, sample-width, scaling, or
+    chunk-alignment drift is a hash mismatch.  RMS/ZCR/peak round at
+    6dp (both engines compute double arithmetic on exact s/2^15
+    rationals; only summation order differs, ~1e-16)."""
+    from .operators import multimodal as mm
+
+    media = mm.deterministic_wav_media(spark, n=32)
+    return (
+        mm.decode_audio_wav(media)
+        .select(
+            "media_id",
+            "n_bytes",
+            "sample_rate",
+            "n_channels",
+            "duration_ms",
+            F.round("rms", 6).alias("rms"),
+            F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+            F.round("peak", 6).alias("peak"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# one definition of the sample closed form, shared with
+# deterministic_wav_media: s = ((id*131 + k*17) % 4001) - 2000
+SQL_AUDIO_FEATURES = """
+WITH m AS (
+  SELECT CAST(range AS BIGINT) AS id FROM range(32)
+),
+cfg AS (
+  SELECT id, 100 + (id % 7) * 50 AS n FROM m
+),
+smp AS (
+  SELECT c.id, k.range AS k,
+         (((c.id * 131 + k.range * 17) % 4001) - 2000) / 32768.0 AS v
+  FROM cfg c, range(400) k
+  WHERE k.range < c.n
+),
+stats AS (
+  SELECT id,
+         round(sqrt(avg(v * v)), 6) AS rms,
+         round(max(abs(v)), 6) AS peak
+  FROM smp GROUP BY id
+),
+zc AS (
+  SELECT id,
+         round(avg(CASE WHEN (v < 0) != (pv < 0) THEN 1.0 ELSE 0.0 END), 6) AS zcr
+  FROM (
+    SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY k) AS pv FROM smp
+  )
+  WHERE pv IS NOT NULL
+  GROUP BY id
+)
+SELECT c.id AS media_id,
+       CAST(44 + 2 * c.n AS BIGINT) AS n_bytes,
+       8000 AS sample_rate,
+       1 AS n_channels,
+       CAST(c.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       s.rms,
+       z.zcr AS zero_crossing_rate,
+       s.peak
+FROM cfg c
+JOIN stats s ON s.id = c.id
+JOIN zc z ON z.id = c.id
+ORDER BY media_id
+"""
+
+
 def q_synthdocs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource under the driver oracle
     (``sources/pydatasource.py``, Spark 4 ``pyspark.sql.datasource``
@@ -7254,6 +7331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_enriched": q_events_streamed_enriched,
     "synthdocs_source": q_synthdocs_source,
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
     "docs_semantic_contamination": q_docs_semantic_contamination,
     "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
 }
@@ -7327,7 +7405,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_max_concurrent",
     "synthdocs_source",
     "media_features",
-    "orders_profile",
+    "audio_features",
 ]
 
 QUERIES = {
@@ -7446,6 +7524,7 @@ ORACLES: dict[str, str] = {
     "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
     "media_features": SQL_MEDIA_FEATURES,
+    "audio_features": SQL_AUDIO_FEATURES,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

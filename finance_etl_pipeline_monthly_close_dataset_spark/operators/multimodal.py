@@ -114,6 +114,47 @@ def deterministic_ppm_media(spark, n: int = 48) -> DataFrame:
     return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def deterministic_wav_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-format audio corpus: media_id -> a valid
+    RIFF/WAVE file (16-bit PCM mono @8 kHz) whose every sample is the
+    closed form
+
+        s(id, k) = ((id*131 + k*17) % 4001) - 2000   (int16)
+        n_samples = 100 + (id % 7) * 50
+
+    so an external engine reproduces every decoded statistic (RMS,
+    zero-crossing rate, peak, duration) by arithmetic alone -- the
+    audio counterpart of ``deterministic_ppm_media``, oracle-checked
+    end-to-end by ``audio_features``.  Header is the canonical 44-byte
+    RIFF layout (fmt 16-byte body + data), so n_bytes = 44 + 2n."""
+    import struct
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                ns = 100 + (mid % 7) * 50
+                k = np.arange(ns)
+                data = ((mid * 131 + k * 17) % 4001 - 2000).astype("<i2").tobytes()
+                payload = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                rows.append((mid, "audio", payload, "audio/wav",
+                             None, None, ns * 1000 // 8000))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime",
+                         "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def decode_images(
     media: DataFrame, feature_dim: int = 8, resize_to: tuple[int, int] = (224, 224)
 ) -> DataFrame:
