@@ -6710,6 +6710,98 @@ ORDER BY media_id
 """
 
 
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle for the REAL video-decode path, completing
+    the image/audio/video triad: 16 deterministic YUV4MPEG2 streams
+    (C420 @10fps, closed-form planes;
+    ``multimodal.deterministic_y4m_media``) ride the production
+    ``decode_video_y4m`` pipeline -- container parse, every-2nd-frame
+    sampling, 2x2 chroma upsample, full-range BT.601 YUV->RGB (same
+    constants as the JPEG path), per-sampled-frame channel means.
+    The DuckDB oracle recomputes everything from the closed form in
+    pure SQL (range joins for pixels, y//2 x//2 for the chroma
+    replication, LEAST/GREATEST for the clip) without parsing a byte
+    -- header layout, plane order, subsample indexing, color math and
+    the stride/timestamp arithmetic are all hash-checked.  Per-pixel
+    uint8 quantization (floor(clip+0.5), what a real decoder emits)
+    makes each channel mean an exact integer-sum/n double, so the
+    means compare RAW -- no rounding, no summation-order exposure."""
+    from .operators import multimodal as mm
+
+    media = mm.deterministic_y4m_media(spark, n=16)
+    return (
+        mm.decode_video_y4m(media, frame_stride=2)
+        .select(
+            "media_id",
+            "n_bytes",
+            "width",
+            "height",
+            "n_frames",
+            "frame_idx",
+            "ts_ms",
+            "mean_r",
+            "mean_g",
+            "mean_b",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+# one definition of the plane closed forms, shared with
+# deterministic_y4m_media's docstring
+SQL_VIDEO_FEATURES = """
+WITH m AS (
+  SELECT CAST(range AS BIGINT) AS id FROM range(16)
+),
+cfg AS (
+  SELECT id, 8 + (id % 3) * 4 AS w, 6 + (id % 2) * 4 AS h,
+         2 + id % 4 AS nf
+  FROM m
+),
+fr AS (
+  SELECT c.id, c.w, c.h, c.nf, f.range AS f
+  FROM cfg c, range(5) f
+  WHERE f.range < c.nf AND f.range % 2 = 0
+),
+px AS (
+  SELECT fr.id, fr.w, fr.h, fr.nf, fr.f, y.range AS y, x.range AS x
+  FROM fr, range(10) y, range(16) x
+  WHERE y.range < fr.h AND x.range < fr.w
+),
+yuv AS (
+  SELECT id, w, h, nf, f,
+         ((id * 13 + f * 29 + y * 5 + x * 3) % 256) * 1.0 AS yv,
+         (((id * 7 + f * 11 + (y // 2) * 3 + (x // 2) * 5) % 256) - 128.0) AS uv,
+         (((id * 17 + f * 23 + (y // 2) * 5 + (x // 2) * 7) % 256) - 128.0) AS vv
+  FROM px
+),
+rgb AS (
+  -- same uint8 quantization as the decoder: floor(clip(x) + 0.5);
+  -- integer channel values make every mean an EXACT sum/n double,
+  -- so the comparison needs no rounding at all
+  SELECT id, w, h, nf, f,
+         FLOOR(LEAST(GREATEST(yv + 1.402 * vv, 0), 255) + 0.5) AS r,
+         FLOOR(LEAST(GREATEST(yv - 0.344136 * uv - 0.714136 * vv, 0), 255) + 0.5) AS g,
+         FLOOR(LEAST(GREATEST(yv + 1.772 * uv, 0), 255) + 0.5) AS b
+  FROM yuv
+)
+SELECT id AS media_id,
+       CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F10:1 C420') + 1
+            + nf * (6 + w * h + 2 * ((w // 2) * (h // 2))) AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(f AS INT) AS frame_idx,
+       CAST(f * 100 AS BIGINT) AS ts_ms,
+       AVG(r) AS mean_r,
+       AVG(g) AS mean_g,
+       AVG(b) AS mean_b
+FROM rgb
+GROUP BY id, w, h, nf, f
+ORDER BY media_id, frame_idx
+"""
+
+
 def q_synthdocs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource under the driver oracle
     (``sources/pydatasource.py``, Spark 4 ``pyspark.sql.datasource``
@@ -7332,6 +7424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthdocs_source": q_synthdocs_source,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
+    "video_features": q_video_features,
     "docs_semantic_contamination": q_docs_semantic_contamination,
     "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
 }
@@ -7401,11 +7494,11 @@ _DRIVER_WINDOW: list[str] = [
     "events_streamed_late_drop",
     "events_streamed_enriched",
     "events_stateful_sessions",
-    "events_type_pagerank",
     "events_max_concurrent",
     "synthdocs_source",
     "media_features",
     "audio_features",
+    "video_features",
 ]
 
 QUERIES = {
@@ -7525,6 +7618,7 @@ ORACLES: dict[str, str] = {
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
     "media_features": SQL_MEDIA_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
+    "video_features": SQL_VIDEO_FEATURES,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

@@ -603,6 +603,203 @@ def decode_audio_wav(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def _decode_y4m(b: bytes):
+    """Pure-numpy YUV4MPEG2 (.y4m) parse -> (frames, (fps_num,
+    fps_den), (w, h)); frames are (Y, U, V) uint8 planes, C420 only
+    (the format ffmpeg/x264 pipelines exchange raw video in).  Stream
+    header 'YUV4MPEG2 W<w> H<h> F<n>:<d> ...\\n', then per frame
+    'FRAME...\\n' + w*h luma + two (w/2)*(h/2) chroma planes."""
+    import numpy as np
+
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = b.index(b"\n")
+    w = h = None
+    fps_num, fps_den = 30, 1
+    cs = "420"
+    for tok in b[9:nl].decode("ascii").split():
+        if tok[:1] == "W":
+            w = int(tok[1:])
+        elif tok[:1] == "H":
+            h = int(tok[1:])
+        elif tok[:1] == "F":
+            num, den = tok[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tok[:1] == "C":
+            cs = tok[1:]
+    if w is None or h is None:
+        raise ValueError("missing W/H in stream header")
+    if not cs.startswith("420"):
+        raise ValueError(f"only C420 supported (got C{cs})")
+    if w % 2 or h % 2 or fps_num <= 0 or fps_den <= 0:
+        raise ValueError("C420 needs even dims and positive frame rate")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = b.index(b"\n", pos) + 1
+        if pos + ysz + 2 * csz > len(b):
+            raise ValueError("truncated frame")
+        y = np.frombuffer(b, np.uint8, ysz, pos).reshape(h, w)
+        u = np.frombuffer(b, np.uint8, csz, pos + ysz).reshape(h // 2, w // 2)
+        v = np.frombuffer(b, np.uint8, csz, pos + ysz + csz).reshape(h // 2, w // 2)
+        frames.append((y, u, v))
+        pos += ysz + 2 * csz
+    return frames, (fps_num, fps_den), (w, h)
+
+
+def _yuv420_to_rgb(y, u, v):
+    """Full-range BT.601 YUV -> RGB float64 in [0, 255]; chroma
+    upsampled 2x2 by replication (nearest).  Same 1.402 / 0.344136 /
+    0.714136 / 1.772 constants as the JPEG decoder's YCbCr path, so
+    the engine has ONE color-conversion definition; studio-swing
+    (16-235) scaling deliberately omitted -- documented contract, and
+    the oracle computes the identical arithmetic."""
+    import numpy as np
+
+    yf = y.astype(np.float64)
+    uf = np.repeat(np.repeat(u, 2, 0), 2, 1).astype(np.float64) - 128.0
+    vf = np.repeat(np.repeat(v, 2, 0), 2, 1).astype(np.float64) - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    bl = yf + 1.772 * uf
+    return (
+        np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(bl, 0, 255)
+    )
+
+
+def decode_video_y4m(media: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """REAL video decode for YUV4MPEG2: parse the container, sample
+    every ``frame_stride``-th frame, convert 4:2:0 YUV to RGB, and
+    emit per-sampled-frame channel means -- one row per sampled frame
+    (corrupt payloads -> one null row), so the video triad gets the
+    same decode->feature treatment as images (``decode_images_numpy``)
+    and audio (``decode_audio_wav``).  ts_ms = frame_idx * 1000 *
+    fps_den // fps_num.  Same Arrow-batch plumbing: waveform-free rows
+    shuffle, frames never leave the scan partition."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    rows.append((media_id, 0, None, None, None, None, None,
+                                 None, None, None))
+                    continue
+                try:
+                    import numpy as np
+
+                    frames, (fn, fd), (w, h) = _decode_y4m(bytes(b))
+                    for idx in range(0, len(frames), frame_stride):
+                        # quantize to uint8 like a real decoder's RGB
+                        # output: floor(x + 0.5) of the clipped float,
+                        # a deterministic IEEE function both engines
+                        # reproduce bit-for-bit -- which makes the
+                        # channel means EXACT integer-sum/n doubles
+                        # (no summation-order drift, no rounding
+                        # boundary), so the oracle compares raw means
+                        r, g, bl = (
+                            np.floor(ch + 0.5) for ch in _yuv420_to_rgb(*frames[idx])
+                        )
+                        rows.append(
+                            (
+                                media_id,
+                                len(b),
+                                w,
+                                h,
+                                len(frames),
+                                idx,
+                                idx * 1000 * fd // fn,
+                                float(r.mean()),
+                                float(g.mean()),
+                                float(bl.mean()),
+                            )
+                        )
+                except (ValueError, IndexError):
+                    rows.append((media_id, len(b), None, None, None, None,
+                                 None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "width", "height", "n_frames",
+                    "frame_idx", "ts_ms", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(_decode, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def deterministic_y4m_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic REAL-format video corpus: media_id -> a valid
+    YUV4MPEG2 stream (C420, F10:1) whose every plane sample is the
+    closed form
+
+        Y(id,f,y,x)   = (id*13 + f*29 + y*5 + x*3) % 256
+        U(id,f,cy,cx) = (id*7  + f*11 + cy*3 + cx*5) % 256
+        V(id,f,cy,cx) = (id*17 + f*23 + cy*5 + cx*7) % 256
+        w = 8 + (id%3)*4,  h = 6 + (id%2)*4,  n_frames = 2 + id%4
+
+    -- the video counterpart of ``deterministic_ppm_media``, oracle-
+    checked end-to-end by ``video_features``."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = 8 + (mid % 3) * 4
+                h = 6 + (mid % 2) * 4
+                nf = 2 + mid % 4
+                parts = [f"YUV4MPEG2 W{w} H{h} F10:1 C420\n".encode()]
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                cy, cx = np.meshgrid(
+                    np.arange(h // 2), np.arange(w // 2), indexing="ij"
+                )
+                for f in range(nf):
+                    parts.append(b"FRAME\n")
+                    parts.append(
+                        ((mid * 13 + f * 29 + yy * 5 + xx * 3) % 256)
+                        .astype(np.uint8).tobytes()
+                    )
+                    parts.append(
+                        ((mid * 7 + f * 11 + cy * 3 + cx * 5) % 256)
+                        .astype(np.uint8).tobytes()
+                    )
+                    parts.append(
+                        ((mid * 17 + f * 23 + cy * 5 + cx * 7) % 256)
+                        .astype(np.uint8).tobytes()
+                    )
+                rows.append((mid, "video", b"".join(parts), "video/x-yuv4mpeg",
+                             w, h, nf * 100))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime",
+                         "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, duration_ms)
     into frame timestamps with ``sequence`` -- pure Catalyst; the

@@ -1781,6 +1781,41 @@ def test_jpeg_fill_bytes_before_rst():
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
 
 
+def test_decode_video_y4m_frames_and_corrupt(spark):
+    """Y4M decode: sampled-frame rows carry the right stride/timestamp
+    arithmetic (stride 2 at 10 fps -> frames 0,2,4 at 0/200/400 ms);
+    corrupt and truncated payloads degrade to one null row, same
+    contract as the image/audio paths."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_video_y4m,
+        deterministic_y4m_media,
+    )
+
+    media = deterministic_y4m_media(spark, n=4)
+    rows = decode_video_y4m(media, frame_stride=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # n_frames = 2 + id%4 -> ids 0..3 have 2,3,4,5 frames -> 1,2,2,3 sampled
+    assert {k: len(v) for k, v in by_id.items()} == {0: 1, 1: 2, 2: 2, 3: 3}
+    f3 = sorted(by_id[3], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f3] == [0, 2, 4]
+    assert [r["ts_ms"] for r in f3] == [0, 200, 400]
+    assert all(0.0 <= r["mean_r"] <= 255.0 for r in rows)
+
+    # corrupt payloads -> one null row each, batch never fails
+    good = deterministic_y4m_media(spark, n=1).collect()[0]["payload"]
+    bad_rows = [
+        (10, "video", bytearray(b"\x00garbage"), "video/x-yuv4mpeg", 8, 6, None),
+        (11, "video", bytearray(bytes(good)[: len(good) // 2]), "video/x-yuv4mpeg", 8, 6, None),
+    ]
+    bad = spark.createDataFrame(bad_rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_video_y4m(bad).collect()}
+    assert out[10]["width"] is None and out[10]["mean_r"] is None
+    assert out[11]["width"] is None and out[11]["n_bytes"] == len(good) // 2
+
+
 def test_decode_images_numpy_jpeg_payload(spark):
     """JPEG payloads ride the same mapInPandas path as PPM/BMP/PNG:
     real decode + features; corrupt JPEG -> null row."""
