@@ -7,14 +7,18 @@ JPEG to the same standard -- everything here derives from the public
 ITU-T T.81 spec (baseline sequential DCT process) and the JFIF
 color-transform convention.
 
-``decode_jpeg`` supports the baseline-DCT frame type (SOF0): 8-bit
+``decode_jpeg`` supports the baseline-DCT frame type (SOF0/1): 8-bit
 samples, Huffman entropy coding, grayscale or YCbCr with any
 integer-ratio sampling-factor combination (covers 4:4:4, 4:2:2,
 4:2:0; non-integer ratios like 3x3-vs-2x2 reject cleanly), restart
 markers, 0xFF fill bytes before markers, multiple DQT/DHT segments,
-16-bit quant-table precision. Progressive (SOF2), arithmetic coding, and hierarchical
-modes raise ``ValueError`` -- the caller's corrupt-payload path turns
-that into a null row, never a failed batch.
+16-bit quant-table precision -- and, since round 8, PROGRESSIVE
+(SOF2, T.81 Annex G Huffman path): spectral selection, successive
+approximation (DC and AC first + refinement scans, EOB-run coding),
+interleaved DC / single-component AC scan layouts. Arithmetic coding
+and hierarchical modes still raise ``ValueError`` -- the caller's
+corrupt-payload path turns that into a null row, never a failed
+batch.
 
 ``encode_jpeg_baseline`` is the self-contained fixture encoder the
 tests round-trip through (4:4:4 / grayscale, ITU T.81 Annex K tables):
@@ -22,6 +26,10 @@ JPEG is lossy, so the contract is PSNR, not byte equality. Note the
 DECODER takes nothing from Annex K -- it reads quant and Huffman
 tables from the file's own DQT/DHT segments, so the roundtrip
 exercises the full parse path a foreign encoder's output would hit.
+``encode_jpeg_progressive`` emits the SAME quantized coefficients
+through a libjpeg-style progressive scan script, which pins a far
+stronger contract: the progressive and baseline encodings of one
+image must DECODE BIT-IDENTICALLY.
 
 Everything is per-payload CPU work inside an Arrow-batched
 ``mapInPandas`` (see ``multimodal.decode_images_numpy``): the
@@ -130,6 +138,20 @@ AC_CHROMA_SPEC = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+
+# Progressive AC scans need symbols Annex K's baseline AC tables never
+# contain (EOBn = (n<<4)|0 for n>=1). This fixture table assigns every
+# run/size symbol the progressive encoder can emit -- (r<<4)|s for
+# r 0..15, s 0..13, covering EOB0..EOB14, ZRL and all first/refine
+# run-sizes -- a flat 8-bit canonical code (224 symbols <= 255, so the
+# reserved all-ones code stays unused). Deliberately suboptimal: the
+# DECODER reads whatever tables the file carries, so a flat fixture
+# table exercises the same parse path as an optimized one.
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 224, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(14)],
 )
 
 
@@ -258,6 +280,7 @@ def _decode_jpeg_checked(b: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    prog_coefs: dict[int, np.ndarray] | None = None
     n = len(b)
 
     while pos + 4 <= n:
@@ -302,7 +325,7 @@ def _decode_jpeg_checked(b: bytes) -> np.ndarray:
                 nat = np.zeros(64, np.int32)
                 nat[ZIGZAG] = tbl  # stored zigzag -> natural order
                 qt[tq] = nat
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline/ext. seq., SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -313,8 +336,8 @@ def _decode_jpeg_checked(b: bytes) -> np.ndarray:
                 if h_i < 1 or v_i < 1:
                     raise ValueError("invalid sampling factor 0 in SOF")
                 comps.append({"id": cid, "h": h_i, "v": v_i, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -322,14 +345,33 @@ def _decode_jpeg_checked(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            sel = {}
+            if not frame["progressive"]:
+                sel = {}
+                for c in range(ns):
+                    cs, td_ta = struct.unpack_from(">BB", body, 1 + 2 * c)
+                    sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+                return _decode_scan(b, pos + seglen, frame, sel, qt, huff, restart_interval)
+            # progressive: accumulate this scan's coefficient
+            # contributions and continue the marker walk from wherever
+            # the entropy-coded data ends
+            scan_sel = []
             for c in range(ns):
                 cs, td_ta = struct.unpack_from(">BB", body, 1 + 2 * c)
-                sel[cs] = (td_ta >> 4, td_ta & 0x0F)
-            return _decode_scan(b, pos + seglen, frame, sel, qt, huff, restart_interval)
-        elif marker == 0xD9:  # EOI before SOS
+                scan_sel.append((cs, td_ta >> 4, td_ta & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if prog_coefs is None:
+                prog_coefs = _init_prog_coefs(frame)
+            pos = _progressive_scan(
+                b, pos + seglen, frame, scan_sel, huff, restart_interval,
+                ss, se, ah, al, prog_coefs,
+            )
+            continue
+        elif marker == 0xD9:  # EOI
             break
         pos += seglen
+    if frame is not None and frame["progressive"] and prog_coefs is not None:
+        return _reconstruct_progressive(frame, qt, prog_coefs)
     raise ValueError("no scan data found")
 
 
@@ -375,7 +417,12 @@ def _decode_scan(b, data_pos, frame, sel, qt, huff, restart_interval):
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample to full resolution, crop, color-convert
+    return _assemble_planes(planes, comps, max_h, max_v, w, h)
+
+
+def _assemble_planes(planes, comps, max_h, max_v, w, h):
+    """Upsample component planes to full resolution, crop, and
+    color-convert (shared by the baseline and progressive paths)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -389,6 +436,252 @@ def _decode_scan(b, data_pos, frame, sel, qt, huff, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+# -- progressive (SOF2) decode ----------------------------------------------
+#
+# T.81 Annex G, Huffman path: a progressive stream carries the SAME
+# quantized DCT coefficients as a sequential one, split across scans
+# by spectral band (Ss..Se) and bit precision (successive
+# approximation, Ah/Al). Decoding accumulates per-block coefficient
+# arrays across scans -- DC first/refinement, AC first (with EOB-run
+# coding) and AC refinement (correction bits) -- and reconstructs
+# once, at EOI, through the same dequant + IDCT + upsample tail as
+# the baseline path. The control flow below mirrors the reference
+# algorithm in T.81 figs G.3-G.7 (the same structure libjpeg's
+# phuff decoder implements).
+
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * max_h))
+    mcus_y = -(-frame["h"] // (8 * max_v))
+    return comps, max_h, max_v, mcus_x, mcus_y
+
+
+def _comp_block_grid(frame, ci):
+    """Non-interleaved (single-component scan) block grid: the
+    component's own sample dimensions (ceil(X*Hi/Hmax)) in 8x8 blocks
+    -- NOT the MCU-padded grid, per T.81 A.2.2."""
+    comps, max_h, max_v, _, _ = _frame_geometry(frame)
+    c = comps[ci]
+    cw = -(-frame["w"] * c["h"] // max_h)
+    ch = -(-frame["h"] * c["v"] // max_v)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _init_prog_coefs(frame):
+    """One int32 (blocks_y, blocks_x, 64) array per component, sized
+    to the MCU-padded grid (interleaved DC scans code padding blocks;
+    single-component scans touch the top-left sub-grid only)."""
+    comps, _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return {
+        ci: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for ci, c in enumerate(comps)
+    }
+
+
+def _next_marker_pos(b: bytes, pos: int) -> int:
+    """Advance past any remaining entropy padding to the next real
+    marker (skipping 0xFF00 stuffing and stray RSTn)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            if 0xD0 <= b[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            if b[pos + 1] == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise ValueError("truncated after progressive scan")
+
+
+def _progressive_scan(
+    b, data_pos, frame, scan_sel, huff, restart_interval,
+    ss, se, ah, al, coefs,
+):
+    """Decode ONE progressive scan into the coefficient accumulator;
+    returns the byte position of the next marker."""
+    comps, max_h, max_v, mcus_x, mcus_y = _frame_geometry(frame)
+    id_to_ci = {c["id"]: ci for ci, c in enumerate(comps)}
+    reader = _BitReader(b, data_pos)
+    eobrun = 0
+    preds = {cs: 0 for cs, _, _ in scan_sel}
+    p1, m1 = 1 << al, (-1) << al
+
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("bad spectral selection / point transform")
+
+    def dc_table(td):
+        t = huff.get((0, td))
+        if t is None:
+            raise ValueError("missing DC Huffman table")
+        return t
+
+    def ac_table(ta):
+        t = huff.get((1, ta))
+        if t is None:
+            raise ValueError("missing AC Huffman table")
+        return t
+
+    def dc_unit(cs, td, blk):
+        if ah == 0:  # first DC scan: coded diffs, shifted left Al
+            t = _decode_huff(reader, dc_table(td))
+            preds[cs] += _extend(reader.receive(t), t)
+            blk[0] = preds[cs] << al
+        elif reader.read_bit():  # refinement: one bit per block
+            blk[0] |= p1
+
+    def ac_first(ta, blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(reader, ac_table(ta))
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:  # EOBn: this block done, skip 2^r-1+ext more
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    return
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[int(ZIGZAG[k])] = _extend(reader.receive(s), s) << al
+                k += 1
+
+    def _refine_nonzero(blk, z):
+        # correction bit for a coefficient already nonzero in history
+        if reader.read_bit() and (blk[z] & p1) == 0:
+            blk[z] += p1 if blk[z] >= 0 else m1
+
+    def ac_refine(ta, blk):
+        # T.81 G.1.2.3 (fig. G.7): newly-significant coefficients
+        # arrive as (run, 1) symbols + sign bit; already-nonzero ones
+        # consume one correction bit wherever the scan passes them;
+        # EOBn covers whole blocks whose remaining band is history-only
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, ac_table(ta))
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement size")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    z = int(ZIGZAG[k])
+                    if blk[z] != 0:
+                        _refine_nonzero(blk, z)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0:
+                    if k > se:
+                        raise ValueError("refinement run past band end")
+                    blk[int(ZIGZAG[k])] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = int(ZIGZAG[k])
+                if blk[z] != 0:
+                    _refine_nonzero(blk, z)
+                k += 1
+            eobrun -= 1
+
+    def restart(unit_count):
+        nonlocal eobrun
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.align_and_expect_rst()
+            for cs in preds:
+                preds[cs] = 0
+            eobrun = 0
+
+    if ss == 0 and len(scan_sel) > 1:
+        # interleaved DC scan: MCU traversal over the padded grid
+        count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(count)
+                for cs, td, _ in scan_sel:
+                    ci = id_to_ci[cs]
+                    c = comps[ci]
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            dc_unit(cs, td, coefs[ci][my * c["v"] + v, mx * c["h"] + hh])
+                count += 1
+    else:
+        # single-component scan (DC or AC): the component's own grid
+        cs, td, ta = scan_sel[0]
+        ci = id_to_ci[cs]
+        nbh, nbw = _comp_block_grid(frame, ci)
+        count = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                restart(count)
+                blk = coefs[ci][by, bx]
+                if ss == 0:
+                    dc_unit(cs, td, blk)
+                elif ah == 0:
+                    ac_first(ta, blk)
+                else:
+                    ac_refine(ta, blk)
+                count += 1
+
+    return _next_marker_pos(b, reader.pos)
+
+
+def _reconstruct_progressive(frame, qt, coefs):
+    """Dequantize + IDCT every accumulated block and hand the planes
+    to the shared assembly tail."""
+    comps, max_h, max_v, _, _ = _frame_geometry(frame)
+    for c in comps:
+        if max_h % c["h"] or max_v % c["v"]:
+            raise ValueError(
+                f"non-integer sampling ratio {c['h']}x{c['v']} vs {max_h}x{max_v}"
+            )
+        if c["tq"] not in qt:
+            raise ValueError("missing quantization table")
+    planes = []
+    for ci, c in enumerate(comps):
+        nbh, nbw, _ = coefs[ci].shape
+        plane = np.zeros((nbh * 8, nbw * 8), dtype=np.float64)
+        q = qt[c["tq"]].astype(np.float64)
+        deq = coefs[ci].astype(np.float64) * q  # (nbh, nbw, 64)
+        # per-block IDCT with the EXACT expression the baseline path
+        # uses (_decode_block) so a stream's progressive and
+        # sequential encodings of the same coefficients decode
+        # bit-identically -- the property the roundtrip test pins
+        for by in range(nbh):
+            for bx in range(nbw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ deq[by, bx].reshape(8, 8) @ _A
+                )
+        planes.append(plane)
+    return _assemble_planes(planes, comps, max_h, max_v, frame["w"], frame["h"])
 
 
 def _decode_block(reader, dc_t, ac_t, q, preds, ci):
@@ -486,6 +779,251 @@ def _encode_block(bw, block, quant, dc_enc, ac_enc, pred: int) -> int:
         code, ln = ac_enc[0x00]
         bw.write(code, ln)
     return int(zz[0])
+
+
+def _encode_prepare(arr: np.ndarray, subsample: bool):
+    """Shared encoder front half: color transform, chroma subsample,
+    per-component planes / quant tables / sampling factors."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        quants = [QUANT_LUMA]
+        factors = [(1, 1)]
+    else:
+        a = arr.astype(np.float64)
+        r, g, bl = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl
+        if subsample:
+            h2, w2 = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = _pad_replicate(cb, h2, w2).reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            cr = _pad_replicate(cr, h2, w2).reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    return gray, h, w, planes, quants, factors
+
+
+def encode_jpeg_progressive(arr: np.ndarray, subsample: bool = False) -> bytes:
+    """Progressive (SOF2) fixture encoder for roundtrip tests: the
+    SAME quantized coefficients as ``encode_jpeg_baseline``, split
+    across a libjpeg-style scan script -- DC first at Al=1, per-band
+    AC first scans at Al=1 (EOB-run coding), a DC refinement bit
+    pass, then per-band AC refinement scans down to Al=0 (correction
+    bits + buffered-bit bookkeeping per T.81 fig. G.7).  Because the
+    coefficients are identical, ``decode_jpeg`` of this stream must
+    equal ``decode_jpeg`` of the baseline stream BIT-FOR-BIT -- the
+    test contract that pins the whole progressive decode path."""
+    gray, h, w, planes, quants, factors = _encode_prepare(arr, subsample)
+    nc = len(planes)
+    dc_specs = [DC_LUMA_SPEC] + [DC_CHROMA_SPEC] * (nc - 1)
+    dc_enc = [_canonical_codes(*s) for s in dc_specs]
+    # both AC slots use the progressive fixture table (EOBn symbols)
+    ac_enc = [_canonical_codes(*PROG_AC_SPEC)] * nc
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    segment(0xDB, bytes([0x00]) + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        segment(0xDB, bytes([0x01]) + bytes(QUANT_CHROMA[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        hv = (factors[c][0] << 4) | factors[c][1]
+        sof += struct.pack(">BBB", c + 1, hv, 0 if c == 0 else 1)
+    segment(0xC2, sof)  # SOF2: progressive DCT
+    segment(0xC4, bytes([0x00]) + bytes(DC_LUMA_SPEC[0]) + bytes(DC_LUMA_SPEC[1]))
+    segment(0xC4, bytes([0x10]) + bytes(PROG_AC_SPEC[0]) + bytes(PROG_AC_SPEC[1]))
+    if not gray:
+        segment(0xC4, bytes([0x01]) + bytes(DC_CHROMA_SPEC[0]) + bytes(DC_CHROMA_SPEC[1]))
+        segment(0xC4, bytes([0x11]) + bytes(PROG_AC_SPEC[0]) + bytes(PROG_AC_SPEC[1]))
+
+    # quantized coefficient blocks (zigzag order) over the padded grid
+    max_h = max(f[0] for f in factors)
+    max_v = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    zz: list[np.ndarray] = []
+    own_grid: list[tuple[int, int]] = []
+    for ci in range(nc):
+        fh, fv = factors[ci]
+        nbh, nbw = mcus_y * fv, mcus_x * fh
+        padded = _pad_replicate(planes[ci], nbh * 8, nbw * 8)
+        blocks = np.zeros((nbh, nbw, 64), dtype=np.int64)
+        for by in range(nbh):
+            for bx in range(nbw):
+                coef = _A @ padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _A.T
+                blocks[by, bx] = np.round(coef.reshape(-1) / quants[ci]).astype(np.int64)[ZIGZAG]
+        zz.append(blocks)
+        cw = -(-w * fh // max_h)
+        ch = -(-h * fv // max_v)
+        own_grid.append((-(-ch // 8), -(-cw // 8)))
+
+    def sos(comp_list, ss, se, ah, al) -> None:
+        body = bytes([len(comp_list)])
+        for cid, td, ta in comp_list:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, body)
+
+    def dc_scan(al_shift: int, refine: bool) -> None:
+        sos([(c + 1, 0 if c == 0 else 1, 0) for c in range(nc)], 0, 0,
+            1 if refine else 0, al_shift)
+        bw = _BitWriter()
+        preds = [0] * nc
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    fh, fv = factors[ci]
+                    for v in range(fv):
+                        for hh in range(fh):
+                            val = int(zz[ci][my * fv + v, mx * fh + hh, 0])
+                            if refine:
+                                bw.write((val >> al_shift) & 1, 1)
+                                continue
+                            t = val >> al_shift  # arithmetic shift (T.81 DC point transform)
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = _csize(diff)
+                            code, ln = dc_enc[ci][s]
+                            bw.write(code, ln)
+                            if s:
+                                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        bw.flush()
+        out.extend(bw.out)
+
+    def ac_first_scan(ci: int, ss, se, al_shift: int) -> None:
+        sos([(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, 0, al_shift)
+        bw = _BitWriter()
+        enc = ac_enc[ci]
+        eobrun = 0
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, ln = enc[nbits << 4]
+                bw.write(code, ln)
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        nbh, nbw = own_grid[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = zz[ci][by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    t = int(blk[k])
+                    temp = abs(t) >> al_shift
+                    if temp == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        code, ln = enc[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                    s = temp.bit_length()
+                    code, ln = enc[(r << 4) | s]
+                    bw.write(code, ln)
+                    vt = temp if t > 0 else -temp
+                    bw.write(vt if vt >= 0 else vt + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        out.extend(bw.out)
+
+    def ac_refine_scan(ci: int, ss, se, ah_shift: int, al_shift: int) -> None:
+        # T.81 fig. G.7 / the standard buffered-bits bookkeeping:
+        # correction bits for already-nonzero coefficients attach to
+        # the NEXT emitted symbol (ZRL, run/1, or the EOBn that covers
+        # their blocks)
+        sos([(ci + 1, 0, 0 if ci == 0 else 1)], ss, se, ah_shift, al_shift)
+        bw = _BitWriter()
+        enc = ac_enc[ci]
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, ln = enc[nbits << 4]
+                bw.write(code, ln)
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+                for bit in be_bits:
+                    bw.write(bit, 1)
+                be_bits.clear()
+
+        nbh, nbw = own_grid[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = zz[ci][by, bx]
+                absv = [abs(int(blk[k])) >> al_shift for k in range(ss, se + 1)]
+                eob_i = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob_i = i
+                r = 0
+                br: list[int] = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_i:
+                        emit_eobrun()
+                        code, ln = enc[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                        for bit in br:
+                            bw.write(bit, 1)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    emit_eobrun()
+                    code, ln = enc[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(0 if int(blk[ss + i]) < 0 else 1, 1)
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be_bits.extend(br)
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        out.extend(bw.out)
+
+    # scan script: coarse image first, then precision (libjpeg-style)
+    dc_scan(1, refine=False)
+    for ci in range(nc):
+        ac_first_scan(ci, 1, 5, 1)
+        ac_first_scan(ci, 6, 63, 1)
+    dc_scan(0, refine=True)
+    for ci in range(nc):
+        ac_refine_scan(ci, 1, 5, 1, 0)
+        ac_refine_scan(ci, 6, 63, 1, 0)
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def encode_jpeg_baseline(

@@ -436,14 +436,15 @@ def decode_images_numpy(
     payloads are parsed with numpy (``_decode_ppm`` / ``_decode_bmp``),
     PNG with stdlib zlib + numpy (``_decode_png`` -- DEFLATE
     inflate + None/Sub/Up/Average/Paeth row-filter reversal), and
-    baseline JPEG with the pure-numpy Huffman + IDCT decoder
-    (``jpeg.decode_jpeg`` -- SOF0, 4:4:4/4:2:2/4:2:0, restart markers;
-    round 6, closing the last PIL gate), then nearest-neighbor resized
-    and reduced to channel-mean + grid-mean features -- over the same
-    Arrow-batch ``mapInPandas`` plumbing as the stub and PIL paths.
-    Rows whose payload fails to parse (including progressive JPEG)
-    come back with null dimensions instead of failing the batch,
-    exactly how a 100 TB decode job must treat corrupt media."""
+    baseline AND progressive JPEG with the pure-numpy Huffman + IDCT
+    decoder (``jpeg.decode_jpeg`` -- SOF0/1/2, 4:4:4/4:2:2/4:2:0,
+    restart markers, spectral-selection + successive-approximation
+    scans; rounds 6+8, closing the last PIL gate), then
+    nearest-neighbor resized and reduced to channel-mean + grid-mean
+    features -- over the same Arrow-batch ``mapInPandas`` plumbing as
+    the stub and PIL paths.  Rows whose payload fails to parse come
+    back with null dimensions instead of failing the batch, exactly
+    how a 100 TB decode job must treat corrupt media."""
     import numpy as np  # noqa: F401 - fail fast on the driver if absent
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1729,7 +1729,9 @@ def test_jpeg_rejects_unsupported_and_corrupt():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
-    # progressive (SOF2) must raise, not mis-decode
+    # a BASELINE stream relabeled SOF2 is inconsistent (its one scan
+    # claims Ss=0..Se=63, illegal in progressive where DC and AC may
+    # not share a scan) -- must raise, not mis-decode
     b = bytearray(encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)))
     i = bytes(b).find(b"\xff\xc0")
     b[i + 1] = 0xC2
@@ -1748,6 +1750,66 @@ def test_jpeg_rejects_unsupported_and_corrupt():
     b[i + 4] = (b[i + 4] & 0xF0) | 0x0B  # re-home table to unused slot 11
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(b))
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """Progressive (SOF2) support, round 8: a progressive stream
+    carries the SAME quantized coefficients as the sequential one, so
+    decode(progressive) must equal decode(baseline) BIT-FOR-BIT --
+    exercising DC first/refinement, per-band AC first scans (EOB-run
+    coding), AC refinement (correction bits + buffered-bit
+    bookkeeping), interleaved and single-component layouts, 4:2:0
+    padding-block geometry, and the progressive fixture AC table."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:37, 0:51]
+    grad = np.stack([xx * 5 % 256, yy * 7 % 256, (xx ^ yy) % 256], 2).astype(np.uint8)
+    cases = [
+        (grad, {}),
+        (grad, {"subsample": True}),                      # odd dims + 4:2:0 padding
+        (((xx * 3 + yy * 11) % 256).astype(np.uint8), {}),  # grayscale
+        (rng.integers(0, 256, (24, 33, 3), dtype=np.uint8), {}),   # noise: dense AC
+        (rng.integers(0, 256, (41, 22, 3), dtype=np.uint8), {"subsample": True}),
+        (np.full((16, 16, 3), 200, np.uint8), {}),        # flat: EOB-run heavy
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg_baseline(img, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert np.array_equal(base, prog), (img.shape, kw)
+
+
+def test_decode_images_numpy_progressive_jpeg(spark):
+    """Progressive JPEG payloads decode on the Spark mapInPandas path
+    with features identical to the baseline encoding of the same
+    image (previously progressive -> null row)."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images_numpy,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = np.stack([xx * 7 % 256, yy * 3 % 256, (xx + yy) % 256], 2).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg_baseline(img)), "image/jpeg", 32, 24, None),
+        (2, "image", bytearray(encode_jpeg_progressive(img)), "image/jpeg", 32, 24, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_images_numpy(media, resize_to=(8, 8)).collect()}
+    assert out[2]["out_width"] == 8 and out[2]["feature"] is not None
+    assert out[1]["feature"] == out[2]["feature"]  # same coefficients -> same pixels
 
 
 def test_jpeg_fill_bytes_before_rst():
