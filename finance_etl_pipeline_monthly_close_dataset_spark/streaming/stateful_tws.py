@@ -1,0 +1,146 @@
+"""Incremental gap-sessionization on Spark 4's ``transformWithState``
+API -- the successor to ``applyInPandasWithState`` (see
+``streaming/stateful.py`` for that implementation of the SAME
+semantics; both are kept: the old API for parity with deployed
+pipelines, this one as the forward path).
+
+What the new API buys at 100 TB:
+
+* **Typed, named state** (``getValueState`` with a schema) instead of
+  one opaque tuple -- multiple states per key compose without manual
+  packing, and the state store can evolve schemas.
+* **Native state TTL** (``ttlDurationMs``): the store itself expires
+  idle keys -- no hand-rolled timeout plumbing in the processor, and
+  (unlike ``GroupState`` processing-time timeouts) no extra no-data
+  micro-batches are needed just to observe the expiry.
+* The same O(1)-per-key scale story: state is two scalars per user,
+  partitioned across executors by the state store; per-batch work is
+  each user's new events only.
+
+Session semantics are identical to ``streaming_sessionize``: events
+more than ``gap`` apart open a new session; session ids stitch across
+micro-batches via the state store; ids match the batch lag/gap
+recurrence when events arrive in order.
+
+ENVIRONMENT GATE: ``transformWithState``'s Python<->JVM state
+transport is protobuf-based, and ``google.protobuf`` is not installed
+in this container (verified: the streaming runner crashes with
+``ImportError: cannot import name 'descriptor'`` during operator
+pre-init).  ``streaming_sessionize_tws`` therefore raises
+``NotImplementedError`` where protobuf is absent -- the same gate
+pattern as ``multimodal.decode_images_real`` (PIL) -- and activates
+unchanged wherever protobuf is installed.  The PROCESSOR logic is
+real and tested here regardless: ``SessionizeProcessor`` is exercised
+directly against a fake value-state handle
+(``test_tws_sessionize_processor_logic``), which pins the same
+cross-batch stitching recurrence the applyInPandasWithState path
+verifies end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("session_id", T.LongType()),
+    ]
+)
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Per-user (last event time, session counter) value state; new
+    session whenever the gap to the previous event exceeds
+    ``gap_seconds``.  ``ttl_ms`` (optional) lets the state store
+    evict idle users natively."""
+
+    def __init__(self, gap_seconds: int, ttl_ms: int | None = None):
+        self.gap_us = int(gap_seconds) * 1_000_000
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState(
+            "session",
+            "last_ts_micros LONG, session_id LONG",
+            ttlDurationMs=self.ttl_ms,
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self.state.exists():
+            last_ts, session_id = self.state.get()
+        else:
+            last_ts, session_id = None, 0
+        out_ts: list[pd.Timestamp] = []
+        out_sid: list[int] = []
+        for pdf in rows:
+            for ts in pdf["ts"].sort_values():
+                ts_us = int(ts.value // 1000)
+                if last_ts is None or ts_us - last_ts > self.gap_us:
+                    session_id += 1
+                last_ts = ts_us
+                out_ts.append(ts)
+                out_sid.append(session_id)
+        self.state.update((last_ts, session_id))
+        yield pd.DataFrame(
+            {"user_id": key[0], "ts": out_ts, "session_id": out_sid}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_sessionize_tws(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema: T.StructType,
+    gap_minutes: float = 30,
+    ttl_minutes: float | None = None,
+    source_options: dict | None = None,
+) -> DataFrame:
+    """File-source stream -> per-user incremental session assignment
+    via ``transformWithStateInPandas``.  Returns the unstarted
+    streaming DataFrame; callers attach a sink (tests/contract use a
+    memory sink in update mode).  ``ttl_minutes`` arms native state
+    TTL -- an idle user's state expires in the store and its next
+    event starts over at session 1.
+
+    Raises ``NotImplementedError`` where ``google.protobuf`` is
+    absent (this container): the transformWithState runtime cannot
+    initialize its state transport without it.  See the module
+    docstring; the processor logic itself is unit-tested here."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf for its "
+            "state transport, which is not installed in this container. "
+            "Use streaming.stateful.streaming_sessionize "
+            "(applyInPandasWithState, same semantics) here; this "
+            "operator activates unchanged wherever protobuf is installed."
+        ) from exc
+    reader = spark.readStream.schema(schema)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(parquet_dir)
+    gap_seconds = max(1, int(round(gap_minutes * 60)))
+    ttl_ms = None if ttl_minutes is None else max(1, int(round(ttl_minutes * 60_000)))
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionizeProcessor(gap_seconds, ttl_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        )
+    )

@@ -402,6 +402,74 @@ def test_continuous_rollup_matches_batch_recompute(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "rollup_c")).filter("key = 'click'").count() == 1
 
 
+def test_tws_sessionize_processor_logic():
+    """The transformWithState sessionizer's PROCESSOR logic, driven
+    directly against a fake value-state handle (the state transport
+    needs protobuf, absent here -- module docstring): two deliveries
+    must stitch sessions across the batch boundary exactly like the
+    applyInPandasWithState path -- same-gap continuation keeps the
+    session id, a wide gap increments it, state carries (last_ts,
+    counter) between calls."""
+    import pandas as pd
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming.stateful_tws import (
+        SessionizeProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    proc = SessionizeProcessor(gap_seconds=1800)
+    proc.state = FakeValueState()
+    t0 = pd.Timestamp("2025-01-01 10:00:00")
+
+    # batch 1: two events 10 min apart (one session), then a 2 h gap
+    pdf1 = pd.DataFrame({"ts": [t0, t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(hours=2)]})
+    out1 = pd.concat(list(proc.handleInputRows((1,), iter([pdf1]), None)))
+    assert list(out1["session_id"]) == [1, 1, 2]
+
+    # batch 2: first event only 5 min after batch 1's last -> SAME
+    # session (the cross-batch stitch); then a wide gap -> session 3
+    pdf2 = pd.DataFrame({"ts": [t0 + pd.Timedelta(hours=2, minutes=5), t0 + pd.Timedelta(hours=5)]})
+    out2 = pd.concat(list(proc.handleInputRows((1,), iter([pdf2]), None)))
+    assert list(out2["session_id"]) == [2, 3]
+    assert proc.state.v[1] == 3  # counter persisted for the next batch
+
+
+def test_tws_sessionize_gates_on_protobuf(spark, tmp_path):
+    """Without google.protobuf the transformWithState runtime cannot
+    start its state transport; the operator must fail FAST with an
+    actionable NotImplementedError instead of a mid-stream crash --
+    and activate unchanged where protobuf exists."""
+    import pytest as _pytest
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming.stateful_tws import (
+        streaming_sessionize_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _pytest.skip("protobuf installed: the gate is open by design")
+    except ImportError:
+        pass
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    with _pytest.raises(NotImplementedError, match="protobuf"):
+        streaming_sessionize_tws(spark, str(tmp_path), schema)
+
+
 def test_rollup_max_files_per_trigger_batches(spark, tmp_path):
     """With max_files_per_trigger=1, a backlog of 3 staged files must
     produce 3 distinct micro-batches (3 batch_ids in the partials),
