@@ -7,9 +7,10 @@ format family:
 
 - ``decode_images_numpy``: REAL decode with no image library --
   P6 PPM and 24-bit BMP in pure numpy, PNG via stdlib ``zlib``
-  (DEFLATE + row-filter reversal, ``_decode_png``), and baseline
-  JPEG via the pure-numpy Huffman + IDCT decoder (``jpeg.py``,
-  round 6) -- parse, nearest-neighbor resize, channel/grid-mean
+  (DEFLATE + row-filter reversal + Adam7 de-interlace,
+  ``_decode_png``), and baseline + progressive JPEG via the
+  pure-numpy Huffman + IDCT decoder (``jpeg.py``, rounds 6+8) --
+  parse, nearest-neighbor resize, channel/grid-mean
   features; corrupt payloads yield null rows, never failed batches.
 - ``decode_images_real``: PIL-gated alternative path; raises
   ``NotImplementedError`` where PIL is absent (this container) and
@@ -316,9 +317,11 @@ def _decode_png(b: bytes):
     so no image library is required: parse chunks, inflate IDAT,
     reverse the row filters (None/Sub/Up/Average/Paeth), drop alpha /
     expand grayscale. Supports 8-bit depth, color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced -- the
-    overwhelming majority of real-world PNGs; everything else raises
-    and the caller's corrupt-row path nulls the record. Filters 0/2
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), both non-interlaced and
+    Adam7-interlaced (round 8: seven independently-filtered passes
+    scattered onto their pixel lattices) -- covering real-world PNGs;
+    everything else raises and the caller's corrupt-row path nulls
+    the record. Filters 0/2
     vectorize; Sub/Average/Paeth carry a left-pixel dependency and run
     per-byte on the row (rows are short; the batch loop is already
     Python-side under mapInPandas)."""
@@ -347,49 +350,72 @@ def _decode_png(b: bytes):
         pos += 12 + length  # length + type + body(length) + crc
     if w is None:
         raise ValueError("missing IHDR")
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+    if bit_depth != 8 or interlace not in (0, 1) or color_type not in (0, 2, 4, 6):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color={color_type}, interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated IDAT")
 
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:  # Up
-            cur = line + prev
-        elif f in (1, 3, 4):  # left-dependent: Sub / Average / Paeth
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(cur[i - bpp]) & 0xFF if i >= bpp else 0
-                u = int(prev[i])
-                if f == 1:
-                    cur[i] = line[i] + a
-                elif f == 3:
-                    cur[i] = line[i] + (a + u) // 2
-                else:
-                    c = int(prev[i - bpp]) if i >= bpp else 0
-                    p = a + u - c
-                    pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (u if pb <= pc else c)
-                    cur[i] = line[i] + pred
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        prev = (cur & 0xFF).astype(np.uint8)
-        out[y] = prev
+    def unfilter(raw_bytes, offset, ph, pw):
+        """Reverse row filters over one (sub-)image; returns the
+        (ph, pw*channels) uint8 pixel bytes and the bytes consumed."""
+        stride = pw * channels
+        if len(raw_bytes) - offset < ph * (stride + 1):
+            raise ValueError("truncated IDAT")
+        sub = np.zeros((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        bpp = channels
+        for y in range(ph):
+            base = offset + y * (stride + 1)
+            f = raw_bytes[base]
+            line = np.frombuffer(
+                raw_bytes, dtype=np.uint8, count=stride, offset=base + 1
+            ).astype(np.int32)
+            if f == 0:
+                cur = line
+            elif f == 2:  # Up
+                cur = line + prev
+            elif f in (1, 3, 4):  # left-dependent: Sub / Average / Paeth
+                cur = np.zeros(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = int(cur[i - bpp]) & 0xFF if i >= bpp else 0
+                    u = int(prev[i])
+                    if f == 1:
+                        cur[i] = line[i] + a
+                    elif f == 3:
+                        cur[i] = line[i] + (a + u) // 2
+                    else:
+                        c = int(prev[i - bpp]) if i >= bpp else 0
+                        p = a + u - c
+                        pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (u if pb <= pc else c)
+                        cur[i] = line[i] + pred
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            prev = (cur & 0xFF).astype(np.uint8)
+            sub[y] = prev
+        return sub, ph * (stride + 1)
 
-    px = out.reshape(h, w, channels)
+    if interlace == 0:
+        out, _ = unfilter(raw, 0, h, w)
+        px = out.reshape(h, w, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # onto the (x_start::x_step, y_start::y_step) lattices
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        offset = 0
+        for x0, xs, y0, ys in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries no bytes at all
+            sub, used = unfilter(raw, offset, ph, pw)
+            offset += used
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
     if color_type == 2:

@@ -872,6 +872,103 @@ def _make_png(pixels, color_type=2, row_filters=None):
     )
 
 
+def _filter_rows(raw_rows, ch, filters):
+    """Shared row-filter streamer for the in-test PNG encoders."""
+    stream = bytearray()
+    prev = bytes(len(raw_rows[0])) if raw_rows else b""
+    for row, f in zip(raw_rows, filters):
+        stream.append(f)
+        for i in range(len(row)):
+            a = row[i - ch] if i >= ch else 0
+            u = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = u
+            elif f == 3:
+                pred = (a + u) // 2
+            else:
+                p = a + u - c
+                pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (u if pb <= pc else c)
+            stream.append((row[i] - pred) & 0xFF)
+        prev = row
+    return stream
+
+
+def _make_png_adam7(pixels, color_type=2):
+    """In-test Adam7 encoder: seven passes, each independently
+    filtered (cycling through all five filter types so interlaced
+    decode exercises every unfilter branch), IHDR interlace=1."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    ch = len(pixels[0][0])
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    stream = bytearray()
+    for x0, xs, y0, ys in (
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ):
+        sub_rows = [
+            bytes(c for px in row[x0::xs] for c in px)
+            for row in pixels[y0::ys]
+            if row[x0::xs]
+        ]
+        if not sub_rows:
+            continue
+        stream += _filter_rows(sub_rows, ch, [i % 5 for i in range(len(sub_rows))])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7-interlaced PNGs (round 8): the seven passes must
+    de-interlace to the exact source pixels for RGB, grayscale and
+    RGBA, including dimensions that leave some passes EMPTY (no bytes
+    at all) and odd sizes where lattice widths differ per pass."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16), (5, 4), (1, 1), (2, 9), (13, 7)]:
+        px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        rows = [[tuple(int(v) for v in p) for p in r] for r in px]
+        got = _decode_png(_make_png_adam7(rows, color_type=2))
+        assert np.array_equal(got, px), shape
+        # interlaced and plain encodings of one image decode identically
+        plain = _decode_png(_make_png(rows, color_type=2))
+        assert np.array_equal(got, plain), shape
+
+    gray = [[(v,) for v in row] for row in rng.integers(0, 256, (9, 9))]
+    g = _decode_png(_make_png_adam7(gray, color_type=0))
+    assert g.shape == (9, 9, 3)
+    assert [p[0][0] for p in gray] == [int(v) for v in g[:, 0, 0]]
+
+    rgba = [[tuple(int(v) for v in p) for p in r]
+            for r in rng.integers(0, 256, (6, 10, 4), dtype=np.uint8)]
+    a = _decode_png(_make_png_adam7(rgba, color_type=6))
+    assert a.tolist() == [[list(p[:3]) for p in r] for r in rgba]
+
+
 def test_decode_png_all_filters_roundtrip():
     """Every PNG row filter (None/Sub/Up/Average/Paeth) must reverse
     bit-exactly, for RGB, grayscale, and RGBA (alpha dropped)."""
