@@ -672,11 +672,20 @@ def _decode_y4m(b: bytes):
             cs = tok[1:]
     if w is None or h is None:
         raise ValueError("missing W/H in stream header")
-    if not cs.startswith("420"):
-        raise ValueError(f"only C420 supported (got C{cs})")
-    if w % 2 or h % 2 or fps_num <= 0 or fps_den <= 0:
-        raise ValueError("C420 needs even dims and positive frame rate")
-    ysz, csz = w * h, (w // 2) * (h // 2)
+    # chroma subsample factors (horizontal, vertical) per colorspace;
+    # 420jpeg/420mpeg2/420paldv share the plane LAYOUT (siting differs
+    # only in filtering intent, which nearest replication ignores)
+    if cs.startswith("420"):
+        sx, sy = 2, 2
+    elif cs == "422":
+        sx, sy = 2, 1
+    elif cs == "444":
+        sx, sy = 1, 1
+    else:
+        raise ValueError(f"only C420/C422/C444 supported (got C{cs})")
+    if w % sx or h % sy or fps_num <= 0 or fps_den <= 0:
+        raise ValueError(f"C{cs} needs dims divisible by {sx}x{sy} and positive frame rate")
+    ysz, csz = w * h, (w // sx) * (h // sy)
     frames = []
     pos = nl + 1
     while pos < len(b):
@@ -686,8 +695,8 @@ def _decode_y4m(b: bytes):
         if pos + ysz + 2 * csz > len(b):
             raise ValueError("truncated frame")
         y = np.frombuffer(b, np.uint8, ysz, pos).reshape(h, w)
-        u = np.frombuffer(b, np.uint8, csz, pos + ysz).reshape(h // 2, w // 2)
-        v = np.frombuffer(b, np.uint8, csz, pos + ysz + csz).reshape(h // 2, w // 2)
+        u = np.frombuffer(b, np.uint8, csz, pos + ysz).reshape(h // sy, w // sx)
+        v = np.frombuffer(b, np.uint8, csz, pos + ysz + csz).reshape(h // sy, w // sx)
         frames.append((y, u, v))
         pos += ysz + 2 * csz
     return frames, (fps_num, fps_den), (w, h)
@@ -695,7 +704,9 @@ def _decode_y4m(b: bytes):
 
 def _yuv420_to_rgb(y, u, v):
     """Full-range BT.601 YUV -> RGB float64 in [0, 255]; chroma
-    upsampled 2x2 by replication (nearest).  Same 1.402 / 0.344136 /
+    upsampled to luma resolution by replication (nearest) -- the
+    repeat factors derive from the plane shapes, so 4:2:0 (2x2),
+    4:2:2 (1x2) and 4:4:4 (no-op) all route through here.  Same 1.402 / 0.344136 /
     0.714136 / 1.772 constants as the JPEG decoder's YCbCr path, so
     the engine has ONE color-conversion definition; studio-swing
     (16-235) scaling deliberately omitted -- documented contract, and
@@ -703,8 +714,9 @@ def _yuv420_to_rgb(y, u, v):
     import numpy as np
 
     yf = y.astype(np.float64)
-    uf = np.repeat(np.repeat(u, 2, 0), 2, 1).astype(np.float64) - 128.0
-    vf = np.repeat(np.repeat(v, 2, 0), 2, 1).astype(np.float64) - 128.0
+    ry, rx = y.shape[0] // u.shape[0], y.shape[1] // u.shape[1]
+    uf = np.repeat(np.repeat(u, ry, 0), rx, 1).astype(np.float64) - 128.0
+    vf = np.repeat(np.repeat(v, ry, 0), rx, 1).astype(np.float64) - 128.0
     r = yf + 1.402 * vf
     g = yf - 0.344136 * uf - 0.714136 * vf
     bl = yf + 1.772 * uf

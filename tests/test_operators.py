@@ -1940,6 +1940,47 @@ def test_jpeg_fill_bytes_before_rst():
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
 
 
+def test_decode_y4m_chroma_layouts():
+    """C420 / C422 / C444 streams of the SAME underlying color must
+    decode consistently: a chroma-constant frame yields identical RGB
+    regardless of subsampling (replication can't change a constant),
+    and plane sizes are read per the layout's (sx, sy)."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        _decode_y4m,
+        _yuv420_to_rgb,
+    )
+
+    w, h = 8, 6
+    yplane = ((np.arange(h)[:, None] * 16 + np.arange(w) * 4) % 256).astype(np.uint8)
+
+    def stream(cs, sx, sy):
+        u = np.full((h // sy, w // sx), 90, np.uint8)
+        v = np.full((h // sy, w // sx), 200, np.uint8)
+        return (
+            f"YUV4MPEG2 W{w} H{h} F25:1 C{cs}\n".encode()
+            + b"FRAME\n" + yplane.tobytes() + u.tobytes() + v.tobytes()
+        )
+
+    rgbs = {}
+    for cs, sx, sy in (("420", 2, 2), ("422", 2, 1), ("444", 1, 1)):
+        frames, (fn, fd), (gw, gh) = _decode_y4m(stream(cs, sx, sy))
+        assert (gw, gh, fn, fd) == (w, h, 25, 1)
+        y, u, v = frames[0]
+        assert u.shape == (h // sy, w // sx) and v.shape == u.shape
+        r, g, bl = _yuv420_to_rgb(y, u, v)
+        rgbs[cs] = np.stack([r, g, bl], 2)
+    assert np.array_equal(rgbs["420"], rgbs["444"])
+    assert np.array_equal(rgbs["422"], rgbs["444"])
+
+    # unsupported layout still rejects cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="C411"):
+        _decode_y4m(stream("411", 1, 1))
+
+
 def test_decode_video_y4m_frames_and_corrupt(spark):
     """Y4M decode: sampled-frame rows carry the right stride/timestamp
     arithmetic (stride 2 at 10 fps -> frames 0,2,4 at 0/200/400 ms);
