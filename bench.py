@@ -75,6 +75,12 @@ HEAVY = [
     # job overhead dominates so it only edges the HOF form; the gap is
     # the N x k interpreted-lambda cost, which grows with k
     "embedding_kmeans_centroids_arrow",
+    # round 8: the media-decode trio (closed-form PPM/WAV/Y4M corpora
+    # through the real decode pipelines) -- sf-independent by design,
+    # benched so pure-numpy decode throughput is regression-tracked
+    "media_features",
+    "audio_features",
+    "video_features",
 ]
 
 
