@@ -81,6 +81,7 @@ HEAVY = [
     "media_features",
     "audio_features",
     "video_features",
+    "image_formats_features",
 ]
 
 

@@ -6633,6 +6633,89 @@ ORDER BY media_id, feature_idx
 """
 
 
+def q_image_formats_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT decode oracle: the same closed-form pixels as
+    ``media_features``, but each id encodes through one of four
+    LOSSLESS containers (id%4: PPM / PNG / PNG-Adam7 / BMP --
+    ``multimodal.deterministic_image_formats_media``).  Lossless means
+    ONE byte-blind oracle covers every container: whatever the format,
+    the decoded features must equal the closed form, so zlib DEFLATE
+    inflation, PNG filter reversal (all five types, cycling per row),
+    Adam7 pass de-scattering, and BMP bottom-up/BGR/row-padding
+    handling are all value-checked against DuckDB -- not just
+    roundtrip-tested against our own encoder.  n_bytes is deliberately
+    NOT in the output (DEFLATE sizes are not closed-form); the
+    feature math and rounding are identical to ``media_features``
+    (sf-independent, CHECKALL-proven stable at 4dp)."""
+    from .operators import multimodal as mm
+
+    media = mm.deterministic_image_formats_media(spark, n=48)
+    feats = mm.decode_images_numpy(media, feature_dim=7, resize_to=(8, 6))
+    return (
+        feats.select(
+            "media_id",
+            F.pmod("media_id", F.lit(4)).cast("int").alias("fmt"),
+            "out_width",
+            "out_height",
+            F.posexplode("feature").alias("feature_idx", "_v"),
+        )
+        .select(
+            "media_id",
+            "fmt",
+            "out_width",
+            "out_height",
+            "feature_idx",
+            F.round(F.col("_v").cast("double"), 4).alias("feature_value"),
+        )
+        .orderBy("media_id", "feature_idx")
+    )
+
+
+SQL_IMAGE_FORMATS_FEATURES = """
+WITH m AS (
+  SELECT CAST(range AS BIGINT) AS id FROM range(48)
+),
+dims AS (
+  SELECT id, 8 + (id % 5) * 4 AS w, 6 + (id % 7) * 2 AS h FROM m
+),
+px AS (
+  SELECT d.id, oy.range AS oy, ox.range AS ox,
+         LEAST(CAST(oy.range * d.h AS BIGINT) // 6, d.h - 1) AS sy,
+         LEAST(CAST(ox.range * d.w AS BIGINT) // 8, d.w - 1) AS sx
+  FROM dims d, range(6) oy, range(8) ox
+),
+vals AS (
+  SELECT id, oy, ox,
+         ((id * 31 + sy * 7 + sx * 3 + 0 * 11) % 256) / 255.0 AS c0,
+         ((id * 31 + sy * 7 + sx * 3 + 1 * 11) % 256) / 255.0 AS c1,
+         ((id * 31 + sy * 7 + sx * 3 + 2 * 11) % 256) / 255.0 AS c2
+  FROM px
+),
+channel_means AS (
+  SELECT id, 0 AS feature_idx, AVG(c0) AS v FROM vals GROUP BY id
+  UNION ALL
+  SELECT id, 1, AVG(c1) FROM vals GROUP BY id
+  UNION ALL
+  SELECT id, 2, AVG(c2) FROM vals GROUP BY id
+),
+grid_means AS (
+  SELECT id, 3 + CAST(oy // 3 AS INT) * 2 + CAST(ox // 4 AS INT) AS feature_idx,
+         AVG((c0 + c1 + c2) / 3.0) AS v
+  FROM vals GROUP BY 1, 2
+),
+feats AS (
+  SELECT * FROM channel_means UNION ALL SELECT * FROM grid_means
+)
+SELECT d.id AS media_id,
+       CAST(d.id % 4 AS INT) AS fmt,
+       8 AS out_width, 6 AS out_height,
+       CAST(f.feature_idx AS INT) AS feature_idx,
+       round(f.v, 4) AS feature_value
+FROM dims d JOIN feats f ON f.id = d.id
+ORDER BY media_id, feature_idx
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END oracle for the REAL audio-decode path -- the WAV
     counterpart of ``media_features``: 32 deterministic RIFF/WAVE
@@ -7423,6 +7506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_enriched": q_events_streamed_enriched,
     "synthdocs_source": q_synthdocs_source,
     "media_features": q_media_features,
+    "image_formats_features": q_image_formats_features,
     "audio_features": q_audio_features,
     "video_features": q_video_features,
     "docs_semantic_contamination": q_docs_semantic_contamination,
@@ -7494,7 +7578,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_streamed_late_drop",
     "events_streamed_enriched",
     "events_stateful_sessions",
-    "events_max_concurrent",
+    "image_formats_features",
     "synthdocs_source",
     "media_features",
     "audio_features",
@@ -7617,6 +7701,7 @@ ORACLES: dict[str, str] = {
     "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
     "media_features": SQL_MEDIA_FEATURES,
+    "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_features": SQL_VIDEO_FEATURES,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,

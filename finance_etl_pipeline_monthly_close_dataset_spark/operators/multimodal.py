@@ -115,6 +115,153 @@ def deterministic_ppm_media(spark, n: int = 48) -> DataFrame:
     return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def _closed_form_pixels(mid: int):
+    """The shared image closed form (see ``deterministic_ppm_media``):
+    (h, w, 3) uint8 with v = (id*31 + y*7 + x*3 + c*11) % 256."""
+    import numpy as np
+
+    w = 8 + (mid % 5) * 4
+    h = 6 + (mid % 7) * 2
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    return ((mid * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+
+def _png_filtered_stream(rows, bpp: int) -> bytearray:
+    """Filter raw rows (n, stride) with cycling filter types 0..4 --
+    the encode side of ``_decode_png``'s unfilter, vectorized per row
+    (filters are defined over RAW bytes, so the encoder needs no
+    reconstruction loop)."""
+    import numpy as np
+
+    stream = bytearray()
+    prev = np.zeros(rows.shape[1], np.int32)
+    for i in range(rows.shape[0]):
+        row = rows[i].astype(np.int32)
+        f = i % 5
+        a = np.zeros_like(row)
+        a[bpp:] = row[:-bpp]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - a
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (a + prev) // 2
+        else:
+            cdiag = np.zeros_like(prev)
+            cdiag[bpp:] = prev[:-bpp]
+            p = a + prev - cdiag
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - cdiag)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, cdiag))
+            enc = row - pred
+        stream.append(f)
+        stream.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    return stream
+
+
+def _png_bytes(px, adam7: bool) -> bytes:
+    """Encode (h, w, 3) uint8 as an 8-bit RGB PNG, optionally Adam7
+    interlaced; per-row filters cycle 0..4 so every unfilter branch of
+    ``_decode_png`` is exercised by the oracle corpus."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    stream = bytearray()
+    if adam7:
+        for x0, xs, y0, ys in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            stream += _png_filtered_stream(
+                sub.reshape(sub.shape[0], -1), bpp=3
+            )
+    else:
+        stream = _png_filtered_stream(px.reshape(h, -1), bpp=3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if adam7 else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream))) + chunk(b"IEND", b"")
+    )
+
+
+def _bmp_bytes(px) -> bytes:
+    """Encode (h, w, 3) uint8 as an uncompressed 24-bit
+    BITMAPINFOHEADER BMP: bottom-up rows, BGR order, 4-byte padding --
+    exactly the layout knobs ``_decode_bmp`` must undo."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+        + data
+    )
+
+
+def deterministic_image_formats_media(spark, n: int = 48) -> DataFrame:
+    """The SAME closed-form pixels as ``deterministic_ppm_media``,
+    encoded per id through FOUR lossless containers -- id%4: 0 = P6
+    PPM, 1 = PNG (cycling row filters), 2 = PNG Adam7-interlaced,
+    3 = BMP (bottom-up, BGR, padded rows).  Because every format is
+    lossless, one byte-blind oracle covers all of them: the decoded
+    features must equal the closed form REGARDLESS of container, so
+    DEFLATE inflation, filter reversal, interlace de-scatter, and BMP
+    row/channel/padding handling are all value-checked end-to-end
+    (``image_formats_features``)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                px = _closed_form_pixels(mid)
+                h, w = px.shape[:2]
+                fmt = mid % 4
+                if fmt == 0:
+                    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                    mime = "image/x-portable-pixmap"
+                elif fmt == 1:
+                    payload = _png_bytes(px, adam7=False)
+                    mime = "image/png"
+                elif fmt == 2:
+                    payload = _png_bytes(px, adam7=True)
+                    mime = "image/png"
+                else:
+                    payload = _bmp_bytes(px)
+                    mime = "image/bmp"
+                rows.append((mid, "image", payload, mime, w, h, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime",
+                         "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def deterministic_wav_media(spark, n: int = 32) -> DataFrame:
     """Deterministic REAL-format audio corpus: media_id -> a valid
     RIFF/WAVE file (16-bit PCM mono @8 kHz) whose every sample is the
