@@ -5011,6 +5011,112 @@ ORDER BY e.order_year
 """
 
 
+_CMS_D, _CMS_W = 4, 1024
+_CMS_SUPPORT = 0.001
+
+
+def q_lineitem_cms_hot_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min sketch (``sketches.cms_state`` family), the
+    frequency member of the sketch trio (HLL = distinct, histogram =
+    quantiles, CMS = per-key counts): lineitem aggregates ONCE per
+    ship-month into a depth x width counter matrix -- the persistable
+    monthly increment -- the monthly states merge by element-wise
+    vector add, and per-supplier frequency estimates come off the
+    merged state as min-over-depth counter lookups, never re-scanning
+    raw rows.  The probe set is the exact heavy hitters (count >
+    support * N, the ``lineitem_heavy_hitters`` threshold), bounded by
+    1/support regardless of data size.  ``never_undercounts`` asserts
+    the CMS THEOREM (every counter saw every occurrence, so the min is
+    >= the true count); because the hash is the portable md5-prefix
+    (``bucket_checksums`` identity), DuckDB rebuilds the identical
+    counter matrix in one shot and reproduces every estimate
+    bit-for-bit -- merge-of-months == direct is the checked identity.
+
+    Scale shape: the state build is one scan with a depth-way literal
+    explode collapsed map-side by the partial agg on (month, cell) --
+    the shuffle carries months x touched-cells rows (KBs), never data;
+    the exact-count probe side is a second scan by definition
+    (measurement shape, allowlisted, same adjudication as
+    ``orders_quantile_sketch``); both 1-row broadcasts (total, merged
+    state) ride exchange reuse."""
+    from .operators import sketches as sk
+
+    li = t(spark, sf_dir, "lineitem")
+    monthly = sk.cms_state(
+        li.select(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            "l_suppkey",
+        ),
+        "l_suppkey",
+        ["ship_year", "ship_month"],
+        _CMS_D,
+        _CMS_W,
+    )
+    state = sk.cms_rollup(monthly, [])
+    grouped = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = grouped.agg(F.sum("n_exact").alias("__total"))
+    hot = (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_exact")
+            > F.floor(F.col("__total") * F.lit(_CMS_SUPPORT)).cast("bigint")
+        )
+        .drop("__total")
+    )
+    return (
+        hot.crossJoin(F.broadcast(state.select("cms_counts")))
+        .select(
+            "l_suppkey",
+            "n_exact",
+            sk.cms_estimate(
+                F.col("l_suppkey"), F.col("cms_counts"), _CMS_D, _CMS_W, "n_cms"
+            ),
+        )
+        .withColumn("never_undercounts", F.col("n_cms") >= F.col("n_exact"))
+    )
+
+
+# same drift-proofing as the quantile sketch: every constant derives
+# from _CMS_*, and the DuckDB hash is the documented portable identity
+# CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) == Spark
+# conv(substring(md5(s), 1, 15), 16, 10)
+SQL_LINEITEM_CMS_HOT_SUPPLIERS = f"""
+WITH seeds AS (
+  SELECT unnest(range({_CMS_D})) AS i
+),
+tot AS (SELECT COUNT(*) AS n FROM lineitem),
+exact AS (
+  SELECT l_suppkey, COUNT(*) AS n_exact FROM lineitem GROUP BY 1
+),
+hot AS (
+  SELECT e.l_suppkey, e.n_exact FROM exact e, tot
+  WHERE e.n_exact > CAST(floor(tot.n * {_CMS_SUPPORT}) AS BIGINT)
+),
+cells AS (
+  SELECT s.i,
+         CAST('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' ||
+                                 CAST(l.l_suppkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_CMS_W} AS b,
+         COUNT(*) AS c
+  FROM lineitem l CROSS JOIN seeds s
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT h.l_suppkey, h.n_exact, s.i,
+         CAST('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' ||
+                                 CAST(h.l_suppkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_CMS_W} AS b
+  FROM hot h CROSS JOIN seeds s
+)
+SELECT p.l_suppkey, p.n_exact,
+       MIN(c.c) AS n_cms,
+       (MIN(c.c) >= p.n_exact) AS never_undercounts
+FROM probe p JOIN cells c ON p.i = c.i AND p.b = c.b
+GROUP BY 1, 2
+"""
+
+
 def q_orders_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (``operators/matview.py``):
     orders arrive as three deterministic hash batches; each batch is
@@ -7476,6 +7582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_incremental_state": q_orders_incremental_state,
     "orders_quantile_sketch": q_orders_quantile_sketch,
     "orders_quantile_rollup": q_orders_quantile_rollup,
+    "lineitem_cms_hot_suppliers": q_lineitem_cms_hot_suppliers,
     "orders_priority_percentiles": q_orders_priority_percentiles,
     "orders_versioned_cdf": q_orders_versioned_cdf,
     "docs_leakage_split": q_docs_leakage_split,
@@ -7669,6 +7776,7 @@ ORACLES: dict[str, str] = {
     "orders_incremental_state": SQL_ORDERS_INCREMENTAL_STATE,
     "orders_quantile_sketch": SQL_ORDERS_QUANTILE_SKETCH,
     "orders_quantile_rollup": SQL_ORDERS_QUANTILE_ROLLUP,
+    "lineitem_cms_hot_suppliers": SQL_LINEITEM_CMS_HOT_SUPPLIERS,
     "orders_priority_percentiles": SQL_ORDERS_PRIORITY_PERCENTILES,
     "orders_versioned_cdf": SQL_ORDERS_VERSIONED_CDF,
     "docs_leakage_split": SQL_DOCS_LEAKAGE_SPLIT,

@@ -214,6 +214,127 @@ def quantile_rollup(partials: DataFrame, rollup_cols: list[str]) -> DataFrame:
     )
 
 
+# -- mergeable count-min sketch ---------------------------------------------
+#
+# Third member of the mergeable-summaries family: HLL answers DISTINCT
+# rollups, the histogram answers QUANTILE rollups, this answers
+# per-key FREQUENCY rollups (heavy-hitter estimation) from fixed-size
+# state.  A count-min sketch is a depth x width counter matrix; each
+# row hashes the key into one of ``width`` counters, an increment
+# bumps one counter per row, and the estimate is the MIN over the
+# depth counters -- never an undercount, overcounts only via hash
+# collisions (<= eN/width with prob 1-exp(-depth)).  The state is a
+# dense vector, so merge is element-wise add (exactly the quantile
+# histogram's merge), and because the hash is the portable md5-prefix
+# used by ``bucket_checksums``, DuckDB rebuilds the identical matrix
+# and reproduces every estimate bit-for-bit -- the sketch is
+# oracle-checkable, not just plausible.
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Counter index for hash row ``row``: the 60-bit md5-prefix hash
+    of ``"<row>:<key>"`` mod width.  Portable: DuckDB's
+    ``CAST('0x' || substr(md5(i || ':' || key), 1, 15) AS BIGINT)``
+    computes the identical value (same identity ``bucket_checksums``
+    documents), which is what makes the oracle byte-blind."""
+    s = F.concat(F.lit(str(row)), F.lit(":"), key.cast("string"))
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    return (h % width).cast("int")
+
+
+def cms_state(
+    df: DataFrame,
+    key_col: str,
+    increment_cols: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-increment count-min state: a dense ``array<long>`` of
+    ``depth * width`` counters (row-major) plus the increment's row
+    count.  One explode of ``depth`` literal rows per input row --
+    collapsed map-side by the partial aggregation on (increment,
+    cell), so the shuffle carries increments x touched-cells rows,
+    never raw data -- then the same map_from_entries + sequence
+    densify as ``quantile_histogram_state``."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_i")
+    # _cms_bucket depends on the hash row, so build the cell index by
+    # dispatching on _i: a when-chain over the depth literals keeps the
+    # whole expression codegen'd (depth is small by construction).
+    per = df.select(*increment_cols, F.col(key_col).alias("_k"), rows)
+    bucket = F.lit(None).cast("int")
+    for i in range(depth):
+        bucket = F.when(
+            F.col("_i") == i, _cms_bucket(F.col("_k"), i, width)
+        ).otherwise(bucket)
+    per_cell = (
+        per.select(
+            *increment_cols,
+            (F.col("_i") * width + bucket).alias("_cell"),
+        )
+        .groupBy(*increment_cols, "_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    n_cells = depth * width
+    grouped = (
+        per_cell.groupBy(*increment_cols)
+        if increment_cols
+        else per_cell.groupBy()
+    )
+    return grouped.agg(
+        F.map_from_entries(F.collect_list(F.struct("_cell", "_n"))).alias("_cm"),
+        (F.sum("_n") / depth).cast("long").alias("n_rows"),
+    ).select(
+        *increment_cols,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_cm"), i.cast("int")), F.lit(0).cast("long")
+            ),
+        ).alias("cms_counts"),
+        "n_rows",
+    )
+
+
+def cms_rollup(partials: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge increment states to a coarser grain: counter vectors add
+    element-wise (the same exact-and-commutative fold as
+    ``quantile_rollup``), row counts add.  Input is states (KBs per
+    increment), never raw rows.  All increments must share one
+    (depth, width) config -- the standard sketch-merge contract."""
+    lists = F.collect_list("cms_counts")
+    zero = F.transform(F.element_at(lists, 1), lambda _: F.lit(0).cast("long"))
+    merged = F.aggregate(
+        lists, zero, lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y)
+    )
+    grouped = (
+        partials.groupBy(*rollup_cols) if rollup_cols else partials.groupBy()
+    )
+    return grouped.agg(
+        merged.alias("cms_counts"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def cms_estimate(
+    key: Column,
+    counts: Column,
+    depth: int = 4,
+    width: int = 1024,
+    estimate_col: str = "n_cms",
+) -> Column:
+    """Frequency estimate for ``key`` against a state's ``counts``
+    vector: MIN over the depth counters the key hashes into.  Pure
+    expression -- the caller broadcasts the (1-row or per-group)
+    state against a bounded probe set and selects this column.
+    Guarantee: estimate >= true count always (each counter saw every
+    occurrence of the key); overcount only via collisions."""
+    terms = [
+        F.element_at(counts, F.lit(i * width + 1) + _cms_bucket(key, i, width))
+        for i in range(depth)
+    ]
+    return F.least(*terms).alias(estimate_col)
+
+
 def quantiles_from_state(
     state: DataFrame,
     qs: list[float],

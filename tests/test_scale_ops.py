@@ -501,3 +501,60 @@ def test_quantile_sketch_bound_holds(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows and all(r["within_bound"] for r in rows), rows
+
+
+def test_cms_rollup_equals_direct_and_never_undercounts(spark):
+    """Count-min sketch invariants: (1) rolling per-increment states up
+    by element-wise vector add (cms_rollup) must equal the state built
+    directly over the union -- counter-for-counter, which is what makes
+    a monthly-increment CMS answer yearly frequency questions without
+    raw re-scans; (2) the min-over-depth estimate is >= the true count
+    for EVERY key (each counter saw every occurrence), and with width
+    >> distinct keys it should be exact for most keys."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
+        cms_estimate,
+        cms_rollup,
+        cms_state,
+    )
+
+    rows = [
+        (m, f"k{(v * 7 + m) % 23}")
+        for m in range(1, 13)
+        for v in range(60)
+    ] + [(6, "hot")] * 150  # one genuinely heavy key, single increment
+    df = spark.createDataFrame(rows, "m int, key string")
+
+    d, w = 4, 256
+    monthly = cms_state(df, "key", ["m"], d, w)
+    rolled = cms_rollup(monthly, []).collect()[0]
+    direct = cms_state(df.drop("m"), "key", [], d, w).collect()[0]
+    assert rolled["cms_counts"] == direct["cms_counts"]
+    assert rolled["n_rows"] == direct["n_rows"] == len(rows)
+
+    exact = df.groupBy("key").count()
+    state = cms_rollup(monthly, [])
+    est = (
+        exact.crossJoin(F.broadcast(state.select("cms_counts")))
+        .select("key", "count", cms_estimate(F.col("key"), F.col("cms_counts"), d, w))
+        .collect()
+    )
+    assert est
+    for r in est:
+        assert r["n_cms"] >= r["count"], r
+    # with 24 distinct keys in 256 buckets, collisions are rare: the
+    # heavy key's estimate must be exact (no other key matches all 4
+    # of its counters unless it collides in every row)
+    hot = [r for r in est if r["key"] == "hot"][0]
+    assert hot["n_cms"] == hot["count"] == 150
+
+
+def test_cms_contract_flag_holds(spark):
+    """The contract query's never_undercounts flag must be TRUE --
+    same rationale as test_quantile_sketch_bound_holds: the theorem is
+    an actual assertion, not an identically-false hash-matched flag."""
+    from finance_etl_pipeline_monthly_close_dataset_spark import contract
+
+    rows = contract.QUERIES["lineitem_cms_hot_suppliers"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r["never_undercounts"] for r in rows), rows

@@ -72,6 +72,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "the grouped shuffle (post-execution plan asserted by "
         "test_heavy_hitters_exchange_reuse_fires) -- one scan executes",
     },
+    "lineitem_cms_hot_suppliers": {
+        "nested_loop": "two 1-row broadcasts: the heavy-hitter "
+        "threshold total and the merged CMS counter state",
+        "exchange_single": "the same single-row aggregates (global "
+        "total; rollup of monthly states to one global CMS row)",
+        "multi_scan:lineitem": "measurement shape (same adjudication "
+        "as orders_quantile_sketch): the exact-count probe side the "
+        "never_undercounts flag is defined against is a separate scan "
+        "by definition; the sketch path itself is one scan",
+    },
     "embedding_kmeans_centroids": {
         "nested_loop": "k=4 trained centroids broadcast for the "
         "assignment argmin -- the k-way expansion collapses map-side "
