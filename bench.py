@@ -82,6 +82,12 @@ HEAVY = [
     "audio_features",
     "video_features",
     "image_formats_features",
+    # round 8 (late): the mergeable-sketch pair over full fact scans
+    # (monthly CMS increments + heavy-hitter probe; two-batch quantile
+    # histogram merge) -- regressions here mean the sketch-build scan
+    # or the partial-agg collapse changed shape
+    "lineitem_cms_hot_suppliers",
+    "orders_quantile_sketch",
 ]
 
 

@@ -214,6 +214,41 @@ def quantile_rollup(partials: DataFrame, rollup_cols: list[str]) -> DataFrame:
     )
 
 
+def hll_intersect_estimate(
+    partials: DataFrame,
+    side_col: str,
+    estimate_col: str = "n_common_est",
+) -> DataFrame:
+    """Estimated |A ∩ B| from two groups of HLL partials via
+    inclusion-exclusion: est(A) + est(B) - est(A ∪ B), where the union
+    estimate comes from merging BOTH groups' sketches -- the one set
+    operation HLL can't answer directly (sketch union is lossless,
+    intersection isn't a sketch operation).  ``partials`` is
+    ``hll_partials`` output with a two-valued ``side_col``; the result
+    is one row.  Error compounds (three ±rse estimates difference), so
+    this is a profiling figure -- est can go slightly negative for
+    near-disjoint sets, clamped to 0.  At 100 TB this answers
+    "how many customers appear in BOTH years" from persisted monthly
+    sketches without any raw re-scan or exact-distinct join."""
+    per_side = partials.groupBy(side_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("_est")
+    )
+    union_all = partials.groupBy().agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("_u")
+    )
+    return (
+        per_side.groupBy()
+        .agg(F.sum("_est").alias("_sum_sides"), F.count(F.lit(1)).alias("_n_sides"))
+        .crossJoin(F.broadcast(union_all))
+        .select(
+            F.greatest(
+                F.col("_sum_sides") - F.col("_u"), F.lit(0).cast("bigint")
+            ).alias(estimate_col),
+            "_n_sides",
+        )
+    )
+
+
 # -- mergeable count-min sketch ---------------------------------------------
 #
 # Third member of the mergeable-summaries family: HLL answers DISTINCT
