@@ -5037,8 +5037,9 @@ def q_lineitem_cms_hot_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries months x touched-cells rows (KBs), never data;
     the exact-count probe side is a second scan by definition
     (measurement shape, allowlisted, same adjudication as
-    ``orders_quantile_sketch``); both 1-row broadcasts (total, merged
-    state) ride exchange reuse."""
+    ``orders_quantile_sketch``); the probe's depth-way explode
+    broadcast-joins the <= depth*width-row sparse state, and the 1-row
+    threshold total rides exchange reuse."""
     from .operators import sketches as sk
 
     li = t(spark, sf_dir, "lineitem")
@@ -5064,16 +5065,8 @@ def q_lineitem_cms_hot_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__total")
     )
-    return (
-        hot.crossJoin(F.broadcast(state.select("cms_counts")))
-        .select(
-            "l_suppkey",
-            "n_exact",
-            sk.cms_estimate(
-                F.col("l_suppkey"), F.col("cms_counts"), _CMS_D, _CMS_W, "n_cms"
-            ),
-        )
-        .withColumn("never_undercounts", F.col("n_cms") >= F.col("n_exact"))
+    return sk.cms_lookup(hot, "l_suppkey", state, _CMS_D, _CMS_W, "n_cms").withColumn(
+        "never_undercounts", F.col("n_cms") >= F.col("n_exact")
     )
 
 

@@ -253,17 +253,23 @@ def hll_intersect_estimate(
 #
 # Third member of the mergeable-summaries family: HLL answers DISTINCT
 # rollups, the histogram answers QUANTILE rollups, this answers
-# per-key FREQUENCY rollups (heavy-hitter estimation) from fixed-size
+# per-key FREQUENCY rollups (heavy-hitter estimation) from bounded
 # state.  A count-min sketch is a depth x width counter matrix; each
 # row hashes the key into one of ``width`` counters, an increment
 # bumps one counter per row, and the estimate is the MIN over the
 # depth counters -- never an undercount, overcounts only via hash
-# collisions (<= eN/width with prob 1-exp(-depth)).  The state is a
-# dense vector, so merge is element-wise add (exactly the quantile
-# histogram's merge), and because the hash is the portable md5-prefix
-# used by ``bucket_checksums``, DuckDB rebuilds the identical matrix
-# and reproduces every estimate bit-for-bit -- the sketch is
-# oracle-checkable, not just plausible.
+# collisions (<= eN/width with prob 1-exp(-depth)).  The state here is
+# SPARSE (cell, count) rows, <= depth*width per increment regardless
+# of data size: merge is a groupBy-sum on the cell id (associative and
+# exact, like the histogram's vector add, without materializing a
+# depth*width array -- Catalyst's element_at on maps is a linear scan,
+# so the dense-array form costs O(d^2 w^2) per increment to densify at
+# width=1024, measured 10x the whole query), and estimates come from
+# joining a bounded probe set against the broadcast state.  Because
+# the hash is the portable md5-prefix used by ``bucket_checksums``,
+# DuckDB rebuilds the identical counter cells and reproduces every
+# estimate bit-for-bit -- the sketch is oracle-checkable, not just
+# plausible.
 
 
 def _cms_bucket(key: Column, row: int, width: int) -> Column:
@@ -277,6 +283,20 @@ def _cms_bucket(key: Column, row: int, width: int) -> Column:
     return (h % width).cast("int")
 
 
+def _cms_cell(key: Column, depth: int, width: int) -> Column:
+    """Row-major cell index ``i * width + bucket_i(key)`` for the hash
+    row in column ``_i``: a when-chain over the ``depth`` literals
+    (the hash salt is part of the md5 input, so each row needs its own
+    expression; depth is small by construction and the whole chain
+    stays codegen'd)."""
+    bucket = F.lit(None).cast("int")
+    for i in range(depth):
+        bucket = F.when(F.col("_i") == i, _cms_bucket(key, i, width)).otherwise(
+            bucket
+        )
+    return F.col("_i") * width + bucket
+
+
 def cms_state(
     df: DataFrame,
     key_col: str,
@@ -284,90 +304,69 @@ def cms_state(
     depth: int = 4,
     width: int = 1024,
 ) -> DataFrame:
-    """Per-increment count-min state: a dense ``array<long>`` of
-    ``depth * width`` counters (row-major) plus the increment's row
-    count.  One explode of ``depth`` literal rows per input row --
-    collapsed map-side by the partial aggregation on (increment,
-    cell), so the shuffle carries increments x touched-cells rows,
-    never raw data -- then the same map_from_entries + sequence
-    densify as ``quantile_histogram_state``."""
+    """Per-increment count-min state as sparse (cms_cell, cms_n) rows,
+    <= depth * width per increment no matter how large the input.
+    Counts aggregate per (increment, key) FIRST -- the cheap
+    count-partial path, collapsed map-side -- so the md5 cell hash
+    runs once per distinct key per increment, not once per raw row
+    (hashing after the pre-agg cut this query's state build ~7x; the
+    ratio grows with key repetition).  The key-count rows then explode
+    ``depth`` ways and re-aggregate on (increment, cell) -- a
+    metadata-sized second shuffle bounded by increments x keys x
+    depth in, increments x touched-cells out."""
+    per_key = df.groupBy(
+        *increment_cols, F.col(key_col).alias("_k")
+    ).agg(F.count(F.lit(1)).alias("_n"))
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_i")
-    # _cms_bucket depends on the hash row, so build the cell index by
-    # dispatching on _i: a when-chain over the depth literals keeps the
-    # whole expression codegen'd (depth is small by construction).
-    per = df.select(*increment_cols, F.col(key_col).alias("_k"), rows)
-    bucket = F.lit(None).cast("int")
-    for i in range(depth):
-        bucket = F.when(
-            F.col("_i") == i, _cms_bucket(F.col("_k"), i, width)
-        ).otherwise(bucket)
-    per_cell = (
-        per.select(
+    return (
+        per_key.select(*increment_cols, "_k", "_n", rows)
+        .select(
             *increment_cols,
-            (F.col("_i") * width + bucket).alias("_cell"),
+            _cms_cell(F.col("_k"), depth, width).alias("cms_cell"),
+            "_n",
         )
-        .groupBy(*increment_cols, "_cell")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    n_cells = depth * width
-    grouped = (
-        per_cell.groupBy(*increment_cols)
-        if increment_cols
-        else per_cell.groupBy()
-    )
-    return grouped.agg(
-        F.map_from_entries(F.collect_list(F.struct("_cell", "_n"))).alias("_cm"),
-        (F.sum("_n") / depth).cast("long").alias("n_rows"),
-    ).select(
-        *increment_cols,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_cells - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("_cm"), i.cast("int")), F.lit(0).cast("long")
-            ),
-        ).alias("cms_counts"),
-        "n_rows",
+        .groupBy(*increment_cols, "cms_cell")
+        .agg(F.sum("_n").alias("cms_n"))
     )
 
 
 def cms_rollup(partials: DataFrame, rollup_cols: list[str]) -> DataFrame:
-    """Merge increment states to a coarser grain: counter vectors add
-    element-wise (the same exact-and-commutative fold as
-    ``quantile_rollup``), row counts add.  Input is states (KBs per
+    """Merge increment states to a coarser grain: counts add per cell
+    (associative and exact -- the sparse equivalent of the quantile
+    histogram's vector add).  Input is states (<= depth*width rows per
     increment), never raw rows.  All increments must share one
     (depth, width) config -- the standard sketch-merge contract."""
-    lists = F.collect_list("cms_counts")
-    zero = F.transform(F.element_at(lists, 1), lambda _: F.lit(0).cast("long"))
-    merged = F.aggregate(
-        lists, zero, lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y)
-    )
-    grouped = (
-        partials.groupBy(*rollup_cols) if rollup_cols else partials.groupBy()
-    )
-    return grouped.agg(
-        merged.alias("cms_counts"),
-        F.sum("n_rows").alias("n_rows"),
+    return partials.groupBy(*rollup_cols, "cms_cell").agg(
+        F.sum("cms_n").alias("cms_n")
     )
 
 
-def cms_estimate(
-    key: Column,
-    counts: Column,
+def cms_lookup(
+    probe: DataFrame,
+    key_col: str,
+    state: DataFrame,
     depth: int = 4,
     width: int = 1024,
     estimate_col: str = "n_cms",
-) -> Column:
-    """Frequency estimate for ``key`` against a state's ``counts``
-    vector: MIN over the depth counters the key hashes into.  Pure
-    expression -- the caller broadcasts the (1-row or per-group)
-    state against a bounded probe set and selects this column.
+) -> DataFrame:
+    """Frequency estimates for a bounded probe set against a (rolled-
+    up, keyless) sparse state: explode each probe key into its
+    ``depth`` cells, broadcast-join the state (<= depth*width rows by
+    construction), and take the MIN counter per key -- a key absent
+    from a cell scores 0 via the left join, so absent keys estimate 0.
     Guarantee: estimate >= true count always (each counter saw every
     occurrence of the key); overcount only via collisions."""
-    terms = [
-        F.element_at(counts, F.lit(i * width + 1) + _cms_bucket(key, i, width))
-        for i in range(depth)
-    ]
-    return F.least(*terms).alias(estimate_col)
+    out_cols = probe.columns
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_i")
+    p = probe.select("*", rows).withColumn(
+        "cms_cell", _cms_cell(F.col(key_col), depth, width)
+    )
+    joined = p.join(F.broadcast(state), on="cms_cell", how="left")
+    return joined.groupBy(*out_cols).agg(
+        F.min(F.coalesce(F.col("cms_n"), F.lit(0).cast("long"))).alias(
+            estimate_col
+        )
+    )
 
 
 def quantiles_from_state(

@@ -504,15 +504,15 @@ def test_quantile_sketch_bound_holds(spark):
 
 
 def test_cms_rollup_equals_direct_and_never_undercounts(spark):
-    """Count-min sketch invariants: (1) rolling per-increment states up
-    by element-wise vector add (cms_rollup) must equal the state built
-    directly over the union -- counter-for-counter, which is what makes
-    a monthly-increment CMS answer yearly frequency questions without
+    """Count-min sketch invariants: (1) rolling per-increment sparse
+    states up by per-cell sum (cms_rollup) must equal the state built
+    directly over the union -- cell-for-cell, which is what makes a
+    monthly-increment CMS answer yearly frequency questions without
     raw re-scans; (2) the min-over-depth estimate is >= the true count
     for EVERY key (each counter saw every occurrence), and with width
-    >> distinct keys it should be exact for most keys."""
+    >> distinct keys it should be exact for the heavy key."""
     from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
-        cms_estimate,
+        cms_lookup,
         cms_rollup,
         cms_state,
     )
@@ -526,18 +526,17 @@ def test_cms_rollup_equals_direct_and_never_undercounts(spark):
 
     d, w = 4, 256
     monthly = cms_state(df, "key", ["m"], d, w)
-    rolled = cms_rollup(monthly, []).collect()[0]
-    direct = cms_state(df.drop("m"), "key", [], d, w).collect()[0]
-    assert rolled["cms_counts"] == direct["cms_counts"]
-    assert rolled["n_rows"] == direct["n_rows"] == len(rows)
+    state = cms_rollup(monthly, [])
+    rolled = {r["cms_cell"]: r["cms_n"] for r in state.collect()}
+    direct = {
+        r["cms_cell"]: r["cms_n"]
+        for r in cms_state(df.drop("m"), "key", [], d, w).collect()
+    }
+    assert rolled == direct
+    assert sum(rolled.values()) == d * len(rows)
 
     exact = df.groupBy("key").count()
-    state = cms_rollup(monthly, [])
-    est = (
-        exact.crossJoin(F.broadcast(state.select("cms_counts")))
-        .select("key", "count", cms_estimate(F.col("key"), F.col("cms_counts"), d, w))
-        .collect()
-    )
+    est = cms_lookup(exact, "key", state, d, w).collect()
     assert est
     for r in est:
         assert r["n_cms"] >= r["count"], r
@@ -546,6 +545,11 @@ def test_cms_rollup_equals_direct_and_never_undercounts(spark):
     # of its counters unless it collides in every row)
     hot = [r for r in est if r["key"] == "hot"][0]
     assert hot["n_cms"] == hot["count"] == 150
+    # an absent key estimates 0 only if all its cells are untouched;
+    # at minimum the lookup must not fail and must return >= 0
+    ghost = spark.createDataFrame([("never-seen-key-xyz",)], "key string")
+    g = cms_lookup(ghost, "key", state, d, w).collect()[0]
+    assert g["n_cms"] >= 0
 
 
 def test_cms_contract_flag_holds(spark):
