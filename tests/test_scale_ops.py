@@ -581,3 +581,32 @@ def test_hll_intersect_estimate_tracks_true_overlap(spark):
     got = hll_intersect_estimate(partials, "side").collect()[0]
     assert got["_n_sides"] == 2
     assert abs(got["n_common_est"] - 1000) <= 0.05 * 5000, got
+
+
+def test_cms_state_join_is_hash_join(spark):
+    """The cms_lookup state join must stay a BroadcastHashJoin on
+    cms_cell. The query's plan-lint ALLOW entry permits a nested-loop
+    join for the 1-row threshold total, which would also mask the
+    state join degenerating -- this pins it: every nested-loop in the
+    plan is the threshold cross (condition on n_exact/__total), and a
+    LeftOuter hash join exists for the cell lookup."""
+    import contextlib
+    import io
+
+    from finance_etl_pipeline_monthly_close_dataset_spark import contract
+
+    df = contract.QUERIES["lineitem_cms_hot_suppliers"](
+        spark, "/root/testdata/sf0.001"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    # formatted detail sections: "(n) BroadcastNestedLoopJoin" followed
+    # by its "Join condition:" line a few lines below
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" in line and line.strip().startswith("("):
+            seg = "\n".join(lines[i : i + 6])
+            assert "__total" in seg or "n_exact" in seg, seg
