@@ -5110,6 +5110,177 @@ GROUP BY 1, 2
 """
 
 
+_KMV_K = 256
+
+
+def q_orders_kmv_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch (``sketches.kmv_state`` family), the
+    set-operations member of the mergeable-summaries quartet (HLL =
+    distinct, histogram = quantiles, CMS = frequencies, KMV = distinct
+    INTERSECTIONS): which customers order in BOTH calendar halves?
+    Orders aggregate once per (half, month) into a 256-hash bottom-k
+    sketch -- the persistable monthly increment -- monthly sketches
+    merge losslessly to per-half sketches (``merge_matches_direct``
+    asserts the bottom-k identity: merge-of-months == direct-over-raw
+    bit-for-bit), and the intersection estimate comes off the two
+    sketches via the theta-sketch identity, never re-scanning raw
+    rows.  Because the hash is the portable md5-prefix and every
+    estimate is a fixed IEEE expression over hash ranks, DuckDB
+    rebuilds identical sketches and reproduces every estimate
+    bit-for-bit.  At sf0.001 the distinct sets fit inside k (exact
+    regime: estimates ARE the true counts); at sf0.01+ they exceed k
+    (estimate regime) -- both branches oracle-covered.
+
+    Scale shape: the sketch build is one scan with a map-side distinct
+    partial and a WindowGroupLimit rank filter (each task ships at
+    most k hashes per increment); the direct-sketch branch and the
+    exact-intersection branch are measurement shapes (the theorem and
+    the truth the estimate is judged against), allowlisted like the
+    CMS probe scan."""
+    from .operators import sketches as sk
+
+    o = t(spark, sf_dir, "orders").select(
+        F.when(F.month("o_orderdate") <= 6, F.lit("H1"))
+        .otherwise(F.lit("H2"))
+        .alias("half"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+        "o_custkey",
+    )
+    monthly = sk.kmv_state(o, "o_custkey", ["half", "yyyymm"], _KMV_K)
+    merged = sk.kmv_rollup(monthly, ["half"], _KMV_K)
+    direct = sk.kmv_state(o, "o_custkey", ["half"], _KMV_K).withColumnRenamed(
+        "kmv_hashes", "direct_hashes"
+    )
+    per_half = merged.join(direct, "half").select(
+        "half",
+        "kmv_hashes",
+        (F.col("kmv_hashes") == F.col("direct_hashes")).alias("_match"),
+    )
+    one = per_half.groupBy().agg(
+        F.min(F.when(F.col("half") == "H1", F.col("kmv_hashes"))).alias("_a"),
+        F.min(F.when(F.col("half") == "H2", F.col("kmv_hashes"))).alias("_b"),
+        F.bool_and("_match").alias("merge_matches_direct"),
+    )
+    exact = (
+        o.select("half", "o_custkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .filter(F.col("_nh") == 2)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_common_exact"))
+    )
+    return one.crossJoin(F.broadcast(exact)).select(
+        sk.kmv_estimate(F.col("_a"), _KMV_K).alias("n_h1_est"),
+        sk.kmv_estimate(F.col("_b"), _KMV_K).alias("n_h2_est"),
+        sk.kmv_estimate(
+            F.slice(
+                F.array_sort(F.array_distinct(F.concat("_a", "_b"))),
+                1,
+                _KMV_K,
+            ),
+            _KMV_K,
+        ).alias("n_union_est"),
+        sk.kmv_intersect_estimate(F.col("_a"), F.col("_b"), _KMV_K).alias(
+            "n_common_est"
+        ),
+        "n_common_exact",
+        "merge_matches_direct",
+    )
+
+
+# the oracle rebuilds sketch MEMBERSHIP as scalar rank predicates
+# (row_number <= k) instead of arrays, then reproduces the same IEEE
+# estimate expressions; the merge theorem is re-derived for real
+# (monthly bottom-k -> re-ranked merge vs direct bottom-k, symmetric
+# set difference must be empty), not asserted as a literal.  The
+# estimates ship UNROUNDED: both engines evaluate the same fixed IEEE
+# expression over the same integer hash ranks, so the doubles are
+# bit-identical -- and skipping round() sidesteps the known
+# F.round-HALF_UP vs DuckDB binary-double-round divergence on
+# repr-exact halves (operators/kmeans.py:41 docstring).
+SQL_ORDERS_KMV_CUSTOMERS = f"""
+WITH base AS (
+  SELECT DISTINCT
+         CASE WHEN month(o_orderdate) <= 6 THEN 'H1' ELSE 'H2' END AS half,
+         year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM orders
+),
+half_hashes AS (SELECT DISTINCT half, h FROM base),
+direct_sk AS (
+  SELECT half, h FROM (
+    SELECT half, h,
+           row_number() OVER (PARTITION BY half ORDER BY h) AS r
+    FROM half_hashes
+  ) WHERE r <= {_KMV_K}
+),
+monthly_sk AS (
+  SELECT half, h FROM (
+    SELECT half, yyyymm, h,
+           row_number() OVER (PARTITION BY half, yyyymm ORDER BY h) AS r
+    FROM base
+  ) WHERE r <= {_KMV_K}
+),
+merged_sk AS (
+  SELECT half, h FROM (
+    SELECT half, h,
+           row_number() OVER (PARTITION BY half ORDER BY h) AS r
+    FROM (SELECT DISTINCT half, h FROM monthly_sk)
+  ) WHERE r <= {_KMV_K}
+),
+diff AS (
+  SELECT COUNT(*) AS d FROM (
+    (SELECT half, h FROM merged_sk EXCEPT SELECT half, h FROM direct_sk)
+    UNION ALL
+    (SELECT half, h FROM direct_sk EXCEPT SELECT half, h FROM merged_sk)
+  )
+),
+thetas AS (
+  SELECT half, MAX(h) AS theta, COUNT(*) AS sz FROM direct_sk GROUP BY 1
+),
+usk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS r
+    FROM (SELECT DISTINCT h FROM direct_sk)
+  ) WHERE r <= {_KMV_K}
+),
+u_stats AS (SELECT MAX(h) AS theta, COUNT(*) AS sz FROM usk),
+common AS (SELECT h FROM direct_sk GROUP BY h HAVING COUNT(*) = 2),
+rho AS (SELECT COUNT(*) AS c FROM common JOIN usk USING (h)),
+exact AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT o_custkey FROM (
+      SELECT DISTINCT
+             CASE WHEN month(o_orderdate) <= 6 THEN 'H1' ELSE 'H2' END AS half,
+             o_custkey
+      FROM orders
+    ) GROUP BY o_custkey HAVING COUNT(*) = 2
+  )
+)
+SELECT
+  CASE WHEN h1.sz < {_KMV_K} THEN CAST(h1.sz AS DOUBLE)
+       ELSE CAST({_KMV_K - 1} AS DOUBLE) * power(2, 60)
+            / CAST(h1.theta AS DOUBLE) END AS n_h1_est,
+  CASE WHEN h2.sz < {_KMV_K} THEN CAST(h2.sz AS DOUBLE)
+       ELSE CAST({_KMV_K - 1} AS DOUBLE) * power(2, 60)
+            / CAST(h2.theta AS DOUBLE) END AS n_h2_est,
+  CASE WHEN u.sz < {_KMV_K} THEN CAST(u.sz AS DOUBLE)
+       ELSE CAST({_KMV_K - 1} AS DOUBLE) * power(2, 60)
+            / CAST(u.theta AS DOUBLE) END AS n_union_est,
+  CASE WHEN u.sz < {_KMV_K} THEN CAST(rho.c AS DOUBLE)
+       ELSE CAST(rho.c AS DOUBLE) / CAST({_KMV_K} AS DOUBLE)
+            * (CAST({_KMV_K - 1} AS DOUBLE) * power(2, 60)
+               / CAST(u.theta AS DOUBLE)) END AS n_common_est,
+  exact.n AS n_common_exact,
+  (diff.d = 0) AS merge_matches_direct
+FROM (SELECT theta, sz FROM thetas WHERE half = 'H1') h1,
+     (SELECT theta, sz FROM thetas WHERE half = 'H2') h2,
+     u_stats u, rho, exact, diff
+"""
+
+
 def q_orders_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (``operators/matview.py``):
     orders arrive as three deterministic hash batches; each batch is
@@ -7611,6 +7782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_features": q_video_features,
     "docs_semantic_contamination": q_docs_semantic_contamination,
     "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
+    "orders_kmv_customers": q_orders_kmv_customers,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -7805,6 +7977,7 @@ ORACLES: dict[str, str] = {
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_features": SQL_VIDEO_FEATURES,
+    "orders_kmv_customers": SQL_ORDERS_KMV_CUSTOMERS,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

@@ -412,3 +412,107 @@ def quantiles_from_state(
         name = "p" + str(q * 100).rstrip("0").rstrip(".").replace(".", "_")
         out = out.withColumn(name, F.round(est, 6))
     return out.drop("bucket_counts")
+
+
+# -- KMV (bottom-k) distinct sketch -----------------------------------------
+#
+# Fourth member of the mergeable-summaries family: HLL answers
+# DISTINCT rollups, the histogram QUANTILES, CMS per-key FREQUENCIES
+# -- KMV answers SET OPERATIONS on distincts, the one thing HLL can
+# only approach by error-compounding inclusion-exclusion
+# (`hll_intersect_estimate`).  The sketch is simply the k smallest
+# DISTINCT 60-bit md5-prefix hashes of the value: a uniform sample of
+# the value space, so the k-th smallest hash theta estimates density
+# ((k-1) / (theta / 2^60) distincts), merge is "k smallest of the
+# union of members" (lossless: bottom-k of a union equals bottom-k of
+# the members' bottom-k's), and an INTERSECTION estimate falls out of
+# the theta-sketch identity: within the union's bottom-k sample, the
+# fraction of hashes present in BOTH sides' sketches is an unbiased
+# estimate of |A intersect B| / |A union B|.  Because the hash is the
+# portable md5-prefix (`bucket_checksums` identity) and every estimate
+# is a fixed IEEE expression over integer hash ranks, DuckDB
+# reproduces sketch contents AND estimates bit-for-bit -- like the
+# histogram and CMS (and unlike HLL's engine-specific binary),
+# this sketch is oracle-checkable, not just plausible.
+
+_KMV_SCALE = float(2**60)  # hash space size: hashes are uniform in [0, 2^60)
+
+
+def kmv_state(
+    df: DataFrame,
+    value_col: str,
+    increment_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per-increment bottom-k sketch: the sorted array of the k
+    smallest distinct md5-prefix hashes of ``value_col`` (fewer than k
+    => the whole distinct hash set, the exact regime).
+
+    Scale shape: the distinct collapses map-side (partial agg on
+    (increment, hash)); the rank filter is a ``row_number() <= k``
+    predicate, which Spark >= 3.5 rewrites to WindowGroupLimit -- each
+    map task keeps only its local bottom-k per increment BEFORE the
+    shuffle, so the exchange carries O(increments x k x tasks) hashes,
+    never the distinct set; the final collect_list is k longs per
+    increment."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    distinct = df.select(*increment_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*increment_cols).orderBy("_h")
+    return (
+        distinct.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy(*increment_cols)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv_hashes"))
+    )
+
+
+def kmv_rollup(partials: DataFrame, rollup_cols: list[str], k: int = 256) -> DataFrame:
+    """Merge increment sketches to a coarser grain: the k smallest of
+    the union of member arrays.  Lossless by the bottom-k identity --
+    any hash in the rolled-up table's true bottom-k is in its own
+    increment's bottom-k, so merge-of-increments == direct-over-raw
+    bit-for-bit (the checked theorem in `orders_kmv_customers`).
+    Input is sketches (k longs per increment), never raw rows; the
+    per-group flatten is bounded by members x k."""
+    grouped = (
+        partials.groupBy(*rollup_cols) if rollup_cols else partials.groupBy()
+    )
+    return grouped.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv_hashes")))),
+            1,
+            k,
+        ).alias("kmv_hashes")
+    )
+
+
+def kmv_estimate(sketch: Column, k: int = 256) -> Column:
+    """Distinct-count estimate off a sketch array: exact size when the
+    sketch holds fewer than k hashes (the whole distinct set fit), else
+    (k-1) / (theta / 2^60) with theta the k-th smallest hash.  Every
+    operand is exact in a double ((k-1) * 2^60 is a tiny mantissa times
+    a power of two), so the single IEEE divide makes the estimate
+    engine-portable bit-for-bit."""
+    theta = F.element_at(sketch, k).cast("double")
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / theta)
+
+
+def kmv_intersect_estimate(a: Column, b: Column, k: int = 256) -> Column:
+    """|A intersect B| estimate from two sketches (theta-sketch
+    identity): build the union sketch u = bottom-k(a ++ b); within
+    that uniform sample of A union B, count hashes present in BOTH
+    input sketches (rho); estimate = (rho / k) * est(|A union B|).
+    In the exact regime (|union| < k) every distinct hash is in u and
+    both sides' sketches are complete, so rho IS the exact
+    intersection count.  Same fixed IEEE expression both engines."""
+    u = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    rho = F.size(F.array_intersect(F.array_intersect(a, b), u))
+    return F.when(F.size(u) < k, rho.cast("double")).otherwise(
+        rho.cast("double") / F.lit(float(k)) * kmv_estimate(u, k)
+    )

@@ -610,3 +610,107 @@ def test_cms_state_join_is_hash_join(spark):
         if "BroadcastNestedLoopJoin" in line and line.strip().startswith("("):
             seg = "\n".join(lines[i : i + 6])
             assert "__total" in seg or "n_exact" in seg, seg
+
+
+def test_kmv_rollup_equals_direct_and_estimates_track(spark):
+    """The bottom-k identity that makes KMV partials safe to persist:
+    re-bottom-k over per-increment sketches equals the direct sketch
+    of the raw data BIT-FOR-BIT (array equality, not estimate
+    closeness), and the distinct / intersection estimates track the
+    exact values within the k=256 sampling error (~4/sqrt(k) allows
+    25%; observed well under)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_rollup,
+        kmv_state,
+    )
+
+    k = 256
+    # A = 0..2999, B = 2000..4999 -> true overlap 1000, union 5000,
+    # spread over 12 monthly increments
+    df = spark.range(3000).select(
+        F.lit("A").alias("side"), (F.col("id") % 12).alias("m"), F.col("id").alias("v")
+    ).union(
+        spark.range(2000, 5000).select(
+            F.lit("B").alias("side"), (F.col("id") % 12).alias("m"), F.col("id").alias("v")
+        )
+    )
+    monthly = kmv_state(df, "v", ["side", "m"], k)
+    assert monthly.count() == 24
+    merged = kmv_rollup(monthly, ["side"], k)
+    direct = kmv_state(df, "v", ["side"], k).withColumnRenamed(
+        "kmv_hashes", "direct_hashes"
+    )
+    both = merged.join(direct, "side")
+    assert both.filter(
+        F.col("kmv_hashes") != F.col("direct_hashes")
+    ).count() == 0  # merge == direct, bit-for-bit
+
+    row = (
+        both.groupBy()
+        .agg(
+            F.min(F.when(F.col("side") == "A", F.col("kmv_hashes"))).alias("_a"),
+            F.min(F.when(F.col("side") == "B", F.col("kmv_hashes"))).alias("_b"),
+        )
+        .select(
+            kmv_estimate(F.col("_a"), k).alias("na"),
+            kmv_estimate(F.col("_b"), k).alias("nb"),
+            kmv_intersect_estimate(F.col("_a"), F.col("_b"), k).alias("nc"),
+        )
+        .collect()[0]
+    )
+    assert abs(row.na - 3000) / 3000 < 0.25, row
+    assert abs(row.nb - 3000) / 3000 < 0.25, row
+    assert abs(row.nc - 1000) <= 0.25 * 5000, row
+
+
+def test_kmv_exact_regime_is_exact(spark):
+    """Below k distinct values the sketch IS the distinct hash set:
+    estimates and the intersection are exact integers, no sampling."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_state,
+    )
+
+    k = 256
+    df = spark.range(100).select(F.lit("A").alias("side"), F.col("id").alias("v")).union(
+        spark.range(60, 160).select(F.lit("B").alias("side"), F.col("id").alias("v"))
+    )
+    sk = kmv_state(df, "v", ["side"], k)
+    row = (
+        sk.groupBy()
+        .agg(
+            F.min(F.when(F.col("side") == "A", F.col("kmv_hashes"))).alias("_a"),
+            F.min(F.when(F.col("side") == "B", F.col("kmv_hashes"))).alias("_b"),
+        )
+        .select(
+            kmv_estimate(F.col("_a"), k).alias("na"),
+            kmv_intersect_estimate(F.col("_a"), F.col("_b"), k).alias("nc"),
+        )
+        .collect()[0]
+    )
+    assert row.na == 100.0 and row.nc == 40.0, row
+
+
+def test_kmv_state_pushes_group_limit_before_shuffle(spark):
+    """The scale claim in kmv_state's docstring: the row_number() <= k
+    filter must compile to WindowGroupLimit on BOTH sides of the
+    exchange (partial + final), so each map task ships at most k
+    hashes per increment instead of the whole distinct set."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.sketches import (
+        kmv_state,
+    )
+    import contextlib
+    import io
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).alias("m"), F.col("id").alias("v")
+    )
+    sk = kmv_state(df, "v", ["m"], 16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sk.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("WindowGroupLimit") >= 2, plan

@@ -72,6 +72,16 @@ ALLOW: dict[str, dict[str, str]] = {
         "the grouped shuffle (post-execution plan asserted by "
         "test_heavy_hitters_exchange_reuse_fires) -- one scan executes",
     },
+    "orders_kmv_customers": {
+        "nested_loop": "two 1-row broadcasts: the per-half sketch "
+        "pivot row and the exact-intersection count",
+        "multi_scan:orders": "measurement shape x2 (same adjudication "
+        "as lineitem_cms_hot_suppliers): the direct-sketch branch "
+        "exists to CHECK the merge theorem against the monthly path, "
+        "and the exact-intersection branch is the truth the estimate "
+        "is judged against; the production path (monthly sketches -> "
+        "rollup -> intersect) is one scan",
+    },
     "lineitem_cms_hot_suppliers": {
         "nested_loop": "two 1-row broadcasts: the heavy-hitter "
         "threshold total and the merged CMS counter state",
