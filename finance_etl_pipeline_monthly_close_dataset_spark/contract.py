@@ -7603,6 +7603,98 @@ def q_embedding_semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_EWMA_WINDOW = 24  # last N hourly buckets per type; bounds the fold depth
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume
+    per type -- the recency-weighted anomaly baseline `events_anomaly
+    _hours`'s plain mean can't give.  alpha = 1/2 (y_t = (x_t +
+    y_{t-1}) / 2, y_1 = x_1) is chosen deliberately: every step is a
+    dyadic-rational operation on integer counts, so with the window
+    capped at 24 hourly buckets the fold stays EXACT in a double
+    whenever max_count * 2^23 * 24 < 2^53 (max hourly count < ~16M;
+    observed max 51 at sf0.1), which is what lets DuckDB reproduce the
+    recursive fold through its CLOSED FORM -- y_n = x_1 / 2^(n-1) +
+    sum_{i>=2} x_i / 2^(n-i+1) -- bit-for-bit regardless of SQL's
+    unspecified summation order (every partial sum is exact).  An
+    uncapped EWMA would underflow past ~2^-1074 and the two engines'
+    rounding would diverge; the cap is the portability contract, and
+    it is also the scale contract: state per type is <= 24 (hour,
+    count) pairs no matter how large the raw table.
+
+    Scale shape: one scan, map-side partial count to (type, hour),
+    WindowGroupLimit keeps each task's bottom-24-by-recency before the
+    shuffle, and the fold runs over a <= 24-element array per type --
+    no second exchange."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("_h")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("_h").desc())
+    last = (
+        hourly.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _EWMA_WINDOW)
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_c").alias("c")))
+            ).alias("_series")
+        )
+    )
+    ewma = F.aggregate(
+        F.col("_series"),
+        F.lit(None).cast("double"),
+        lambda acc, e: F.when(acc.isNull(), e["c"].cast("double")).otherwise(
+            (e["c"].cast("double") + acc) / F.lit(2.0)
+        ),
+    )
+    total = F.aggregate(
+        F.col("_series"),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e["c"],
+    )
+    return last.select(
+        "event_type",
+        F.size("_series").cast("int").alias("n_hours"),
+        ewma.alias("ewma_count"),
+        (total.cast("double") / F.size("_series").cast("double")).alias(
+            "mean_count"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_EVENTS_EWMA = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+last24 AS (
+  SELECT event_type, h, c FROM (
+    SELECT event_type, h, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY h DESC) AS r
+    FROM hourly
+  ) WHERE r <= {_EWMA_WINDOW}
+),
+idx AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM last24
+)
+SELECT event_type,
+       CAST(MAX(n) AS INTEGER) AS n_hours,
+       SUM(CASE WHEN i = 1 THEN c * power(0.5, n - 1)
+                ELSE c * power(0.5, n - i + 1) END) AS ewma_count,
+       CAST(SUM(c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_count
+FROM idx
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -7783,6 +7875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_semantic_contamination": q_docs_semantic_contamination,
     "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
     "orders_kmv_customers": q_orders_kmv_customers,
+    "events_ewma": q_events_ewma,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -7978,6 +8071,7 @@ ORACLES: dict[str, str] = {
     "audio_features": SQL_AUDIO_FEATURES,
     "video_features": SQL_VIDEO_FEATURES,
     "orders_kmv_customers": SQL_ORDERS_KMV_CUSTOMERS,
+    "events_ewma": SQL_EVENTS_EWMA,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
