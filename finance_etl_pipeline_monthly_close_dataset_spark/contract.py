@@ -7695,6 +7695,105 @@ ORDER BY event_type
 """
 
 
+def q_events_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill over a sparse hourly series (``operators/
+    timeseries.py``): the level-series counterpart to
+    ``events_resampled``'s zero-fill -- missing buckets reconstruct by
+    linear interpolation between the nearest present neighbors,
+    clamped at the edges.  The series is a deterministic 4% md5 sample
+    of events (the testdata is dense at sf0.1, so sampling is what
+    makes gaps exist at every SF -- and it models the real shape:
+    repairing sampled telemetry).  Hourly sums aggregate in
+    decimal(18,6) before the double cast (order-independent, the
+    ``events_hourly`` pattern); the interpolation itself is the fixed
+    IEEE expression prev + (next - prev) * frac, so DuckDB reproduces
+    every filled value bit-for-bit via IGNORE-NULLS windows.
+
+    Scale shape: one events scan into a tiny persisted hourly
+    aggregate (<= types x hours rows) that feeds spine bounds, the key
+    dimension, and the join; the spine is sequence + explode, the
+    neighbor search two window passes over the spine -- no raw-row
+    window, no second scan."""
+    from .corpus import sample_by_hash
+    from .operators import timeseries as tsr
+
+    e = t(spark, sf_dir, "events")
+    sampled = sample_by_hash(e, 0.04, id_col="event_id")
+    hourly = (
+        sampled.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("v")
+        )
+        .persist()
+    )
+    spine = tsr.dense_spine(hourly, "event_type", "bucket")
+    out = tsr.interpolate_linear(spine, hourly, "event_type", "bucket", "v")
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "is_gap",
+        "value_interp",
+    )
+
+
+SQL_EVENTS_INTERPOLATED = """
+WITH sampled AS (
+  SELECT * FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INT) < 2621
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+              AS DOUBLE) AS v
+  FROM sampled GROUP BY 1, 2
+),
+b AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly),
+spine AS (
+  SELECT k.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM hourly) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM b) g
+),
+j AS (
+  SELECT s.event_type, s.bucket, h.v
+  FROM spine s LEFT JOIN hourly h USING (event_type, bucket)
+),
+w AS (
+  SELECT event_type, bucket, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL
+                    THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL
+                     THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY bucket
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ns
+  FROM j
+)
+SELECT event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       (v IS NULL) AS is_gap,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+                 * ((CAST(epoch(bucket) AS DOUBLE) - ps) / (ns - ps)) END
+         AS value_interp
+FROM w
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -7876,6 +7975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_semantic_dedup_arrow": q_embedding_semantic_dedup_arrow,
     "orders_kmv_customers": q_orders_kmv_customers,
     "events_ewma": q_events_ewma,
+    "events_interpolated": q_events_interpolated,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8072,6 +8172,7 @@ ORACLES: dict[str, str] = {
     "video_features": SQL_VIDEO_FEATURES,
     "orders_kmv_customers": SQL_ORDERS_KMV_CUSTOMERS,
     "events_ewma": SQL_EVENTS_EWMA,
+    "events_interpolated": SQL_EVENTS_INTERPOLATED,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

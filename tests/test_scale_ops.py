@@ -714,3 +714,37 @@ def test_kmv_state_pushes_group_limit_before_shuffle(spark):
         sk.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_interpolate_linear_fills_and_clamps(spark):
+    """Interior gaps fill linearly (seconds-weighted), edge gaps clamp
+    to the nearest observation, present rows pass through untouched."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.timeseries import (
+        dense_spine,
+        interpolate_linear,
+    )
+
+    present = spark.createDataFrame(
+        [
+            ("a", "2025-01-01 02:00:00", 10.0),
+            ("a", "2025-01-01 05:00:00", 40.0),
+            ("b", "2025-01-01 03:00:00", 7.0),
+        ],
+        "k string, bucket string, v double",
+    ).select("k", F.to_timestamp("bucket").alias("bucket"), "v")
+    spine = dense_spine(present, "k", "bucket")
+    out = interpolate_linear(spine, present, "k", "bucket", "v")
+    got = {
+        (r.k, r.bucket.strftime("%H")): (r.is_gap, r.value_interp)
+        for r in out.collect()
+    }
+    # spine is global [02:00, 05:00] for both keys
+    assert len(got) == 8
+    assert got[("a", "02")] == (False, 10.0)
+    assert got[("a", "03")] == (True, 20.0)   # 10 + (40-10) * 1/3
+    assert got[("a", "04")] == (True, 30.0)
+    assert got[("a", "05")] == (False, 40.0)
+    assert got[("b", "02")] == (True, 7.0)    # clamp before first
+    assert got[("b", "03")] == (False, 7.0)
+    assert got[("b", "04")] == (True, 7.0)    # clamp after last
+    assert got[("b", "05")] == (True, 7.0)

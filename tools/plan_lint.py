@@ -72,6 +72,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "the grouped shuffle (post-execution plan asserted by "
         "test_heavy_hitters_exchange_reuse_fires) -- one scan executes",
     },
+    "events_interpolated": {
+        "nested_loop": "dense-spine scaffold: the 1-row bounds "
+        "explode cross-joins the broadcast event-type dimension "
+        "(5 rows) -- bounded by calendar x types, never data",
+    },
     "orders_kmv_customers": {
         "nested_loop": "two 1-row broadcasts: the per-half sketch "
         "pivot row and the exact-intersection count",
