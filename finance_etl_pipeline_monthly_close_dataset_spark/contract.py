@@ -7794,6 +7794,47 @@ FROM w
 """
 
 
+def q_docs_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF extension point (``functions/udtfs.py``): the
+    fixed-width character chunker invoked as a SQL table function via
+    LATERAL -- width 120, stride 100, so chunks overlap by 20 chars.
+    Arrow-batched (the plan shows ArrowEvalPythonUDTF; the
+    row-at-a-time BatchEvalPython stays banned), deterministic, and
+    reproduced by DuckDB with generate_series + substr arithmetic on
+    the same text -- the md5 of every chunk must match, so the UDTF's
+    slicing, stride, and row fan-out are all oracle-pinned.  The
+    production chunker remains the pure-expression
+    ``operators/chunking.py``; this query keeps the user-extension
+    seam itself tested."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_ix,
+               CAST(length(c.chunk) AS INT) AS n_chars,
+               md5(c.chunk) AS chunk_md5
+        FROM _udtf_docs d,
+             LATERAL chunk_text(d.doc_id, d.text, 120, 100) c
+        """
+    )
+
+
+SQL_DOCS_CHUNKS_UDTF = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, len(text) - 1, 100)) AS st
+  FROM documents
+)
+SELECT doc_id,
+       CAST(st / 100 AS INT) AS chunk_ix,
+       CAST(len(substr(text, st + 1, 120)) AS INT) AS n_chars,
+       md5(substr(text, st + 1, 120)) AS chunk_md5
+FROM starts
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -7976,6 +8017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_kmv_customers": q_orders_kmv_customers,
     "events_ewma": q_events_ewma,
     "events_interpolated": q_events_interpolated,
+    "docs_chunks_udtf": q_docs_chunks_udtf,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8173,6 +8215,7 @@ ORACLES: dict[str, str] = {
     "orders_kmv_customers": SQL_ORDERS_KMV_CUSTOMERS,
     "events_ewma": SQL_EVENTS_EWMA,
     "events_interpolated": SQL_EVENTS_INTERPOLATED,
+    "docs_chunks_udtf": SQL_DOCS_CHUNKS_UDTF,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

@@ -748,3 +748,27 @@ def test_interpolate_linear_fills_and_clamps(spark):
     assert got[("b", "03")] == (False, 7.0)
     assert got[("b", "04")] == (True, 7.0)    # clamp after last
     assert got[("b", "05")] == (True, 7.0)
+
+
+def test_chunk_text_udtf_matches_expression_slicing(spark):
+    """The UDTF extension seam: LATERAL fan-out, stride/width math,
+    and Arrow batching must reproduce plain substring slicing."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("_udtf_test_docs")
+    got = {
+        (r.doc_id, r.chunk_ix): r.chunk
+        for r in spark.sql(
+            "SELECT c.* FROM _udtf_test_docs d, "
+            "LATERAL chunk_text(d.doc_id, d.text, 4, 3) c"
+        ).collect()
+    }
+    assert got == {
+        (1, 0): "abcd", (1, 1): "defg", (1, 2): "ghij", (1, 3): "j",
+        (2, 0): "xyz",
+    }
