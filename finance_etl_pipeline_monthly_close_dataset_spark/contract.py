@@ -3652,6 +3652,131 @@ JOIN events p
 """
 
 
+def q_events_streamed_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join under the driver oracle: the
+    inner attribution query's missing half -- clicks that never
+    converted emit with null purchase columns once the watermark
+    PROVES no match can still arrive.  This is the one stream-stream
+    shape whose output depends on eviction, so the watermark is tight
+    (2 hours) and the replay is a SINGLE data batch (every event in
+    trigger one, so nothing is ever late-dropped pre-join) followed by
+    the engine's no-data flush batches, which advance the watermark to
+    its final value and release the unmatched state.
+
+    Determinism contract (prototyped, then pinned by the oracle at all
+    three SFs): matched rows equal the full batch inner join; a
+    non-converting click emits its null row iff
+    click_ts + 1 hour (the join's upper bound) < final watermark,
+    where final watermark = least(max click_ts, max purchase_ts) -
+    2 hours -- the join's event-time watermark is the MIN over its two
+    inputs' watermarks.  The DuckDB oracle recomputes exactly that
+    predicate, so the eviction schedule itself is oracle-checked, not
+    just the join values."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    e = events_table(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="contract_attr_outer_")
+    src = os.path.join(tmp, "src")
+    e.coalesce(1).write.parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = ev.streamed_attribution_join(
+        spark,
+        src,
+        schema,
+        attribution_window="1 hour",
+        watermark="2 hours",
+        how="leftOuter",
+    )
+    qn = f"stream_attr_outer_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .select(
+            "user_id",
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_str"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts_str"
+            ),
+            "purchase_value",
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(qn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_ATTRIBUTION_OUTER = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT MAX(ts) FROM clicks),
+               (SELECT MAX(ts) FROM purchases)) - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+         p.ts AS purchase_ts, p.value AS purchase_value
+  FROM clicks c
+  JOIN purchases p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+evicted AS (
+  SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+  FROM clicks c
+  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+    AND c.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+)
+SELECT user_id, click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str,
+       strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_str,
+       purchase_value,
+       TRUE AS converted
+FROM matched
+UNION ALL
+SELECT user_id, click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str,
+       NULL AS purchase_ts_str,
+       NULL AS purchase_value,
+       FALSE AS converted
+FROM evicted
+"""
+
+
 def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern mining: the 10 most common 3-event paths
     (lead() twice over the per-user timeline, then count). The window
@@ -8018,6 +8143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma": q_events_ewma,
     "events_interpolated": q_events_interpolated,
     "docs_chunks_udtf": q_docs_chunks_udtf,
+    "events_streamed_attribution_outer": q_events_streamed_attribution_outer,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8216,6 +8342,7 @@ ORACLES: dict[str, str] = {
     "events_ewma": SQL_EVENTS_EWMA,
     "events_interpolated": SQL_EVENTS_INTERPOLATED,
     "docs_chunks_udtf": SQL_DOCS_CHUNKS_UDTF,
+    "events_streamed_attribution_outer": SQL_EVENTS_STREAMED_ATTRIBUTION_OUTER,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
