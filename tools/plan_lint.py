@@ -72,6 +72,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "the grouped shuffle (post-execution plan asserted by "
         "test_heavy_hitters_exchange_reuse_fires) -- one scan executes",
     },
+    "parts_cross_sell": {
+        "nested_loop": "1-row global order-count broadcast for the "
+        "lift denominator; all branches read the persisted basket "
+        "(one lineitem scan)",
+    },
     "events_interpolated": {
         "nested_loop": "dense-spine scaffold: the 1-row bounds "
         "explode cross-joins the broadcast event-type dimension "
