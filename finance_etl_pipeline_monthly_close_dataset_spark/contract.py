@@ -8031,6 +8031,50 @@ LIMIT 20
 """
 
 
+def q_events_user_sessions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic TABLE-argument UDTF (the other half of the Spark 4
+    UDTF API next to ``docs_chunks_udtf``'s scalar LATERAL form): the
+    engine repartitions and sorts the input per the ``PARTITION BY
+    user_id ORDER BY ts`` clause, streams each user's events through
+    ``eval`` in event-time order, and ``terminate`` emits one summary
+    row per partition -- sessions counted with a 30-minute inactivity
+    gap in O(1) state per user.  Arrow-batched
+    (ArrowEvalPythonUDTF); the oracle recomputes the same summary with
+    the classic gaps-and-islands SQL, and the gap compare is
+    microsecond-exact on both sides (Python timedelta strict > 1800 s
+    vs DuckDB INTERVAL compare), so the session boundaries themselves
+    are pinned."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    events_table(spark, sf_dir).createOrReplaceTempView("_udtf_events")
+    return spark.sql(
+        """
+        SELECT * FROM user_session_stats(
+          TABLE(SELECT user_id, ts FROM _udtf_events)
+          PARTITION BY user_id ORDER BY ts)
+        """
+    )
+
+
+SQL_EVENTS_USER_SESSIONS_UDTF = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS INT) AS n_sessions,
+       CAST(COUNT(*) AS INT) AS n_events
+FROM seq
+GROUP BY user_id
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -8216,6 +8260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunks_udtf": q_docs_chunks_udtf,
     "events_streamed_attribution_outer": q_events_streamed_attribution_outer,
     "parts_cross_sell": q_parts_cross_sell,
+    "events_user_sessions_udtf": q_events_user_sessions_udtf,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8423,6 +8468,7 @@ ORACLES: dict[str, str] = {
     "docs_chunks_udtf": SQL_DOCS_CHUNKS_UDTF,
     "events_streamed_attribution_outer": SQL_EVENTS_STREAMED_ATTRIBUTION_OUTER,
     "parts_cross_sell": SQL_PARTS_CROSS_SELL,
+    "events_user_sessions_udtf": SQL_EVENTS_USER_SESSIONS_UDTF,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

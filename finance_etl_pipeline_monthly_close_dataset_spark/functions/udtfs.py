@@ -44,3 +44,44 @@ chunk_text_udtf = udtf(
 def register_udtfs(spark) -> None:
     """Idempotently register the engine's UDTFs for SQL use."""
     spark.udtf.register("chunk_text", chunk_text_udtf)
+    spark.udtf.register("user_session_stats", user_session_stats_udtf)
+
+
+class _UserSessionStats:
+    """TABLE-argument UDTF: consumes one user's events in event-time
+    order (``PARTITION BY user_id ORDER BY ts``) and emits a single
+    summary row from ``terminate()`` -- sessions counted with a
+    30-minute inactivity gap.  The per-partition state is three
+    scalars, so memory is O(1) per user regardless of event count."""
+
+    GAP_SECONDS = 1800
+
+    def __init__(self) -> None:
+        self._user = None
+        self._last = None
+        self._sessions = 0
+        self._events = 0
+
+    def eval(self, row):  # noqa: ANN001
+        user_id, ts = row["user_id"], row["ts"]
+        if ts is None:
+            return
+        self._user = user_id
+        if (
+            self._last is None
+            or (ts - self._last).total_seconds() > self.GAP_SECONDS
+        ):
+            self._sessions += 1
+        self._last = ts
+        self._events += 1
+
+    def terminate(self):
+        if self._events:
+            yield self._user, self._sessions, self._events
+
+
+user_session_stats_udtf = udtf(
+    _UserSessionStats,
+    returnType="user_id bigint, n_sessions int, n_events int",
+    useArrow=True,
+)

@@ -759,3 +759,70 @@ def test_max_concurrent_clamps_negative_day_prefix(spark, tmp_path):
     # day 1: session opens at 23:50 -> 1 live. day 2: carry_in=1 and
     # the only delta is -1 (max_run=-1, clamped to 0) -> still 1.
     assert out == {"2025-01-01": 1, "2025-01-02": 1}
+
+
+def test_rollup_restarts_exactly_once_from_checkpoint(spark, tmp_path):
+    """Exactly-once across process restarts: stop the rollup stream,
+    stage more data, start a NEW query from the same checkpoint --
+    the old batch must not re-aggregate (no double counts), the new
+    data must land, and an idle restart must add nothing."""
+    import os
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming import rollup
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "restart_src"
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    t0 = dt.datetime(2025, 3, 1, 9, 0)
+    args = (spark, str(src), schema, str(tmp_path / "rollup"), str(tmp_path / "ckpt"))
+
+    # life 1: one batch, then a clean stop
+    q = rollup.start_rollup(*args)
+    try:
+        write_batch("b1", [(t0, "click", 1.0), (t0, "view", 2.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # life 2: data staged while DOWN is picked up; b1 not re-read
+    write_batch("b2", [(t0, "click", 4.0)])
+    q = rollup.start_rollup(*args)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # life 3: idle restart adds nothing
+    q = rollup.start_rollup(*args)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["bucket"], r["key"]): (r["n_events"], r["sum_value"])
+        for r in rollup.read_rollup(spark, str(tmp_path / "rollup")).collect()
+    }
+    assert got == {(t0, "click"): (2, 5.0), (t0, "view"): (1, 2.0)}
+    # exactly one partial row per (key, batch) -- life 2 produced one
+    # new batch for click, life 3 produced none
+    partials = spark.read.parquet(str(tmp_path / "rollup"))
+    assert partials.filter("key = 'click'").count() == 2
+    assert partials.filter("key = 'view'").count() == 1

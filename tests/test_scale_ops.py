@@ -772,3 +772,34 @@ def test_chunk_text_udtf_matches_expression_slicing(spark):
         (1, 0): "abcd", (1, 1): "defg", (1, 2): "ghij", (1, 3): "j",
         (2, 0): "xyz",
     }
+
+
+def test_user_session_stats_udtf_partitions_and_terminates(spark):
+    """TABLE-argument UDTF: one terminate() row per PARTITION BY
+    group, events consumed in ORDER BY order, 30-min gap splits."""
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    t0 = dt.datetime(2025, 1, 1, 12, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=29)),          # same session
+        (1, t0 + dt.timedelta(minutes=61)),                   # gap 32m -> new
+        (2, t0), (2, t0 + dt.timedelta(minutes=30)),          # gap == 30m: same
+        (2, t0 + dt.timedelta(minutes=60, seconds=1)),        # 30m1s -> new
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").createOrReplaceTempView(
+        "_udtf_sess_test"
+    )
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT * FROM user_session_stats("
+            "TABLE(SELECT user_id, ts FROM _udtf_sess_test) "
+            "PARTITION BY user_id ORDER BY ts)"
+        ).collect()
+    }
+    assert got == {1: (2, 3), 2: (2, 3)}
