@@ -8294,21 +8294,22 @@ _DRIVER_WINDOW: list[str] = [
     "excess_stock_suppliers",
     "idle_rich_customers",
     "forecast_revenue_change",
-    "returned_item_customers",
     "nation_profit",
-    "lineitem_priority_mix",
     # new-in-round-8 operator code enters the window the round it
     # lands (the r7 lesson: never ship new code outside the driver
     # net) -- displacing five of the simplest TPC-H filter/agg shapes
     # (customer_order_distribution, promo_revenue_share,
-    # supplier_part_counts, small_order_revenue, large_volume_orders),
-    # each 3-SF CHECKALL-green and structurally the lowest-risk
-    # entries in the batch
+    # supplier_part_counts, small_order_revenue, large_volume_orders,
+    # returned_item_customers, lineitem_priority_mix), each 3-SF
+    # CHECKALL-green and structurally the lowest-risk entries in the
+    # batch
     "orders_kmv_customers",
     "events_ewma",
     "events_interpolated",
     "docs_chunks_udtf",
     "events_streamed_attribution_outer",
+    "parts_cross_sell",
+    "events_user_sessions_udtf",
     # embedding / ANN / kmeans family (r7's change landed here unchecked)
     "embedding_kmeans_centroids",
     "embedding_kmeans_centroids_arrow",
