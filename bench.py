@@ -88,6 +88,14 @@ HEAVY = [
     # or the partial-agg collapse changed shape
     "lineitem_cms_hot_suppliers",
     "orders_quantile_sketch",
+    # round 8 (later): KMV sketch build (distinct + WindowGroupLimit
+    # + two measurement branches), the basket self-join, the dense-
+    # spine interpolation windows, and the Arrow TABLE-arg UDTF (the
+    # one Python-path query -- tracks Arrow batch-transfer overhead)
+    "orders_kmv_customers",
+    "parts_cross_sell",
+    "events_interpolated",
+    "events_user_sessions_udtf",
 ]
 
 
