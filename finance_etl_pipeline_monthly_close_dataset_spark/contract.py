@@ -2581,6 +2581,90 @@ GROUP BY 1
 """.format(s=_sql_dsum("value", "18,6"))
 
 
+def q_events_streamed_dedup_shifted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under the driver oracle: the
+    re-delivered slice carries RE-STAMPED event times (+5 minutes, the
+    producer-retries-with-a-new-timestamp failure mode), so the exact
+    (id, ts) dedup of ``events_streamed_dedup`` would leak every one
+    of those rows -- id-only dedup within the watermark horizon is the
+    operator that catches them.  Aggregation is per event_type over
+    (count, decimal sum), identical in both surviving-copy worlds
+    (the copies differ only in ts), so the oracle is simply the batch
+    aggregate of the original table; any leaked retry inflates
+    ``n_events`` and hash-misses.
+
+    Determinism: the 365-day watermark exceeds the replay span, so no
+    dedup state expires mid-replay and no shifted row lands late.  At
+    100 TB the watermark is sized to the source's real re-delivery
+    horizon; state tracks rate x horizon either way."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    e = events_table(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="contract_stream_dedup_wm_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        e.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    # re-deliver slice 0 with re-stamped event times: the retry shape
+    # (id, ts) dedup cannot catch
+    e.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    deduped = ev.streamed_dedup_within_watermark(
+        spark, src, schema, id_col="event_id", watermark="365 days"
+    )
+    qn = f"stream_dedup_wm_{uuid.uuid4().hex}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table(qn)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "18,6").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(qn)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_EVENTS_STREAMED_DEDUP_SHIFTED = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {s} AS sum_value
+FROM events
+GROUP BY 1
+""".format(s=_sql_dsum("value", "18,6"))
+
+
 def q_orders_streamed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``foreachBatch`` upsert sink
     (``streaming/events.py::streamed_upsert_sink``) under the driver
@@ -8075,6 +8159,48 @@ GROUP BY user_id
 """
 
 
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props: parse_json ->
+    open binary VARIANT -> typed try_variant_get extraction.  Same
+    answers as ``events_json_typed`` (that is the point -- the oracle
+    is shared semantics over a different storage/extraction engine):
+    from_json locks a schema at plan time, VARIANT defers typing to
+    extraction, which is the 100 TB shape when props drift across
+    producers -- extraction of a path that exists types cleanly,
+    a missing path returns null through try_variant_get instead of
+    failing the scan (counted per group as ``n_missing_tag``)."""
+    e = events_table(spark, sf_dir)
+    v = e.select(F.parse_json(F.col("props")).alias("v"), "value")
+    return (
+        v.select(
+            F.try_variant_get("v", "$.k", "int").alias("k"),
+            F.try_variant_get("v", "$.tag", "string").alias("tag"),
+            "value",
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("tag").isNull().cast("int")).alias("n_missing_tag"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_VARIANT = """
+SELECT CAST(props->>'$.k' AS INT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN props->>'$.tag' IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing_tag,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE props->>'$.k' IS NOT NULL
+GROUP BY 1
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -8261,6 +8387,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_attribution_outer": q_events_streamed_attribution_outer,
     "parts_cross_sell": q_parts_cross_sell,
     "events_user_sessions_udtf": q_events_user_sessions_udtf,
+    "events_props_variant": q_events_props_variant,
+    "events_streamed_dedup_shifted": q_events_streamed_dedup_shifted,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8291,16 +8419,15 @@ _DRIVER_WINDOW: list[str] = [
     "nation_pair_trade",
     "important_parts_value",
     "bracket_pricing_revenue",
-    "excess_stock_suppliers",
     "idle_rich_customers",
-    "forecast_revenue_change",
     "nation_profit",
     # new-in-round-8 operator code enters the window the round it
     # lands (the r7 lesson: never ship new code outside the driver
     # net) -- displacing five of the simplest TPC-H filter/agg shapes
     # (customer_order_distribution, promo_revenue_share,
     # supplier_part_counts, small_order_revenue, large_volume_orders,
-    # returned_item_customers, lineitem_priority_mix), each 3-SF
+    # returned_item_customers, lineitem_priority_mix,
+    # forecast_revenue_change, excess_stock_suppliers), each 3-SF
     # CHECKALL-green and structurally the lowest-risk entries in the
     # batch
     "orders_kmv_customers",
@@ -8310,6 +8437,8 @@ _DRIVER_WINDOW: list[str] = [
     "events_streamed_attribution_outer",
     "parts_cross_sell",
     "events_user_sessions_udtf",
+    "events_props_variant",
+    "events_streamed_dedup_shifted",
     # embedding / ANN / kmeans family (r7's change landed here unchecked)
     "embedding_kmeans_centroids",
     "embedding_kmeans_centroids_arrow",
@@ -8470,6 +8599,8 @@ ORACLES: dict[str, str] = {
     "events_streamed_attribution_outer": SQL_EVENTS_STREAMED_ATTRIBUTION_OUTER,
     "parts_cross_sell": SQL_PARTS_CROSS_SELL,
     "events_user_sessions_udtf": SQL_EVENTS_USER_SESSIONS_UDTF,
+    "events_props_variant": SQL_EVENTS_PROPS_VARIANT,
+    "events_streamed_dedup_shifted": SQL_EVENTS_STREAMED_DEDUP_SHIFTED,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

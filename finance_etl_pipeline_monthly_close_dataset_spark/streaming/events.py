@@ -162,6 +162,27 @@ def streamed_dedup(
     return stream.withWatermark("ts", watermark).dropDuplicates([id_col, "ts"])
 
 
+def streamed_dedup_within_watermark(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+):
+    """Streaming dedup for the REAL at-least-once failure mode: a
+    retried delivery carries a NEW event time (producer re-stamps on
+    retry), so exact-match ``dropDuplicates([id, ts])`` lets it
+    through.  ``dropDuplicatesWithinWatermark`` dedups on the id alone
+    while the watermark bounds how long each id's state lives -- any
+    two deliveries of one id within the lateness horizon collapse to
+    the first-processed one, and state still expires, so memory tracks
+    rate x horizon, not stream lifetime."""
+    stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def streamed_attribution_join(
     spark: SparkSession,
     parquet_dir: str,
