@@ -8201,6 +8201,93 @@ GROUP BY 1
 """
 
 
+_BENFORD = {
+    d: p
+    for d, p in zip(
+        range(1, 10),
+        # log10(1 + 1/d) to 10dp, pinned as LITERALS so neither
+        # engine's libm log10 enters the comparison
+        [
+            0.3010299957,
+            0.1760912591,
+            0.1249387366,
+            0.0969100130,
+            0.0791812460,
+            0.0669467896,
+            0.0579919470,
+            0.0511525224,
+            0.0457574906,
+        ],
+    )
+}
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals -- the
+    classic financial-forensics screen (fabricated amounts flunk the
+    log-uniform leading-digit distribution).  The leading digit comes
+    off the DECIMAL STRING form (both engines render decimal(15,2)
+    canonically), never floor(log10(x)) -- transcendental libm calls
+    stay out of the comparison entirely; the expected shares are
+    10dp literals baked into both sides.  Output per digit: count,
+    observed share, expected share, and the squared-deviation term
+    (share - p)^2 / p whose sum is the chi-square-style fit statistic
+    -- every column a fixed IEEE expression over integers and
+    literals.
+
+    Scale shape: one scan, a 9-group aggregate, and a 1-row total
+    broadcast for the share denominator."""
+    o = t(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = (
+        o.filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # 9 rows; the share denominator reads it, not orders
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    p = F.lit(None).cast("double")
+    for d, v in sorted(_BENFORD.items()):
+        p = F.when(F.col("digit") == d, F.lit(v)).otherwise(p)
+    share = F.col("n").cast("double") / F.col("n_total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            share.alias("share"),
+            p.alias("benford_p"),
+            ((share - p) * (share - p) / p).alias("sq_dev"),
+        )
+    )
+
+
+SQL_ORDERS_BENFORD = """
+WITH b(digit, p) AS (
+  VALUES (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366),
+         (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896),
+         (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906)
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n FROM (
+    SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders
+  ) WHERE digit BETWEEN 1 AND 9 GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n_total FROM counts)
+SELECT c.digit, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+       CAST(b.p AS DOUBLE) AS benford_p,
+       (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - b.p)
+       * (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - b.p) / b.p
+         AS sq_dev
+FROM counts c JOIN b ON b.digit = c.digit CROSS JOIN tot t
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -8389,6 +8476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_sessions_udtf": q_events_user_sessions_udtf,
     "events_props_variant": q_events_props_variant,
     "events_streamed_dedup_shifted": q_events_streamed_dedup_shifted,
+    "orders_benford": q_orders_benford,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8601,6 +8689,7 @@ ORACLES: dict[str, str] = {
     "events_user_sessions_udtf": SQL_EVENTS_USER_SESSIONS_UDTF,
     "events_props_variant": SQL_EVENTS_PROPS_VARIANT,
     "events_streamed_dedup_shifted": SQL_EVENTS_STREAMED_DEDUP_SHIFTED,
+    "orders_benford": SQL_ORDERS_BENFORD,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

@@ -72,6 +72,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "the grouped shuffle (post-execution plan asserted by "
         "test_heavy_hitters_exchange_reuse_fires) -- one scan executes",
     },
+    "orders_benford": {
+        "nested_loop": "1-row total broadcast for the share "
+        "denominator, derived from the persisted 9-row digit counts",
+    },
     "parts_cross_sell": {
         "nested_loop": "1-row global order-count broadcast for the "
         "lift denominator; all branches read the persisted basket "
