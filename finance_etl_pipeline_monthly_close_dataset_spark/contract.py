@@ -8507,7 +8507,6 @@ _DRIVER_WINDOW: list[str] = [
     "nation_pair_trade",
     "important_parts_value",
     "bracket_pricing_revenue",
-    "idle_rich_customers",
     "nation_profit",
     # new-in-round-8 operator code enters the window the round it
     # lands (the r7 lesson: never ship new code outside the driver
@@ -8515,7 +8514,8 @@ _DRIVER_WINDOW: list[str] = [
     # (customer_order_distribution, promo_revenue_share,
     # supplier_part_counts, small_order_revenue, large_volume_orders,
     # returned_item_customers, lineitem_priority_mix,
-    # forecast_revenue_change, excess_stock_suppliers), each 3-SF
+    # forecast_revenue_change, excess_stock_suppliers,
+    # idle_rich_customers), each 3-SF
     # CHECKALL-green and structurally the lowest-risk entries in the
     # batch
     "orders_kmv_customers",
@@ -8527,6 +8527,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_user_sessions_udtf",
     "events_props_variant",
     "events_streamed_dedup_shifted",
+    "orders_benford",
     # embedding / ANN / kmeans family (r7's change landed here unchecked)
     "embedding_kmeans_centroids",
     "embedding_kmeans_centroids_arrow",

@@ -531,3 +531,36 @@ def test_repetition_fold_matches_python_argmax(spark, toks):
     assert row["top_bigram"] == best_g
     assert row["top_bigram_n"] == best_n
     assert row["n_tokens"] == len(toks)
+
+
+def test_ewma_fold_equals_closed_form_exactly(spark):
+    """The events_ewma portability contract: with alpha=1/2, integer
+    counts, and the 24-bucket cap, the recursive Spark fold and the
+    closed-form weighted sum (what the DuckDB oracle computes) are
+    BIT-IDENTICAL doubles -- not merely close -- for any counts under
+    the documented magnitude bound."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    cases = [
+        [rng.randrange(0, 2**20) for _ in range(rng.randrange(1, 25))]
+        for _ in range(200)
+    ]
+    rows = [(i, xs) for i, xs in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, xs array<long>")
+    ewma = F.aggregate(
+        F.col("xs"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x.cast("double")).otherwise(
+            (x.cast("double") + acc) / F.lit(2.0)
+        ),
+    )
+    got = {r.id: r.y for r in df.select("id", ewma.alias("y")).collect()}
+    for i, xs in enumerate(cases):
+        n = len(xs)
+        closed = xs[0] * 0.5 ** (n - 1) + sum(
+            xs[j] * 0.5 ** (n - j) for j in range(1, n)
+        )
+        assert got[i] == closed, (i, xs, got[i], closed)
