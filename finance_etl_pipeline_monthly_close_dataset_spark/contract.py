@@ -8189,14 +8189,19 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TRY_CAST mirrors try_variant_get's null-on-untypable semantics: a
+# k of "x" drops the row in BOTH engines instead of erroring the
+# oracle's CAST.  (Residual pin shared with events_json_typed:
+# non-integer NUMERIC k -- e.g. 3.5 -- could round differently per
+# engine; the testdata's k is always a JSON integer.)
 SQL_EVENTS_PROPS_VARIANT = """
-SELECT CAST(props->>'$.k' AS INT) % 10 AS k_bucket,
+SELECT TRY_CAST(props->>'$.k' AS INT) % 10 AS k_bucket,
        COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN props->>'$.tag' IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_missing_tag,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
-WHERE props->>'$.k' IS NOT NULL
+WHERE TRY_CAST(props->>'$.k' AS INT) IS NOT NULL
 GROUP BY 1
 """
 
@@ -8281,9 +8286,9 @@ tot AS (SELECT SUM(n) AS n_total FROM counts)
 SELECT c.digit, c.n,
        CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
        CAST(b.p AS DOUBLE) AS benford_p,
-       (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - b.p)
-       * (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - b.p) / b.p
-         AS sq_dev
+       (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - CAST(b.p AS DOUBLE))
+       * (CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) - CAST(b.p AS DOUBLE))
+       / CAST(b.p AS DOUBLE) AS sq_dev
 FROM counts c JOIN b ON b.digit = c.digit CROSS JOIN tot t
 """
 
@@ -8510,7 +8515,7 @@ _DRIVER_WINDOW: list[str] = [
     "nation_profit",
     # new-in-round-8 operator code enters the window the round it
     # lands (the r7 lesson: never ship new code outside the driver
-    # net) -- displacing five of the simplest TPC-H filter/agg shapes
+    # net) -- displacing ten of the simplest TPC-H filter/agg shapes
     # (customer_order_distribution, promo_revenue_share,
     # supplier_part_counts, small_order_revenue, large_volume_orders,
     # returned_item_customers, lineitem_priority_mix,

@@ -34,11 +34,14 @@ class _ChunkText:
             ix += 1
 
 
+# udtf() defaults to deterministic=False; both functions are pure, so
+# mark them deterministic for real -- otherwise Catalyst refuses the
+# predicate pushdown / reuse the docstrings promise
 chunk_text_udtf = udtf(
     _ChunkText,
     returnType="doc_id bigint, chunk_ix int, chunk string",
     useArrow=True,
-)
+).asDeterministic()
 
 
 def register_udtfs(spark) -> None:
@@ -84,4 +87,4 @@ user_session_stats_udtf = udtf(
     _UserSessionStats,
     returnType="user_id bigint, n_sessions int, n_events int",
     useArrow=True,
-)
+).asDeterministic()

@@ -826,3 +826,60 @@ def test_rollup_restarts_exactly_once_from_checkpoint(spark, tmp_path):
     partials = spark.read.parquet(str(tmp_path / "rollup"))
     assert partials.filter("key = 'click'").count() == 2
     assert partials.filter("key = 'view'").count() == 1
+
+
+def test_outer_join_eviction_boundary_is_strict(spark, tmp_path):
+    """Pins the eviction strictness the events_streamed_attribution_
+    outer oracle encodes: an unmatched click emits its null row iff
+    click_ts + window < final watermark STRICTLY.  A click sitting
+    EXACTLY on the boundary (horizon == watermark) must NOT emit; one
+    a second inside must."""
+    import os
+    import uuid
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.streaming import (
+        events as sev,
+    )
+
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # click A: horizon t0+1h == final watermark EXACTLY (boundary)
+        (1, t0, 100, "click", None),
+        # click A2: one second older -> horizon strictly below watermark
+        (2, t0 - dt.timedelta(seconds=1), 101, "click", None),
+        # max-ts setters on both sides: watermark = (t0+3h) - 2h = t0+1h
+        (3, t0 + 3 * h, 200, "click", None),
+        (4, t0 + 3 * h, 999, "purchase", 5.0),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = sev.streamed_attribution_join(
+        spark, src, schema, attribution_window="1 hour",
+        watermark="2 hours", how="leftOuter",
+    )
+    qn = f"boundary_{uuid.uuid4().hex}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {r.click_id for r in spark.table(qn).collect()}
+    spark.catalog.dropTempView(qn)
+    assert 2 in emitted, "strictly-inside click must emit its null row"
+    assert 1 not in emitted, "boundary-exact click must NOT emit (strict <)"
