@@ -8293,6 +8293,58 @@ FROM counts c JOIN b ON b.digit = c.digit CROSS JOIN tot t
 """
 
 
+def q_orders_monthly_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-API-on-Spark migration path: the reference engine is a
+    PANDAS ETL, so its users' first Spark port is often ``import
+    pyspark.pandas as ps`` with the pandas idioms kept verbatim --
+    ``.dt.strftime`` month keys, ``assign``, named-agg ``groupby`` --
+    while execution distributes underneath.  This query pins that
+    surface: monthly order volume + revenue written in pure pandas
+    style, returned via ``to_spark()``, and oracle-checked like every
+    DataFrame query.  Money stays exact by converting to integer
+    CENTS before the sum: pandas API floatifies the decimal column,
+    so *100 then round() recovers the exact cent integer (per-value
+    float error is orders of magnitude under 0.5), and the int64 sum
+    is order-independent -- sidestepping the float64 ACCUMULATION the
+    naive pandas port would inherit, which is the real porting trap
+    this query documents.
+
+    Scale shape: the whole thing compiles to the same
+    scan -> project -> hash-aggregate Catalyst plan the DataFrame form
+    produces -- pandas API is syntax, not an execution engine."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as pd_spark
+
+        psdf = pd_spark.read_parquet(f"{sf_dir}/orders.parquet")
+        psdf = psdf.assign(
+            order_month=psdf["o_orderdate"].dt.strftime("%Y-%m"),
+            # pandas API floatifies the decimal; *100 then round()
+            # recovers the exact integer cents (error << 0.5 always)
+            revenue_cents=(psdf["o_totalprice"] * 100).round(0).astype("int64"),
+        )
+        out = (
+            psdf.groupby("order_month")
+            .agg(
+                n_orders=("o_orderkey", "count"),
+                revenue_cents=("revenue_cents", "sum"),
+            )
+            .reset_index()
+        )
+        return out.to_spark()
+
+
+SQL_ORDERS_MONTHLY_PANDAS_API = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY 1
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -8482,6 +8534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_variant": q_events_props_variant,
     "events_streamed_dedup_shifted": q_events_streamed_dedup_shifted,
     "orders_benford": q_orders_benford,
+    "orders_monthly_pandas_api": q_orders_monthly_pandas_api,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8511,7 +8564,6 @@ _DRIVER_WINDOW: list[str] = [
     "part_cheapest_supplier",
     "nation_pair_trade",
     "important_parts_value",
-    "bracket_pricing_revenue",
     "nation_profit",
     # new-in-round-8 operator code enters the window the round it
     # lands (the r7 lesson: never ship new code outside the driver
@@ -8520,7 +8572,7 @@ _DRIVER_WINDOW: list[str] = [
     # supplier_part_counts, small_order_revenue, large_volume_orders,
     # returned_item_customers, lineitem_priority_mix,
     # forecast_revenue_change, excess_stock_suppliers,
-    # idle_rich_customers), each 3-SF
+    # idle_rich_customers, bracket_pricing_revenue), each 3-SF
     # CHECKALL-green and structurally the lowest-risk entries in the
     # batch
     "orders_kmv_customers",
@@ -8533,6 +8585,7 @@ _DRIVER_WINDOW: list[str] = [
     "events_props_variant",
     "events_streamed_dedup_shifted",
     "orders_benford",
+    "orders_monthly_pandas_api",
     # embedding / ANN / kmeans family (r7's change landed here unchecked)
     "embedding_kmeans_centroids",
     "embedding_kmeans_centroids_arrow",
@@ -8696,6 +8749,7 @@ ORACLES: dict[str, str] = {
     "events_props_variant": SQL_EVENTS_PROPS_VARIANT,
     "events_streamed_dedup_shifted": SQL_EVENTS_STREAMED_DEDUP_SHIFTED,
     "orders_benford": SQL_ORDERS_BENFORD,
+    "orders_monthly_pandas_api": SQL_ORDERS_MONTHLY_PANDAS_API,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,
