@@ -168,7 +168,11 @@ def main() -> None:
                 except Exception as exc:  # noqa: BLE001
                     errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                     break
-            if runs:
+            # a query that errored on ANY run gets no timing row --
+            # a partial-run "median" labeled median_of_3 would skew
+            # round-over-round comparison (the error marker alone
+            # tells the story)
+            if runs and name not in errors:
                 runs.sort()
                 timings[name] = round(runs[len(runs) // 2], 3)
                 spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
@@ -261,6 +265,22 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["kmeans_k64"] = f"{type(exc).__name__}: {exc}"[:200]
         out["errors"] = errors
+    # Lossless local artifact (judge r8 ask #4): the driver's capture
+    # of stdout is tail-truncated on long runs, so the full result is
+    # also written to BENCH_LOCAL_r{N}.json (round from
+    # $SPARK_GRAFT_ROUND, default "local") next to this script --
+    # committed per round so every tier's medians+spreads stay
+    # machine-readable.
+    tag = os.environ.get("SPARK_GRAFT_ROUND", "local")
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{tag}.json"
+    )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH_LOCAL write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

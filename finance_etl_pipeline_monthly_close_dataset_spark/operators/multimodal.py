@@ -819,6 +819,11 @@ def _decode_y4m(b: bytes):
             cs = tok[1:]
     if w is None or h is None:
         raise ValueError("missing W/H in stream header")
+    if w <= 0 or h <= 0:
+        # 0 % sx == 0 would slip past the divisibility check below and
+        # yield NaN means over empty planes instead of the documented
+        # null corrupt-payload row
+        raise ValueError("W/H must be positive")
     # chroma subsample factors (horizontal, vertical) per colorspace;
     # 420jpeg/420mpeg2/420paldv share the plane LAYOUT (siting differs
     # only in filtering intent, which nearest replication ignores)

@@ -52,14 +52,18 @@ def _sessionize_group(gap_seconds: int, use_timeout: bool):
         last_ts, session_id = state.get if state.exists else (None, 0)
         out_ts: list[pd.Timestamp] = []
         out_sid: list[int] = []
-        for pdf in pdfs:
-            for ts in pdf["ts"].sort_values():
-                ts_micros = int(ts.value // 1000)
-                if last_ts is None or ts_micros - last_ts > gap_seconds * 1_000_000:
-                    session_id += 1
-                last_ts = ts_micros
-                out_ts.append(ts)
-                out_sid.append(session_id)
+        # Concatenate the key's whole micro-batch and sort ONCE:
+        # chunked Arrow delivery with interleaved times would
+        # otherwise mis-number order-sensitive session ids.
+        chunks = [pdf for pdf in pdfs]
+        all_ts = pd.concat([pdf["ts"] for pdf in chunks]) if chunks else pd.Series([], dtype="datetime64[ns]")
+        for ts in all_ts.sort_values():
+            ts_micros = int(ts.value // 1000)
+            if last_ts is None or ts_micros - last_ts > gap_seconds * 1_000_000:
+                session_id += 1
+            last_ts = ts_micros
+            out_ts.append(ts)
+            out_sid.append(session_id)
         state.update((last_ts, session_id))
         if use_timeout:
             state.setTimeoutDuration(gap_seconds * 1000)

@@ -82,14 +82,20 @@ class SessionizeProcessor(StatefulProcessor):
             last_ts, session_id = None, 0
         out_ts: list[pd.Timestamp] = []
         out_sid: list[int] = []
-        for pdf in rows:
-            for ts in pdf["ts"].sort_values():
-                ts_us = int(ts.value // 1000)
-                if last_ts is None or ts_us - last_ts > self.gap_us:
-                    session_id += 1
-                last_ts = ts_us
-                out_ts.append(ts)
-                out_sid.append(session_id)
+        # A micro-batch may arrive as several Arrow chunks with
+        # interleaved times; session ids are order-sensitive, so
+        # concatenate the key's whole batch and sort ONCE before
+        # assigning (per-chunk sorting would mis-number sessions
+        # whenever chunks interleave).
+        chunks = [pdf for pdf in rows]
+        all_ts = pd.concat([pdf["ts"] for pdf in chunks]) if chunks else pd.Series([], dtype="datetime64[ns]")
+        for ts in all_ts.sort_values():
+            ts_us = int(ts.value // 1000)
+            if last_ts is None or ts_us - last_ts > self.gap_us:
+                session_id += 1
+            last_ts = ts_us
+            out_ts.append(ts)
+            out_sid.append(session_id)
         self.state.update((last_ts, session_id))
         yield pd.DataFrame(
             {"user_id": key[0], "ts": out_ts, "session_id": out_sid}

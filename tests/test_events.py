@@ -445,6 +445,18 @@ def test_tws_sessionize_processor_logic():
     assert list(out2["session_id"]) == [2, 3]
     assert proc.state.v[1] == 3  # counter persisted for the next batch
 
+    # a micro-batch split across Arrow chunks with INTERLEAVED times
+    # must sort the whole batch once: chunk A holds t+6h and t+9h,
+    # chunk B holds t+6h05 (inside A's gap) -- per-chunk sorting would
+    # process t+9h before t+6h05 and mis-number the sessions
+    proc2 = SessionizeProcessor(gap_seconds=1800)
+    proc2.state = FakeValueState()
+    ca = pd.DataFrame({"ts": [t0 + pd.Timedelta(hours=6), t0 + pd.Timedelta(hours=9)]})
+    cb = pd.DataFrame({"ts": [t0 + pd.Timedelta(hours=6, minutes=5)]})
+    out3 = pd.concat(list(proc2.handleInputRows((1,), iter([ca, cb]), None)))
+    by_ts = out3.sort_values("ts")["session_id"].tolist()
+    assert by_ts == [1, 1, 2]  # 6h00 and 6h05 share a session; 9h starts one
+
 
 def test_tws_sessionize_gates_on_protobuf(spark, tmp_path):
     """Without google.protobuf the transformWithState runtime cannot

@@ -1981,6 +1981,29 @@ def test_decode_y4m_chroma_layouts():
         _decode_y4m(stream("411", 1, 1))
 
 
+def test_decode_y4m_rejects_nonpositive_dims(spark):
+    """W0/H0 headers must take the null corrupt-payload row path:
+    0 % sx == 0 slips past the divisibility check, and mean() over the
+    resulting empty planes would emit NaN feature rows instead of the
+    documented null row."""
+    import pytest as _pytest
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_y4m,
+        decode_video_y4m,
+    )
+
+    zero = b"YUV4MPEG2 W0 H0 F25:1 C420\nFRAME\n"
+    with _pytest.raises(ValueError, match="positive"):
+        _decode_y4m(zero)
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(zero), "video/x-yuv4mpeg", 0, 0, None)], MEDIA_SCHEMA
+    )
+    row = decode_video_y4m(df).collect()[0]
+    assert row["width"] is None and row["mean_r"] is None
+
+
 def test_decode_video_y4m_frames_and_corrupt(spark):
     """Y4M decode: sampled-frame rows carry the right stride/timestamp
     arithmetic (stride 2 at 10 fps -> frames 0,2,4 at 0/200/400 ms);
