@@ -4874,14 +4874,16 @@ FROM counts
 def q_embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (``operators/kmeans.py``) with the
     TRAINED MODEL as the checked quantity: k=4 centroids, 2
-    iterations, deterministic lowest-id init, 6-dp centroid rounding
-    between iterations. The output profiles each cell (size, centroid
+    iterations, deterministic lowest-id init, micro-unit centroid
+    quantization (floor(x*1e6+0.5)/1e6, pure IEEE ops -- bit-identical
+    on both engines, no round()-of-doubles) between iterations. The output profiles each cell (size, centroid
     norm, mean squared distance); the DuckDB oracle unrolls the SAME
     two iterations with list comprehensions, so an iterative ML
     training loop -- not just its plumbing -- is value-verified across
     engines. ``n_iters`` driver round-trips move only k x d rounded
     doubles; each iteration is one map-side assignment pass plus a
-    k x d-row update shuffle."""
+    k x d-row update shuffle. Profile scalars come out as exact
+    integer micro-units (BIGINT), hash-stable across engines."""
     emb = t(spark, sf_dir, "embeddings")
     cents = kmeans.lloyd_kmeans(emb, k=4, n_iters=2)
     return kmeans.kmeans_profile(emb, cents).orderBy("cell")
@@ -4894,8 +4896,8 @@ def q_embedding_kmeans_centroids_arrow(spark: SparkSession, sf_dir: str) -> Data
     shuffle, driver fsum combine) instead of the N x k HOF argmin +
     posexplode shuffle. Checked against the SAME unrolled DuckDB
     oracle as ``embedding_kmeans_centroids``: the two paths may
-    differ only by float-summation order inside the 6-dp centroid
-    rounding, so a real divergence is a hash mismatch. Same pattern
+    differ only by float-summation order inside the micro-unit
+    centroid quantization, so a real divergence is a hash mismatch. Same pattern
     as ``embedding_semantic_dedup_arrow`` (round-5)."""
     emb = t(spark, sf_dir, "embeddings")
     cents = kmeans.lloyd_kmeans(emb, k=4, n_iters=2, arrow=True)
@@ -4928,7 +4930,7 @@ def _km_iteration_sql(assign: str, cents_in: str, cents_out: str, means: str) ->
 {cents_out} AS (
   SELECT i.cell, COALESCE(u.centroid, i.centroid) AS centroid
   FROM {cents_in} i LEFT JOIN (
-    SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid FROM {means} GROUP BY cell) u
+    SELECT cell, list(floor(m * 1000000.0 + 0.5) / 1000000.0 ORDER BY pos) AS centroid FROM {means} GROUP BY cell) u
   ON i.cell = u.cell
 )"""
 
@@ -4937,7 +4939,7 @@ SQL_EMBEDDING_KMEANS_CENTROIDS = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
 init AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         [round(CAST(x AS DOUBLE), 6) for x in embedding] AS centroid
+         [floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 for x in embedding] AS centroid
   FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 4)
 ),{_km_iteration_sql("a1", "init", "c1", "m1")},{_km_iteration_sql("a2", "c1", "c2", "m2")},
 final_assign AS (
@@ -4950,8 +4952,8 @@ final_assign AS (
   WHERE rn = 1
 )
 SELECT f.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       round(sqrt(list_sum([y * y for y in c.centroid])), 6) AS centroid_norm,
-       round(avg(f.d2), 6) AS avg_d2
+       CAST(floor(sqrt(list_sum([y * y for y in c.centroid])) * 1000000.0 + 0.5) AS BIGINT) AS centroid_norm_micro,
+       CAST(floor(avg(f.d2) * 1000000.0 + 0.5) AS BIGINT) AS avg_d2_micro
 FROM final_assign f JOIN c2 c ON f.cell = c.cell
 GROUP BY f.cell, c.centroid
 ORDER BY f.cell
@@ -4976,7 +4978,7 @@ def q_embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id",
         "neighbor_id",
-        F.round("cosine_sim", 6).alias("cosine_sim"),
+        kmeans.micro_units_col(F.col("cosine_sim")).alias("cosine_sim_micro"),
         F.col("rank").cast("int").alias("rank"),
     )
 
@@ -4987,7 +4989,7 @@ def _ivf_trained_sql(k: int = 10, nprobe: int = 2) -> str:
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
 init AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         [round(CAST(x AS DOUBLE), 6) for x in embedding] AS centroid
+         [floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 for x in embedding] AS centroid
   FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 4)
 ),{_km_iteration_sql("a1", "init", "c1", "m1")},{_km_iteration_sql("a2", "c1", "c2", "m2")},
 assigned AS (
@@ -5012,7 +5014,9 @@ assigned AS (
          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT probe_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+SELECT probe_id, neighbor_id,
+       CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS cosine_sim_micro,
+       CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}
 """
 
@@ -7764,7 +7768,7 @@ SQL_EMBEDDING_SEMANTIC_DEDUP = f"""
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
 init AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         [round(CAST(x AS DOUBLE), 6) for x in embedding] AS centroid
+         [floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 for x in embedding] AS centroid
   FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 4)
 ),{{it1}},{{it2}},
 assigned AS (
@@ -7776,15 +7780,15 @@ assigned AS (
   ) WHERE rn = 1
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cell,
-         round({{cos}}, 6) AS sim
+         CAST(floor(({{cos}}) * 1000000.0 + 0.5) AS BIGINT) AS sim
   FROM assigned a JOIN assigned b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
 ), drops AS (
   SELECT id_b, cell, id_a, sim,
          row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
-  FROM pairs WHERE sim >= 0.4
+  FROM pairs WHERE sim >= 400000
 )
-SELECT id_b AS vec_id, cell, id_a AS kept_ref, sim AS cosine_sim
+SELECT id_b AS vec_id, cell, id_a AS kept_ref, sim AS cosine_sim_micro
 FROM drops WHERE rn = 1
 """.format(
     it1=_km_iteration_sql("a1", "init", "c1", "m1"),

@@ -6,7 +6,9 @@ the trained search can only be rows-checked. This module implements
 Lloyd's iterations directly on DataFrames with DETERMINISTIC,
 cross-engine-reproducible arithmetic:
 
-* init: the k lowest-id vectors (rounded to 6 dp);
+* init: the k lowest-id vectors (snapped to the 1e-6 micro-unit grid
+  via ``floor(x * 1e6 + 0.5) / 1e6`` -- pure IEEE ops, bit-identical
+  on any engine, no decimal-repr dependency);
 * assign: the centroids are a driver-side k x d literal between
   iterations, so the argmin is ONE expression per row --
   ``array_min`` over k ``(d2, cell)`` structs (struct ordering =
@@ -16,9 +18,9 @@ cross-engine-reproducible arithmetic:
   N vectors once per iteration);
 * update: posexplode to (cell, pos, value), partial-aggregated means
   per (cell, pos) -- shuffle is ~k x d rows after map-side combine --
-  reassembled into arrays and ROUNDED to 6 dp on the driver before
-  re-broadcast, so distributed partial-sum order cannot leak into the
-  next iteration's argmin decisions.
+  reassembled into arrays and micro-unit-quantized on the driver
+  before re-broadcast, so distributed partial-sum order cannot leak
+  into the next iteration's argmin decisions.
 
 Centroids pass through the driver between iterations as a k x d
 literal (bounded scalar, the same thing MLlib's driver does), keeping
@@ -38,25 +40,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _round_half_up(x: float, decimals: int) -> float:
-    """Round half AWAY from zero at ``decimals`` places, matching
-    Spark's ``F.round`` (HALF_UP on the decimal repr) so the
-    driver-side Arrow combine cannot diverge from the HOF path by
-    rounding mode (Python's ``round`` is half-to-even).  NOTE: this
-    pins arrow==HOF parity only -- DuckDB's ``round`` on doubles
-    scales and ``std::round``s the BINARY value, which can land one
-    ulp below a repr-exact half (e.g. 0.1308615 -> DuckDB 0.130861 vs
-    F.round 0.130862), so oracle divergence on repr-exact halves is a
-    shared, latent exposure of BOTH paths, not something this helper
-    can close.  Non-finite values pass through unchanged, mirroring
-    Catalyst's Round (Decimal.quantize would raise on +/-inf)."""
+MICRO = 1_000_000.0  # the quantization grid: 1e-6 ("micro-units")
+
+
+def quantize_micro(x: float) -> float:
+    """Quantize a double onto the micro-unit grid:
+    ``floor(x * 1e6 + 0.5) / 1e6``.  Every step is a pure IEEE-754
+    operation (multiply, add, floor, divide, all correctly rounded),
+    so ANY engine computing this from the same input double produces
+    the bit-identical result -- there is no decimal-repr dependency.
+    This replaces the earlier HALF_UP ``Decimal.quantize`` helper,
+    which matched Spark's ``F.round`` but could diverge from DuckDB's
+    binary ``round`` one ulp below a repr-exact half (the retired
+    r7/r8 ADVICE caveat).  Convention: halves round toward +inf
+    (``floor(x + 0.5)``), identical on both engines by construction.
+    Non-finite values pass through unchanged (``math.floor`` would
+    raise on them)."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     if not math.isfinite(x):
         return x
-    q = Decimal(1).scaleb(-decimals)
-    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+    return math.floor(x * MICRO + 0.5) / MICRO
+
+
+def quantize_micro_col(col):
+    """Column form of ``quantize_micro``: same IEEE ops via Catalyst's
+    FLOOR (long result, exact back-conversion below 2^53).  DuckDB
+    mirror: ``floor(x * 1000000.0 + 0.5) / 1000000.0``."""
+    return F.floor(col * F.lit(MICRO) + F.lit(0.5)) / F.lit(MICRO)
+
+
+def micro_units_col(col):
+    """Exact integer micro-units of a double column:
+    ``CAST(floor(x * 1e6 + 0.5) AS BIGINT)`` -- the hash-stable output
+    form for cross-engine value checks (DuckDB mirror is the literal
+    same expression)."""
+    return F.floor(col * F.lit(MICRO) + F.lit(0.5)).cast("bigint")
 
 
 def _d2(vec_col: str, cent_col: str):
@@ -153,7 +172,6 @@ def lloyd_kmeans(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    decimals: int = 6,
     arrow: bool = False,
 ) -> DataFrame:
     """Run ``n_iters`` Lloyd iterations; returns a small
@@ -174,18 +192,16 @@ def lloyd_kmeans(
     way the paths can diverge -- see ``_arrow_cell_partials``) is a
     hash mismatch, not a silent drift.
 
-    Rounding mode: the driver-side combine rounds HALF_UP via
-    ``_round_half_up`` (Decimal quantize), matching ``F.round`` on the
-    HOF path -- Python's builtin ``round`` is banker's (half-to-even)
-    and would diverge whenever a cell mean lands on an exact half at
-    the ``decimals``-th place.  With that pinned, float-summation
-    order is the only remaining way the ARROW and HOF paths can
-    diverge.  The DuckDB oracle is a separate, weaker story: its
-    ``round`` on doubles rounds the binary value, which can sit one
-    ulp below a repr-exact half and round the other way -- a latent
-    oracle exposure SHARED by both paths (see ``_round_half_up``),
-    not closed by this helper; no such half occurs in the driver
-    testdata at any SF (CHECKALL)."""
+    Quantization: centroids are snapped onto the 1e-6 grid between
+    iterations via ``quantize_micro`` / ``quantize_micro_col`` --
+    ``floor(x * 1e6 + 0.5) / 1e6``, pure IEEE-754 ops that every
+    engine computes bit-identically from the same input double, so
+    the oracle's unrolled iterations carry NO decimal-repr exposure
+    (the HALF_UP/``F.round`` form this replaces could diverge from
+    DuckDB's binary ``round`` one ulp below a repr-exact half).  With
+    quantization pinned, float-summation order is the only remaining
+    way the ARROW and HOF paths can diverge (near-exact-tie
+    assignment flips, see ``_arrow_cell_partials``)."""
     import math
 
     spark = df.sparkSession
@@ -194,7 +210,7 @@ def lloyd_kmeans(
     init_rows = (
         vecs.orderBy("_id")
         .limit(k)
-        .select(F.transform("_vec", lambda x: F.round(x.cast("double"), decimals)).alias("c"))
+        .select(F.transform("_vec", lambda x: quantize_micro_col(x.cast("double"))).alias("c"))
         .collect()
     )
     centroids = [[float(x) for x in r["c"]] for r in init_rows]
@@ -208,7 +224,7 @@ def lloyd_kmeans(
                 acc[r["cell"]] = (n_prev + r["n"], sums + [list(r["s"])])
             new = {
                 cell: [
-                    _round_half_up(math.fsum(s[d] for s in sums) / n, decimals)
+                    quantize_micro(math.fsum(s[d] for s in sums) / n)
                     for d in range(len(sums[0]))
                 ]
                 for cell, (n, sums) in acc.items()
@@ -223,7 +239,7 @@ def lloyd_kmeans(
                 .agg(F.avg(F.col("v").cast("double")).alias("m"))
                 .groupBy("cell")
                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select("cell", F.transform("pm", lambda s: F.round(s["m"], decimals)).alias("c"))
+                .select("cell", F.transform("pm", lambda s: quantize_micro_col(s["m"])).alias("c"))
                 .collect()
             )
             new = {r["cell"]: [float(x) for x in r["c"]] for r in means}
@@ -258,15 +274,19 @@ def kmeans_profile(
             "_vec", [c for _, c in cent_rows], cells=[i for i, _ in cent_rows]
         ).alias("best")
     ).select(F.col("best.cell").alias("cell"), F.col("best.d2").alias("d2"))
-    norm = F.round(
-        F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, v: a + v * v)), 6
+    # outputs in exact integer micro-units (hash-stable, no round() of
+    # doubles on either engine -- DuckDB computes the literal same
+    # floor expression); sqrt is correctly rounded per IEEE-754 so the
+    # input doubles are bit-identical cross-engine
+    norm = micro_units_col(
+        F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, v: a + v * v))
     )
     return (
         assigned.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("d2"), 6).alias("avg_d2"),
+            micro_units_col(F.avg("d2")).alias("avg_d2_micro"),
         )
-        .join(centroids.select("cell", norm.alias("centroid_norm")), on="cell")
-        .select("cell", "n_vectors", "centroid_norm", "avg_d2")
+        .join(centroids.select("cell", norm.alias("centroid_norm_micro")), on="cell")
+        .select("cell", "n_vectors", "centroid_norm_micro", "avg_d2_micro")
     )

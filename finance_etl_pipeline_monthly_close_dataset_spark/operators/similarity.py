@@ -403,15 +403,19 @@ def semantic_dedup(
     EARLIER (lower-id) vector in its cell has cosine >= ``threshold``;
     the keep-lowest-id rule makes the drop set a total function of the
     data, no tie luck. Returns one row per dropped vector:
-    ``(vec_id, cell, kept_ref, cosine_sim)`` where ``kept_ref`` is the
-    smallest qualifying earlier neighbor.
+    ``(vec_id, cell, kept_ref, cosine_sim_micro)`` where ``kept_ref``
+    is the smallest qualifying earlier neighbor and the similarity is
+    an exact BIGINT in micro-units.
 
     Scale: the quadratic is confined to a cell, so cost is
     sum(|cell|^2) instead of N^2 -- k grows with the corpus to keep
     cells bounded (k ~ N / target_cell_size), exactly how SemDeDup
     runs at dataset scale. The pair join shuffles on the cell id;
-    similarity is rounded to 6 dp BEFORE the threshold compare so the
-    oracle's float boundary is identical.
+    similarity is quantized to exact integer MICRO-UNITS
+    (``floor(sim * 1e6 + 0.5)``, pure IEEE ops -- see
+    ``kmeans.quantize_micro``) BEFORE the threshold compare, so the
+    oracle's boundary is the identical integer comparison with no
+    round()-of-doubles exposure.
 
     ``arrow_assign=True`` swaps the broadcast-argmin HOF assignment
     for the Arrow-batched numpy matmul (``assign_cells_arrow``) -- the
@@ -420,10 +424,13 @@ def semantic_dedup(
     differ from the HOF path only on near-exact distance ties.
     ``arrow_pairs=True`` additionally runs the within-cell compare as
     one numpy block matmul per cell (``applyInPandas`` over the cell
-    groups) -- SemDeDup's actual inner loop; same keep-lowest-id rule,
-    differing from the expression path only in float summation order
-    (and half-even vs half-up rounding at exact 5e-7 boundaries).
+    groups) -- SemDeDup's actual inner loop; same keep-lowest-id rule
+    and the same micro-unit quantization, differing from the
+    expression path only in float summation order.
     """
+    import math as _math
+
+    thr_micro = int(_math.floor(threshold * 1e6 + 0.5))
     vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     if arrow_assign:
         # keep_vec: the assignment batch emits (id, cell, vec) in one
@@ -434,7 +441,7 @@ def semantic_dedup(
     else:
         assigned = _hof_assign(vecs, centroids)
     if arrow_pairs:
-        return _arrow_cell_drops(assigned, threshold, id_col)
+        return _arrow_cell_drops(assigned, thr_micro, id_col)
     # stage each vector's norm ONCE before the pair join: cosine per
     # pair then costs one dot-product fold instead of three (the norms
     # are the same doubles either way, so the oracle's inline-norm SQL
@@ -462,11 +469,12 @@ def semantic_dedup(
             "id_a",
             "id_b",
             F.col("_cb").alias("cell"),
-            F.round(
-                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ).alias("sim"),
+            F.floor(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint").alias("sim"),
         )
-        .filter(F.col("sim") >= F.lit(threshold))
+        .filter(F.col("sim") >= F.lit(thr_micro))
     )
     return (
         pairs.groupBy("id_b", "cell")
@@ -475,7 +483,7 @@ def semantic_dedup(
             F.col("id_b").alias(id_col),
             "cell",
             F.col("best.id_a").alias("kept_ref"),
-            F.col("best.sim").alias("cosine_sim"),
+            F.col("best.sim").alias("cosine_sim_micro"),
         )
     )
 
@@ -560,17 +568,18 @@ def assign_cells_arrow(
 
 def _arrow_cell_drops(
     assigned: DataFrame,
-    threshold: float,
+    thr_micro: int,
     id_col: str,
 ) -> DataFrame:
     """Within-cell duplicate detection as one numpy block per cell
     (``applyInPandas`` over the cell groups) -- the SemDeDup
     inner loop as a matmul instead of per-pair HOF folds. For each
     vector, the kept reference is the smallest LOWER id in its cell
-    with cosine >= threshold (identical rule to the expression path;
-    similarities round to 6 dp before the threshold like the oracle).
-    Large cells process in row blocks so memory stays
-    O(block x cell)."""
+    with quantized cosine >= ``thr_micro`` (identical rule and the
+    identical ``floor(sim * 1e6 + 0.5)`` micro-unit quantization as
+    the expression path and the oracle -- integer compare, no
+    rounding-mode exposure). Large cells process in row blocks so
+    memory stays O(block x cell)."""
     import numpy as np
     import pandas as pd
 
@@ -578,7 +587,7 @@ def _arrow_cell_drops(
         f"{id_col} {assigned.schema['_id'].dataType.simpleString()}, "
         "cell int, "
         f"kept_ref {assigned.schema['_id'].dataType.simpleString()}, "
-        "cosine_sim double"
+        "cosine_sim_micro bigint"
     )
 
     def find(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -591,19 +600,20 @@ def _arrow_cell_drops(
         block = 1024
         for lo in range(1, len(ids), block):
             hi = min(lo + block, len(ids))
-            sims = np.round(Vn[lo:hi] @ Vn[:hi].T, 6)  # (rows, earlier+self)
+            # (rows, earlier+self) in exact integer micro-units
+            sims = np.floor(Vn[lo:hi] @ Vn[:hi].T * 1e6 + 0.5)
             for r in range(hi - lo):
                 j = lo + r
                 earlier = sims[r, :j]
-                hits = np.nonzero(earlier >= threshold)[0]
+                hits = np.nonzero(earlier >= thr_micro)[0]
                 if hits.size:
                     i = int(hits[0])  # ids sorted -> first hit = min id
                     out_id.append(ids[j])
                     out_ref.append(ids[i])
-                    out_sim.append(float(earlier[i]))
+                    out_sim.append(int(earlier[i]))
         return pd.DataFrame(
             {id_col: out_id, "cell": cell, "kept_ref": out_ref,
-             "cosine_sim": out_sim}
+             "cosine_sim_micro": pd.Series(out_sim, dtype="int64")}
         )
 
     return assigned.groupBy("cell").applyInPandas(find, schema=out_schema)

@@ -1232,30 +1232,46 @@ def test_lloyd_kmeans_hand_computed(spark):
     prof = {r["cell"]: r for r in kmeans_profile(
         df, lloyd_kmeans(df, k=2, n_iters=2)).collect()}
     assert prof[0]["n_vectors"] == 2 and prof[1]["n_vectors"] == 2
-    assert abs(prof[0]["centroid_norm"] - 0.5) < 1e-9
-    assert abs(prof[1]["centroid_norm"] - 210.25 ** 0.5) < 1e-6
-    assert prof[0]["avg_d2"] == 0.25 and prof[1]["avg_d2"] == 0.25
+    # profile scalars are exact integer micro-units: |(0, 0.5)| = 0.5,
+    # |(10, 10.5)| = sqrt(210.25) = 14.5 exactly, inertia 0.25 both
+    assert prof[0]["centroid_norm_micro"] == 500_000
+    assert prof[1]["centroid_norm_micro"] == 14_500_000
+    assert prof[0]["avg_d2_micro"] == 250_000
+    assert prof[1]["avg_d2_micro"] == 250_000
 
 
-def test_round_half_up_modes_and_nonfinite():
-    """_round_half_up must (a) round half away from zero like Spark's
-    F.round where Python's builtin round() is banker's, (b) handle
-    negatives symmetrically, and (c) pass NaN/+-inf through unchanged
-    instead of raising decimal.InvalidOperation (ADVICE r7: Catalyst's
-    Round propagates non-finite values)."""
+def test_quantize_micro_ieee_and_nonfinite():
+    """quantize_micro is pure IEEE arithmetic (floor(x*1e6+0.5)/1e6):
+    (a) its Python form, Spark's column form, and DuckDB's literal
+    expression agree BIT-IDENTICALLY on adversarial near-half inputs
+    (the whole point of retiring the HALF_UP Decimal helper, whose
+    decimal-repr rounding could diverge from an engine's binary
+    round one ulp below a repr-exact half); (b) halves round toward
+    +inf by the floor(x+0.5) convention; (c) non-finite values pass
+    through unchanged (math.floor would raise)."""
     import math
 
+    import duckdb
+
     from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
-        _round_half_up,
+        quantize_micro,
     )
 
-    assert _round_half_up(0.0000005, 6) == 0.000001  # builtin round -> 0.0
-    assert _round_half_up(-0.0000005, 6) == -0.000001
-    assert _round_half_up(2.5, 0) == 3.0 and _round_half_up(-2.5, 0) == -3.0
-    assert _round_half_up(0.1234564, 6) == 0.123456
-    assert _round_half_up(float("inf"), 6) == float("inf")
-    assert _round_half_up(float("-inf"), 6) == float("-inf")
-    assert math.isnan(_round_half_up(float("nan"), 6))
+    assert quantize_micro(0.0000005) == 0.000001
+    assert quantize_micro(-0.0000005) == 0.0  # half toward +inf
+    assert quantize_micro(0.1234564) == 0.123456
+    assert quantize_micro(float("inf")) == float("inf")
+    assert quantize_micro(float("-inf")) == float("-inf")
+    assert math.isnan(quantize_micro(float("nan")))
+
+    # cross-engine bit-identity, including the r7 ADVICE example
+    # 0.1308615 where Decimal-HALF_UP and binary round disagreed
+    cases = [0.1308615, 0.0000005, -0.9999995, 1e-7, 123.4567894999999, -42.0]
+    for x in cases:
+        (got,) = duckdb.sql(
+            "SELECT floor(CAST(? AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0", params=[x]
+        ).fetchone()
+        assert quantize_micro(x) == got, x
 
 
 def test_ivf_topk_accepts_lloyd_centroids(spark):
@@ -1375,9 +1391,9 @@ def test_semantic_dedup_hand_computed(spark):
     cents = lloyd_kmeans(df, k=2, n_iters=2)
     out = {r["vec_id"]: r for r in semantic_dedup(df, cents, threshold=0.9).collect()}
     assert set(out) == {2, 4, 5}
-    assert out[2]["kept_ref"] == 1 and out[2]["cosine_sim"] == 1.0
-    assert out[5]["kept_ref"] == 1 and out[5]["cosine_sim"] == 1.0
-    assert out[4]["kept_ref"] == 3 and out[4]["cosine_sim"] == 1.0
+    assert out[2]["kept_ref"] == 1 and out[2]["cosine_sim_micro"] == 1_000_000
+    assert out[5]["kept_ref"] == 1 and out[5]["cosine_sim_micro"] == 1_000_000
+    assert out[4]["kept_ref"] == 3 and out[4]["cosine_sim_micro"] == 1_000_000
 
 
 def test_corpus_cli_retrieve_and_semdedup(spark, tmp_path):
@@ -1489,7 +1505,8 @@ def test_semantic_dedup_arrow_assign_matches_hof(spark):
 def test_semantic_dedup_arrow_pairs_matches_hof(spark):
     """The per-cell numpy block compare must produce the same drop set
     (ids, refs, cells) as the expression path on well-separated data;
-    similarities agree to 6 dp."""
+    micro-unit similarities agree exactly away from quantization
+    boundaries (summation order is the paths' only difference)."""
     from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
         lloyd_kmeans,
     )
@@ -1502,14 +1519,14 @@ def test_semantic_dedup_arrow_pairs_matches_hof(spark):
     pts += [(100 + i, pts[i][1]) for i in range(6)]
     df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
     cents = lloyd_kmeans(df, k=2, n_iters=2)
-    hof = {(r["vec_id"], r["cell"], r["kept_ref"]): r["cosine_sim"]
+    hof = {(r["vec_id"], r["cell"], r["kept_ref"]): r["cosine_sim_micro"]
            for r in semantic_dedup(df, cents, threshold=0.999).collect()}
-    arw = {(r["vec_id"], r["cell"], r["kept_ref"]): r["cosine_sim"]
+    arw = {(r["vec_id"], r["cell"], r["kept_ref"]): r["cosine_sim_micro"]
            for r in semantic_dedup(df, cents, threshold=0.999,
                                    arrow_assign=True, arrow_pairs=True).collect()}
     assert set(hof) == set(arw) and len(hof) >= 6
     for k in hof:
-        assert abs(hof[k] - arw[k]) < 1e-6
+        assert abs(hof[k] - arw[k]) <= 1
 
 
 def test_synthdocs_python_datasource(spark):

@@ -420,7 +420,7 @@ def test_semantic_dedup_matches_brute_force(spark, vecs):
         for i, vi in rows:
             if i >= j:
                 break
-            if round(cos(vi, vj), 6) >= 0.9:
+            if math.floor(cos(vi, vj) * 1e6 + 0.5) >= 900_000:
                 want[j] = i
                 break
     assert got == want
