@@ -8349,6 +8349,128 @@ GROUP BY 1
 """
 
 
+def q_lineitem_above_avg_pandas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-API migration, the ``merge`` idiom: the reference's FX
+    join is a COMPOSITE-KEY left merge of the fact against a lookup it
+    derived first (``transform.py:30-36`` -- fx_lookup built, then
+    ``out.merge(..., left_on=["date_key","currency"], ...)``).  The
+    other half of that idiom in real pandas ports is the
+    merge-BACK-of-a-groupby (above-group-average flags), which
+    Spark-native code writes as a window function.  This query pins
+    both at once: a per-(supplier, ship-month) discount baseline is
+    built with ``groupby`` + ``reset_index``, merged back onto the
+    line items on the two-column key, and each item is flagged when
+    its discount exceeds its group's mean.  The compare stays EXACT
+    integer arithmetic -- ``disc_pct * n > sum_disc`` is the float-free
+    form of ``disc > avg`` (pandas API floatifies decimals; integer
+    percent points *100 round-trip exactly) -- so DuckDB reproduces
+    the flags bit-for-bit.
+
+    Scale shape: the merge compiles to one shuffle on the composite
+    key (the groupby reuses the same hash partitioning); output is
+    bounded by distinct months."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as pd_spark
+
+        li = pd_spark.read_parquet(f"{sf_dir}/lineitem.parquet")[
+            ["l_suppkey", "l_shipdate", "l_discount"]
+        ]
+        li = li.assign(
+            ship_month=li["l_shipdate"].dt.strftime("%Y-%m"),
+            disc_pct=(li["l_discount"] * 100).round(0).astype("int64"),
+        )[["l_suppkey", "ship_month", "disc_pct"]]
+        base = (
+            li.groupby(["l_suppkey", "ship_month"])
+            .agg(sum_disc=("disc_pct", "sum"), n=("disc_pct", "count"))
+            .reset_index()
+        )
+        merged = li.merge(base, on=["l_suppkey", "ship_month"], how="left")
+        merged = merged.assign(
+            above=(merged["disc_pct"] * merged["n"] > merged["sum_disc"]).astype(
+                "int64"
+            )
+        )
+        out = (
+            merged.groupby("ship_month")
+            .agg(n_items=("above", "count"), n_above_avg=("above", "sum"))
+            .reset_index()
+        )
+        return out.to_spark()
+
+
+SQL_LINEITEM_ABOVE_AVG_PANDAS_MERGE = """
+WITH li AS (
+  SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(l_discount * 100 AS BIGINT) AS disc_pct
+  FROM lineitem
+), base AS (
+  SELECT l_suppkey, ship_month,
+         SUM(disc_pct) AS sum_disc, COUNT(*) AS n
+  FROM li GROUP BY 1, 2
+)
+SELECT li.ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN li.disc_pct * b.n > b.sum_disc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_avg
+FROM li JOIN base b
+  ON li.l_suppkey = b.l_suppkey AND li.ship_month = b.ship_month
+GROUP BY 1
+"""
+
+
+def q_orders_kpi_pandas_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-API migration, the ``pivot_table`` idiom: the
+    reference's KPI builder pivots the long account-type rows wide and
+    derives profit columns from the pivoted ones
+    (``transform.py:118-124`` -- ``pivot_table(index=..., columns=...,
+    values=..., fill_value=0)`` then ``Revenue + COGS``).  Mirrored
+    here on orders: revenue cents pivot wide by order status
+    (``fill_value=0`` keeps a priority with a missing status at zero,
+    the reference's zero-fill contract), then a derived total column
+    from the pivoted three, then the reference's ``sort_values``.
+    Money stays exact: integer cents before the pivot, int64 sums.
+
+    Scale shape: pivot_table compiles to the same two-phase
+    hash-aggregate Catalyst emits for ``groupBy().pivot()`` -- partial
+    per-status sums map-side, 5 output rows."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as pd_spark
+
+        psdf = pd_spark.read_parquet(f"{sf_dir}/orders.parquet")
+        psdf = psdf.assign(
+            revenue_cents=(psdf["o_totalprice"] * 100).round(0).astype("int64"),
+        )
+        wide = psdf.pivot_table(
+            index=["o_orderpriority"],
+            columns="o_orderstatus",
+            values="revenue_cents",
+            aggfunc="sum",
+            fill_value=0,
+        ).reset_index()
+        wide = wide.rename(columns={"F": "f_cents", "O": "o_cents", "P": "p_cents"})
+        wide = wide.assign(
+            total_cents=wide["f_cents"] + wide["o_cents"] + wide["p_cents"]
+        ).sort_values("o_orderpriority")
+        return wide.to_spark()
+
+
+SQL_ORDERS_KPI_PANDAS_PIVOT = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS f_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS o_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS p_cents,
+       CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate checks
 # only the first 50 entries, so positions 0-49 are a curated window.
 # The dict literal below keeps its original (round 1-7) grouping for
@@ -8539,6 +8661,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_dedup_shifted": q_events_streamed_dedup_shifted,
     "orders_benford": q_orders_benford,
     "orders_monthly_pandas_api": q_orders_monthly_pandas_api,
+    "lineitem_above_avg_pandas_merge": q_lineitem_above_avg_pandas_merge,
+    "orders_kpi_pandas_pivot": q_orders_kpi_pandas_pivot,
 }
 
 # Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
@@ -8754,6 +8878,8 @@ ORACLES: dict[str, str] = {
     "events_streamed_dedup_shifted": SQL_EVENTS_STREAMED_DEDUP_SHIFTED,
     "orders_benford": SQL_ORDERS_BENFORD,
     "orders_monthly_pandas_api": SQL_ORDERS_MONTHLY_PANDAS_API,
+    "lineitem_above_avg_pandas_merge": SQL_LINEITEM_ABOVE_AVG_PANDAS_MERGE,
+    "orders_kpi_pandas_pivot": SQL_ORDERS_KPI_PANDAS_PIVOT,
     "docs_semantic_contamination": SQL_DOCS_SEMANTIC_CONTAMINATION,
     "docs_pack_budget": SQL_DOCS_PACK_BUDGET,
     "docs_contamination": SQL_DOCS_CONTAMINATION,

@@ -43,6 +43,18 @@ from finance_etl_pipeline_monthly_close_dataset_spark.session import get_spark
 
 # query -> {flag: reason}. Every entry is a documented design decision.
 ALLOW: dict[str, dict[str, str]] = {
+    # pandas-API migration showcase: the merge-BACK-of-a-groupby port
+    # idiom (reference transform.py builds a lookup then merges it onto
+    # the fact) -- the second fact scan IS the documented pandas-port
+    # shape being pinned; the Spark-native rewrite is a window function
+    # (see q_lineitem_above_avg_pandas_merge's docstring), and showing
+    # that trade-off is the query's purpose
+    "lineitem_above_avg_pandas_merge": {
+        "multi_scan:lineitem": "pandas merge-back idiom scans the fact "
+        "on both sides of the self-join by construction; the query "
+        "documents exactly this porting trap (native form: one scan + "
+        "window)"
+    },
     # dimension-bounded global windows (SURVEY O4): inputs are dimension
     # tables (nation = 25 rows), never facts
     "surrogate_keys": {
