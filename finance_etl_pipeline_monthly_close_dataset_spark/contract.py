@@ -7199,6 +7199,91 @@ ORDER BY media_id, feature_idx
 """
 
 
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE oracle for the LOSSY decode path -- the last decoder that
+    was previously only self-consistent: 48 JPEGs whose 8x8 blocks are
+    built from closed-form QUANTIZED DCT COEFFICIENTS (DC + the
+    (4,4)-frequency term, ``multimodal.deterministic_jpeg_media``), so
+    the exact IDCT reconstruction is integer arithmetic DuckDB
+    recomputes without trigonometry: pixel = 128 + 2*dc +
+    17*m*sigma(x)*sigma(y) with sigma the (4,4) basis sign pattern.
+    The corpus mixes plain baseline, baseline-with-restart-markers
+    (id%4==3) and PROGRESSIVE SOF2 (id%3==2) streams of the same
+    closed form, so Huffman DC deltas, the ZRL-coded 23-zero AC run,
+    EOB, restart resync and the progressive scan script all hash
+    against one arithmetic oracle.  Features come out as exact BIGINT
+    1e-4 units (floor(v*1e4+0.5), the identical expression both
+    engines): the feature array is float32 by schema (the right width
+    for 100 TB vectors), whose 2^-24 relative error bounds the
+    perturbation at ~4.1e-4 in 1e4-units, while the feature rationals
+    p/12240 and p/3060 sit >= 0.0033 from every quantization boundary
+    (gcd analysis in the module docstring) -- so the integer is
+    provably stable; 1e-6 units would NOT survive float32, which is
+    why this query quantizes coarser than the kmeans family."""
+    from .operators import multimodal as mm
+
+    media = mm.deterministic_jpeg_media(spark, n=48)
+    feats = mm.decode_images_numpy(media, feature_dim=7, resize_to=(8, 6))
+    return (
+        feats.select(
+            "media_id",
+            "out_width",
+            "out_height",
+            F.posexplode("feature").alias("feature_idx", "_v"),
+        )
+        .select(
+            "media_id",
+            "out_width",
+            "out_height",
+            "feature_idx",
+            F.floor(F.col("_v").cast("double") * F.lit(1e4) + F.lit(0.5))
+            .cast("bigint")
+            .alias("feature_q4"),
+        )
+        .orderBy("media_id", "feature_idx")
+    )
+
+
+SQL_JPEG_FEATURES = """
+WITH m AS (
+  SELECT CAST(range AS BIGINT) AS id FROM range(48)
+),
+dims AS (
+  SELECT id, 8 + (id % 3) * 8 AS w, 8 + (id % 2) * 8 AS h FROM m
+),
+px AS (
+  SELECT d.id, oy.range AS oy, ox.range AS ox,
+         LEAST(CAST(oy.range * d.h AS BIGINT) // 6, d.h - 1) AS sy,
+         LEAST(CAST(ox.range * d.w AS BIGINT) // 8, d.w - 1) AS sx
+  FROM dims d, range(6) oy, range(8) ox
+),
+vals AS (
+  SELECT id, oy, ox,
+         (128
+          + 2 * (((id * 5 + (sy // 8) * 3 + (sx // 8)) % 13) - 6)
+          + 17 * (((id * 7 + (sy // 8) + (sx // 8) * 2) % 5) - 2)
+            * (CASE WHEN (sx % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+            * (CASE WHEN (sy % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+         ) / 255.0 AS v
+  FROM px
+),
+feats AS (
+  SELECT id, CAST(c.range AS INT) AS feature_idx, AVG(v) AS fv
+  FROM vals CROSS JOIN range(3) c GROUP BY 1, 2
+  UNION ALL
+  SELECT id, 3 + CAST(oy // 3 AS INT) * 2 + CAST(ox // 4 AS INT) AS feature_idx,
+         AVG(v)
+  FROM vals GROUP BY 1, 2
+)
+SELECT f.id AS media_id,
+       8 AS out_width, 6 AS out_height,
+       CAST(f.feature_idx AS INT) AS feature_idx,
+       CAST(floor(f.fv * 10000.0 + 0.5) AS BIGINT) AS feature_q4
+FROM feats f
+ORDER BY media_id, feature_idx
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END oracle for the REAL audio-decode path -- the WAV
     counterpart of ``media_features``: 32 deterministic RIFF/WAVE
@@ -8646,6 +8731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthdocs_source": q_synthdocs_source,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
+    "jpeg_features": q_jpeg_features,
     "audio_features": q_audio_features,
     "video_features": q_video_features,
     "docs_semantic_contamination": q_docs_semantic_contamination,
@@ -8865,6 +8951,7 @@ ORACLES: dict[str, str] = {
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
+    "jpeg_features": SQL_JPEG_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "video_features": SQL_VIDEO_FEATURES,
     "orders_kmv_customers": SQL_ORDERS_KMV_CUSTOMERS,

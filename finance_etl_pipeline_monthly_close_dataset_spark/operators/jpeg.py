@@ -428,14 +428,19 @@ def _assemble_planes(planes, comps, max_h, max_v, w, h):
         p = planes[ci]
         p = np.repeat(np.repeat(p, max_v // c["v"], axis=0), max_h // c["h"], axis=1)
         full.append(p[:h, :w])
+    # ROUND to nearest before the uint8 cast (T.81 reconstruction /
+    # libjpeg behavior): a bare astype truncates toward zero, biasing
+    # every sample -0.5 and landing one LOW whenever the float IDCT
+    # sits an ulp under an exact integer (r9 fix, caught by the
+    # closed-form jpeg_features oracle)
     if len(comps) == 1:
-        y = np.clip(full[0] + 128.0, 0, 255).astype(np.uint8)
+        y = np.clip(np.round(full[0] + 128.0), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = full[0] + 128.0, full[1], full[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
-    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+    return np.clip(np.round(np.stack([r, g, bl], axis=2)), 0, 255).astype(np.uint8)
 
 
 # -- progressive (SOF2) decode ----------------------------------------------

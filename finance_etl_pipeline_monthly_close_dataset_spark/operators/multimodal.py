@@ -262,6 +262,76 @@ def deterministic_image_formats_media(spark, n: int = 48) -> DataFrame:
     return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def deterministic_jpeg_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic LOSSY-format image corpus whose decode is still
+    exactly value-checkable: per 8x8 block the pixels are built from
+    closed-form QUANTIZED DCT COEFFICIENTS -- a DC term and the
+    (4,4)-frequency term whose basis is cos((2t+1)pi/4) = sigma(t)/sqrt(2)
+    with sigma = [+,-,-,+,+,-,-,+] -- so the block is EXACTLY in the
+    span of two DCT basis vectors and the reconstruction is pure
+    integer arithmetic (no cosines survive):
+
+        dc(id,by,bx) = ((id*5 + by*3 + bx) % 13) - 6     (q00 = 16)
+        m(id,by,bx)  = ((id*7 + by + bx*2) % 5) - 2      (c44 = 2m, q44 = 68)
+        pixel(x,y)   = 128 + 2*dc + 17*m*sigma(x%8)*sigma(y%8)
+
+    (S00 = 16*dc is a multiple of 8 and S44 = 136*m a multiple of 4,
+    so every reconstructed value is an integer; the float IDCT lands
+    within ~1e-12 and rounds exactly.)  The forward DCT recovers the
+    two coefficients to ~1e-12 before quantization, so the encoded
+    stream's quantized coefficients ARE the closed form -- encode is
+    lossless on this family by construction.  Dims are multiples of 8
+    (w = 8+8*(id%3), h = 8+8*(id%2)); id%3==2 encodes PROGRESSIVE
+    (SOF2 scan script), id%4==3 baseline with restart markers, else
+    plain baseline -- so Huffman DC deltas, the 23-zero AC run to
+    zigzag-24 (exercising ZRL), EOB, restart resync, and the whole
+    progressive path are all covered by ONE arithmetic oracle
+    (``jpeg_features``).
+
+    Quantization-stability proof for the oracle's 1e-4-unit features:
+    channel means are rationals p/12240 (48 resized px x 255) and grid
+    means p/3060 (12 px x 255).  A boundary flip needs frac(v*1e4) to
+    sit within the float32 error (~4.1e-4) of 0.5; but 1e4*p mod 12240
+    ranges over multiples of gcd(1e4,12240)=80 while the half-point
+    6120 = 40 (mod 80), so the distance is >= 40/12240 = 0.0033 --
+    8x the worst-case perturbation.  Same for 3060 (gcd 20, half-point
+    1530 = 10 mod 20, distance >= 10/3060 = 0.0033)."""
+    from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sig = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 8 + 8 * (mid % 3), 8 + 8 * (mid % 2)
+                img = np.zeros((h, w), np.int64)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        dc = ((mid * 5 + by * 3 + bx) % 13) - 6
+                        m = ((mid * 7 + by + bx * 2) % 5) - 2
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            128 + 2 * dc + 17 * m * np.outer(sig, sig)
+                        )
+                img = img.astype(np.uint8)
+                if mid % 3 == 2:
+                    payload = encode_jpeg_progressive(img)
+                elif mid % 4 == 3:
+                    payload = encode_jpeg_baseline(img, restart_interval=2)
+                else:
+                    payload = encode_jpeg_baseline(img)
+                rows.append((mid, "image", payload, "image/jpeg", w, h, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime",
+                         "width", "height", "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def deterministic_wav_media(spark, n: int = 32) -> DataFrame:
     """Deterministic REAL-format audio corpus: media_id -> a valid
     RIFF/WAVE file (16-bit PCM mono @8 kHz) whose every sample is the
