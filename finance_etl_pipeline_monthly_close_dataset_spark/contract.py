@@ -8751,19 +8751,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_kpi_pandas_pivot": q_orders_kpi_pandas_pivot,
 }
 
-# Round-8 driver-window rotation (VERDICT r7 ask #1).  The driver's
-# correctness gate only ever checks positions 0-49, and rounds 1-7 ran
-# the SAME first 50, so 105 queries had never produced a driver-side
-# CORRECTNESS row.  This list re-derives the window: 8 long-green
-# sentinels stay pinned (flagship, pricing, the DQ trio, SCD2/CDC, one
-# streamed query) and the remaining 42 slots go to queries promoted
-# from the previously-unchecked tail -- the TPC-H decision-support
-# batch, the kmeans / IVF / SemDeDup family (round 7's only code
-# change landed there with no driver net), the sketch/state/versioned
-# suite, the streaming tail, and PII scrub.  Queries not named here
-# keep their relative literal order after position 49; nothing is
-# added or removed, so check_contract / checkall still cover all
-# entries.
+# Round-9 driver-window rotation, tranche 2 (VERDICT r8 ask #1).  The
+# r8 rotation gave 42 never-checked queries their first driver-side
+# CORRECTNESS row; 53 registry queries still had none.  This window
+# keeps the 8 long-green sentinels, admits the round-9 NEW queries
+# (standing rule: new-in-round code enters the window the round it
+# lands -- jpeg_features and the two pandas-API migration queries),
+# RE-admits the 5 kmeans/IVF/SemDeDup queries whose oracles changed
+# this round (micro-unit quantization -- changed code gets a driver
+# net, the r7 lesson), and fills the remaining 34 slots from the
+# never-checked 53, prioritizing operator-bearing queries; the 19
+# deferred stragglers (the simplest TPC-H filter/agg shapes plus
+# orders_profile/key-gap/percentile tails, each 3-SF CHECKALL-green)
+# are round 10's tranche.  Queries not named here keep their relative
+# literal order after position 49; nothing is added or removed, so
+# check_contract / checkall still cover all entries.
 _DRIVER_WINDOW: list[str] = [
     # pinned sentinels (driver-green every round since round 1)
     "flagship_revenue_by_month",
@@ -8774,63 +8776,51 @@ _DRIVER_WINDOW: list[str] = [
     "customer_scd2",
     "snapshot_cdc_diff",
     "events_streamed_dedup",
-    # TPC-H decision-support batch (never driver-checked before r8)
-    "part_cheapest_supplier",
-    "nation_pair_trade",
-    "important_parts_value",
-    "nation_profit",
-    # new-in-round-8 operator code enters the window the round it
-    # lands (the r7 lesson: never ship new code outside the driver
-    # net) -- displacing ten of the simplest TPC-H filter/agg shapes
-    # (customer_order_distribution, promo_revenue_share,
-    # supplier_part_counts, small_order_revenue, large_volume_orders,
-    # returned_item_customers, lineitem_priority_mix,
-    # forecast_revenue_change, excess_stock_suppliers,
-    # idle_rich_customers, bracket_pricing_revenue), each 3-SF
-    # CHECKALL-green and structurally the lowest-risk entries in the
-    # batch
-    "orders_kmv_customers",
-    "events_ewma",
-    "events_interpolated",
-    "docs_chunks_udtf",
-    "events_streamed_attribution_outer",
-    "parts_cross_sell",
-    "events_user_sessions_udtf",
-    "events_props_variant",
-    "events_streamed_dedup_shifted",
-    "orders_benford",
-    "orders_monthly_pandas_api",
-    # embedding / ANN / kmeans family (r7's change landed here unchecked)
+    # new in round 9
+    "jpeg_features",
+    "lineitem_above_avg_pandas_merge",
+    "orders_kpi_pandas_pivot",
+    # changed in round 9: micro-unit oracle quantization
     "embedding_kmeans_centroids",
     "embedding_kmeans_centroids_arrow",
     "embedding_ivf_trained_topk",
     "embedding_semantic_dedup",
     "embedding_semantic_dedup_arrow",
-    "docs_semantic_contamination",
-    "docs_chunk_retrieval",
-    "docs_cluster_best",
-    "docs_ngram_jaccard_recall",
-    # sketches / incremental state / versioned lake
-    "orders_quantile_sketch",
-    "orders_quantile_rollup",
-    "orders_priority_percentiles",
-    "orders_incremental_state",
-    "orders_versioned_cdf",
-    # corpus curation tail
-    "docs_pii_scrub",
-    "docs_leakage_split",
-    "docs_token_budget_mix",
-    "lineitem_bloom_semijoin",
-    # streaming tail + custom source
-    "events_streamed_attribution",
-    "events_streamed_late_drop",
-    "events_streamed_enriched",
-    "events_stateful_sessions",
-    "image_formats_features",
-    "synthdocs_source",
-    "media_features",
-    "audio_features",
-    "video_features",
+    # tranche 2: first driver-side row for 34 of the remaining 53
+    "events_range_join",
+    "docs_tfidf_terms",
+    "docs_quality_deciles",
+    "docs_train_val_split",
+    "unpivot_status_totals",
+    "exact_quartiles",
+    "events_json_typed",
+    "hot_keys_join_revenue",
+    "docs_repetition",
+    "docs_sample_deterministic",
+    "order_gap_stats",
+    "group_stats_exact",
+    "docs_stratified_sample",
+    "docs_vocabulary",
+    "docs_weighted_sample",
+    "events_anomaly_hours",
+    "price_histogram",
+    "embedding_dim_profile",
+    "brand_part_rank",
+    "events_hourly_trend",
+    "events_stickiness",
+    "orders_backlog_aging",
+    "supplier_nation_share",
+    "docs_chunks",
+    "docs_chunk_dedup",
+    "embedding_quantize",
+    "docs_normalized_fingerprint",
+    "embedding_lsh_recall",
+    "docs_unigram_logprob",
+    "nation_market_share",
+    "lineitem_heavy_hitters",
+    "events_rolling_active",
+    "lineitem_cms_hot_suppliers",
+    "events_type_pagerank",
 ]
 
 QUERIES = {
