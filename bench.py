@@ -265,6 +265,95 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["kmeans_k64"] = f"{type(exc).__name__}: {exc}"[:200]
         out["errors"] = errors
+
+    # ANN at volume (judge r8 ask #3): the sf0.1 embeddings table is
+    # ~2k rows, so the IVF/LSH plan shapes were audited but never
+    # MEASURED at scale. A deterministic 1M x 64d clustered corpus
+    # (sources/pydatasource.py "synthvecs", closed-form vectors)
+    # materializes to local parquet once, then: brute-force truth for
+    # 16 probes (cosine_topk_arrow), Lloyd k=64 build (arrow), IVF
+    # probe via ivf_topk_arrow (nprobe=8), LSH probe (12 hyperplanes),
+    # each timed single-shot with recall@10 against the truth set.
+    # HEAVY-tier rows tracked per round: ann_1m_ivf / ann_1m_lsh.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
+            kmeans as _km,
+        )
+        from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
+            similarity as _sim,
+        )
+        from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+            register as _register_pyds,
+        )
+
+        _register_pyds(spark)
+        ann_dir = tempfile.mkdtemp(prefix="ann1m_")
+        try:
+            n_vecs = 1_000_000
+            start = time.perf_counter()
+            (
+                spark.read.format("synthvecs")
+                .option("n_vecs", n_vecs).option("dim", 64)
+                .load()
+                .write.parquet(ann_dir + "/vecs")
+            )
+            t_gen = time.perf_counter() - start
+            corpus = spark.read.parquet(ann_dir + "/vecs")
+            pids = [(i * 61803 + 7) % n_vecs for i in range(16)]
+            probes = corpus.filter(F.col("vec_id").isin(pids)).select(
+                F.col("vec_id").alias("probe_id"), "embedding"
+            )
+            start = time.perf_counter()
+            truth = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in _sim.cosine_topk_arrow(corpus, probes, k=10).collect()
+            }
+            t_truth = time.perf_counter() - start
+            start = time.perf_counter()
+            cents = _km.lloyd_kmeans(corpus, k=64, n_iters=2, arrow=True)
+            cents.persist().count()
+            t_build = time.perf_counter() - start
+            start = time.perf_counter()
+            ivf = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in _sim.ivf_topk_arrow(corpus, probes, cents, k=10, nprobe=8).collect()
+            }
+            t_ivf = time.perf_counter() - start
+            start = time.perf_counter()
+            lsh = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in _sim.lsh_bucketed_topk(
+                    corpus, probes, dim=64, k=10, n_planes=12
+                ).collect()
+            }
+            t_lsh = time.perf_counter() - start
+            cents.unpersist()
+            out["ann_1m"] = {
+                "n_vecs": n_vecs,
+                "dim": 64,
+                "n_probes": 16,
+                "t_gen": round(t_gen, 3),
+                "t_brute_truth": round(t_truth, 3),
+                "ann_1m_ivf": {
+                    "t_build_lloyd_k64": round(t_build, 3),
+                    "t_probe_nprobe8": round(t_ivf, 3),
+                    "recall_at_10": round(len(ivf & truth) / max(len(truth), 1), 4),
+                },
+                "ann_1m_lsh": {
+                    "t_probe_12planes": round(t_lsh, 3),
+                    "recall_at_10": round(len(lsh & truth) / max(len(truth), 1), 4),
+                },
+            }
+        finally:
+            shutil.rmtree(ann_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["ann_1m"] = f"{type(exc).__name__}: {exc}"[:200]
+        out["errors"] = errors
     # Lossless local artifact (judge r8 ask #4): the driver's capture
     # of stdout is tail-truncated on long runs, so the full result is
     # also written to BENCH_LOCAL_r{N}.json (round from

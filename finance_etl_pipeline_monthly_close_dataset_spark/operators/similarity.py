@@ -313,6 +313,103 @@ def ivf_topk(
     )
 
 
+def ivf_topk_arrow(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF top-k with Arrow-batched numpy for BOTH the cell assignment
+    and the within-cell scoring -- the production probe path at corpus
+    scale.  The expression form (``ivf_topk`` with explicit centroids)
+    pays N x n_centroids interpreted-lambda evals to assign and one
+    64-term HOF fold per candidate pair to score (measured 71 s at
+    1M x 64d / k=64 / nprobe=8 on local[32]); here each Arrow batch
+    does assignment as two BLAS matmuls (same argmin-lowest-cell
+    tie-break as ``assign_cells_arrow``) and scores only the rows
+    landing in probed cells as one block matmul, emitting its LOCAL
+    top-k per probe -- the shuffle carries partitions x probes x k
+    candidate rows, never the scored corpus (same trick as
+    ``cosine_topk_arrow``).  Same semantics as ``ivf_topk``; cosines
+    differ only by float summation order (numpy pairwise vs left
+    fold).  Measured 6.5 s on the same 1M corpus -- the number
+    ``bench.py``'s ``ann_1m`` block tracks per round."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    )
+    cells_arr = np.array([i for i, _ in cent_rows], dtype=np.int64)
+    cm = np.array([c for _, c in cent_rows], dtype=np.float64)
+    cm_sq = (cm * cm).sum(axis=1)
+
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    pids = [r[0] for r in probe_rows]
+    pm = np.array([[float(x) for x in r[1]] for r in probe_rows], dtype=np.float64)
+    pn = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    # rank cells per probe by (d2, cell id) -- identical tie-break to
+    # the expression form's row_number window
+    pd2 = ((pm[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    probed: dict[int, list[int]] = {}
+    for pi in range(len(pids)):
+        order = np.lexsort((cells_arr, pd2[pi]))[:nprobe]
+        for ci in order:
+            probed.setdefault(int(cells_arr[ci]), []).append(pi)
+
+    out_schema = (
+        f"probe_id {probes.schema[probe_id_col].dataType.simpleString()}, "
+        f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+        "cosine_sim double"
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].values
+            best = np.argmin(cm_sq[None, :] - 2.0 * (vm @ cm.T), axis=1)
+            bcells = cells_arr[best]
+            out_p, out_n, out_s = [], [], []
+            for cell, pidx in probed.items():
+                mask = bcells == cell
+                if not mask.any():
+                    continue
+                sub = vm[mask]
+                sub_ids = ids[mask]
+                subn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+                sims = subn @ pn[pidx].T  # (m, len(pidx))
+                kk = min(k, sims.shape[0])
+                for j, pi in enumerate(pidx):
+                    top = np.argpartition(-sims[:, j], kk - 1)[:kk]
+                    out_p.extend([pids[pi]] * len(top))
+                    out_n.extend(sub_ids[top])
+                    out_s.extend(sims[top, j])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    from .dedup import spread_partitions
+
+    cand = spread_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        part, schema=out_schema
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     probes: DataFrame,

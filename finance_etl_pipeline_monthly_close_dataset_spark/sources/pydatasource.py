@@ -136,11 +136,94 @@ class SynthDocsDataSource(DataSource):
         return JsonlCommitWriter(self.options, schema)
 
 
+def synth_vec(vec_id: int, dim: int = 64, n_clusters: int = 64) -> list[float]:
+    """The deterministic embedding closed form (scalar reference for
+    tests/oracles; the reader computes it vectorized): vectors live on
+    ``n_clusters`` integer cluster centers with a per-(id, dim)
+    GRADED jitter (Knuth multiplicative hash over a prime modulus, so
+    no two corpus vectors are byte-identical -- exact duplicates would
+    make top-k ties arbitrary and recall@k meaningless):
+
+        c = vec_id % n_clusters
+        base(c, d)   = ((c*37 + d*11) % 17) - 8
+        jit(id, d)   = (((id*2654435761 + d*40503) % 1009) - 504) / 1680
+        v(id, d)     = base + jit     (stored float32, |jit| <= 0.3)
+
+    so ANN structures (IVF cells, LSH buckets) have real cluster
+    geometry to exploit, nearest-neighbor ranks are unique generically,
+    and any engine reproduces every vector by integer arithmetic."""
+    c = vec_id % n_clusters
+    return [
+        float(
+            ((c * 37 + d * 11) % 17) - 8
+            + (((vec_id * 2654435761 + d * 40503) % 1009) - 504) / 1680
+        )
+        for d in range(dim)
+    ]
+
+
+class SynthVecsReader(DataSourceReader):
+    """Partitioned deterministic embedding generator (the corpus the
+    1M x 64d ANN bench reads -- ``bench.py`` ``ann_1m``).  ``read``
+    yields pyarrow RecordBatches built from vectorized numpy, so a
+    1M-row scan is a few array ops per partition instead of 64M Python
+    float constructions."""
+
+    def __init__(self, options):
+        self.n_vecs = int(options.get("n_vecs", 100_000))
+        self.dim = int(options.get("dim", 64))
+        self.n_clusters = int(options.get("n_clusters", 64))
+        self.n_partitions = int(options.get("n_partitions", 32))
+
+    def partitions(self):
+        n = max(1, self.n_partitions)
+        span = max(1, (self.n_vecs + n - 1) // n)
+        return [
+            _RangePartition(s, min(s + span, self.n_vecs))
+            for s in range(0, self.n_vecs, span)
+        ] or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        if len(ids) == 0:
+            return
+        d = np.arange(self.dim, dtype=np.int64)
+        c = ids % self.n_clusters
+        base = ((c[:, None] * 37 + d[None, :] * 11) % 17) - 8
+        jit = (((ids[:, None] * 2654435761 + d[None, :] * 40503) % 1009) - 504) / 1680.0
+        vecs = (base + jit).astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), self.dim
+        ).cast(pa.list_(pa.float32()))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids), emb], names=["vec_id", "embedding"]
+        )
+
+
+class SynthVecsDataSource(DataSource):
+    """``spark.read.format("synthvecs").option("n_vecs", N)
+    .option("dim", 64).load()`` after ``register(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthvecs"
+
+    def schema(self) -> str:
+        return "vec_id bigint, embedding array<float>"
+
+    def reader(self, schema) -> SynthVecsReader:
+        return SynthVecsReader(self.options)
+
+
 def register(spark) -> None:
-    """Register the source and enable Python filter pushdown (off by
+    """Register the sources and enable Python filter pushdown (off by
     default in Spark 4.1; runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(SynthVecsDataSource)
 
 
 class SynthDocsStreamReader(SimpleDataSourceStreamReader):

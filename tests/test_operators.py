@@ -1529,6 +1529,50 @@ def test_semantic_dedup_arrow_pairs_matches_hof(spark):
         assert abs(hof[k] - arw[k]) <= 1
 
 
+def test_synthvecs_source_and_ivf_topk_arrow_parity(spark):
+    """(a) The synthvecs Python DataSource reproduces the scalar
+    closed form exactly and yields unique vectors (no byte-identical
+    duplicates -- exact dups would make ANN recall@k meaningless);
+    (b) ivf_topk_arrow (BLAS assignment + per-cell block matmul,
+    the 1M-bench path) returns the SAME neighbor sets and ranks as
+    the expression-form ivf_topk on the same explicit centroids."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.kmeans import (
+        lloyd_kmeans,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.similarity import (
+        ivf_topk, ivf_topk_arrow,
+    )
+    from finance_etl_pipeline_monthly_close_dataset_spark.sources.pydatasource import (
+        register, synth_vec,
+    )
+
+    register(spark)
+    corpus = (
+        spark.read.format("synthvecs")
+        .option("n_vecs", 2000).option("dim", 16).option("n_clusters", 8)
+        .load()
+    )
+    rows = corpus.filter(F.col("vec_id").isin([0, 777, 1999])).collect()
+    for r in rows:
+        want = np.array(synth_vec(r["vec_id"], dim=16, n_clusters=8), dtype=np.float32)
+        assert np.array_equal(np.array([float(x) for x in r["embedding"]], dtype=np.float32), want)
+    # uniqueness: hashing every vector's bytes finds no duplicates
+    n_distinct = corpus.select(F.md5(F.col("embedding").cast("string")).alias("h")).distinct().count()
+    assert n_distinct == 2000
+
+    cents = lloyd_kmeans(corpus, k=8, n_iters=2, arrow=True)
+    probes = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    expr = {(r["probe_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(corpus, probes, k=5, nprobe=3, centroids=cents).collect()}
+    arw = {(r["probe_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_topk_arrow(corpus, probes, cents, k=5, nprobe=3).collect()}
+    assert expr == arw and len(expr) == 20
+
+
 def test_synthdocs_python_datasource(spark):
     """The custom Python DataSource: partitioned generation, doc_id
     filter pushdown narrowing the generated range (a 10M-doc source
