@@ -332,6 +332,14 @@ def main() -> None:
                 ).collect()
             }
             t_lsh = time.perf_counter() - start
+            start = time.perf_counter()
+            lsh_arrow = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in _sim.lsh_topk_arrow(
+                    corpus, probes, dim=64, k=10, n_planes=12
+                ).collect()
+            }
+            t_lsh_arrow = time.perf_counter() - start
             cents.unpersist()
             out["ann_1m"] = {
                 "n_vecs": n_vecs,
@@ -347,6 +355,10 @@ def main() -> None:
                 "ann_1m_lsh": {
                     "t_probe_12planes": round(t_lsh, 3),
                     "recall_at_10": round(len(lsh & truth) / max(len(truth), 1), 4),
+                    "t_probe_12planes_arrow": round(t_lsh_arrow, 3),
+                    "recall_at_10_arrow": round(
+                        len(lsh_arrow & truth) / max(len(truth), 1), 4
+                    ),
                 },
             }
         finally:

@@ -313,6 +313,98 @@ def ivf_topk(
     )
 
 
+def lsh_topk_arrow(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    seed: int = 42,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """LSH bucket top-k with Arrow-batched numpy for the bucketing AND
+    the within-bucket scoring -- the production probe path, same
+    pattern as ``ivf_topk_arrow``.  The expression form
+    (``lsh_bucketed_topk``) evaluates one HOF dot fold per plane per
+    row to bucket and one per candidate PAIR to score (measured 10.2 s
+    at 1M x 64d / 16 probes, LOSING to the brute arrow matmul's
+    4.4 s); here each Arrow batch buckets its block with one
+    ``block @ planes.T`` sign matmul and scores only rows landing in a
+    probed bucket as one block matmul, emitting local top-k per probe
+    -- the shuffle carries partitions x probes x k candidates.  Same
+    candidate semantics as ``lsh_bucketed_topk`` (exact bucket
+    equality); buckets can differ from the expression form only if a
+    projection is EXACTLY zero under one summation order and not the
+    other (same caveat class as ``assign_cells_arrow``).  Tracked per
+    round by the ``ann_1m`` bench block alongside the expression
+    form."""
+    import numpy as np
+    import pandas as pd
+
+    if planes is None:
+        planes = hyperplanes(dim, n_planes, seed)
+    pl = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+    bitw = 1 << np.arange(pl.shape[0], dtype=np.int64)
+
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    pids = [r[0] for r in probe_rows]
+    pm = np.array([[float(x) for x in r[1]] for r in probe_rows], dtype=np.float64)
+    pn = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    pbuckets = ((pm @ pl.T) >= 0) @ bitw  # (n_probes,)
+    probed: dict[int, list[int]] = {}
+    for pi, b in enumerate(pbuckets):
+        probed.setdefault(int(b), []).append(pi)
+
+    out_schema = (
+        f"probe_id {probes.schema[probe_id_col].dataType.simpleString()}, "
+        f"neighbor_id {corpus.schema[id_col].dataType.simpleString()}, "
+        "cosine_sim double"
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].values
+            buckets = ((vm @ pl.T) >= 0) @ bitw
+            out_p, out_n, out_s = [], [], []
+            for b, pidx in probed.items():
+                mask = buckets == b
+                if not mask.any():
+                    continue
+                sub = vm[mask]
+                sub_ids = ids[mask]
+                subn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+                sims = subn @ pn[pidx].T
+                kk = min(k, sims.shape[0])
+                for j, pi in enumerate(pidx):
+                    top = np.argpartition(-sims[:, j], kk - 1)[:kk]
+                    out_p.extend([pids[pi]] * len(top))
+                    out_n.extend(sub_ids[top])
+                    out_s.extend(sims[top, j])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    from .dedup import spread_partitions
+
+    cand = spread_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+        part, schema=out_schema
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk_arrow(
     corpus: DataFrame,
     probes: DataFrame,

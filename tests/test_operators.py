@@ -1572,6 +1572,17 @@ def test_synthvecs_source_and_ivf_topk_arrow_parity(spark):
            for r in ivf_topk_arrow(corpus, probes, cents, k=5, nprobe=3).collect()}
     assert expr == arw and len(expr) == 20
 
+    # (c) lsh_topk_arrow parity with the expression-form bucket join
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.similarity import (
+        lsh_bucketed_topk, lsh_topk_arrow,
+    )
+
+    lexpr = {(r["probe_id"], r["rank"]): r["neighbor_id"]
+             for r in lsh_bucketed_topk(corpus, probes, dim=16, k=5, n_planes=6).collect()}
+    larw = {(r["probe_id"], r["rank"]): r["neighbor_id"]
+            for r in lsh_topk_arrow(corpus, probes, dim=16, k=5, n_planes=6).collect()}
+    assert lexpr == larw and len(lexpr) == 20
+
 
 def test_synthdocs_python_datasource(spark):
     """The custom Python DataSource: partitioned generation, doc_id
