@@ -142,26 +142,39 @@ def _arrow_cell_partials(vecs: DataFrame, centroids: list[list[float]]) -> DataF
     arrow path's assignment is argmin-equivalent only up to float
     ulps, not bit-identical."""
     import numpy as np
-    import pandas as pd
 
     from .dedup import spread_partitions
+    from .similarity import _vec_matrix
 
     cm = np.array(centroids, dtype=np.float64)
     cm_sq = (cm * cm).sum(axis=1)
 
     def part(batches):
-        for pdf in batches:
-            if pdf.empty:
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vm = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            # mapInArrow (r9): flatten the Arrow list buffer straight
+            # to the (n, d) matrix, no pandas object lists
+            vm = _vec_matrix(batch, "_vec")
             best = np.argmin(cm_sq[None, :] - 2.0 * (vm @ cm.T), axis=1)
-            rows = []
+            out_c, out_n, out_s = [], [], []
             for cell in np.unique(best):
                 m = vm[best == cell]
-                rows.append((int(cell), int(m.shape[0]), m.sum(axis=0).tolist()))
-            yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+                out_c.append(int(cell))
+                out_n.append(int(m.shape[0]))
+                out_s.append(m.sum(axis=0).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_c, type=pa.int32()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_s, type=pa.list_(pa.float64())),
+                ],
+                names=["cell", "n", "s"],
+            )
 
-    return spread_partitions(vecs).mapInPandas(
+    return spread_partitions(vecs).mapInArrow(
         part, schema="cell int, n long, s array<double>"
     )
 

@@ -313,6 +313,22 @@ def ivf_topk(
     )
 
 
+def _vec_matrix(batch, vec_col: str):
+    """Arrow ``list<float>`` column of a RecordBatch -> (n, dim)
+    float64 ndarray with NO pandas round-trip: flatten the list
+    buffer (slice-safe; embeddings are non-null fixed-length by
+    construction) and reshape.  The pandas path
+    (``Series.tolist()`` -> ``np.array``) builds n x dim Python float
+    objects and profiled as the dominant cost of every arrow-batched
+    vector operator at the 1M x 64d bench scale."""
+    import numpy as np
+
+    col = batch.column(batch.schema.get_field_index(vec_col))
+    flat = col.flatten()
+    vals = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return vals.reshape(len(col), -1)
+
+
 def lsh_topk_arrow(
     corpus: DataFrame,
     probes: DataFrame,
@@ -365,11 +381,15 @@ def lsh_topk_arrow(
     )
 
     def part(batches):
-        for pdf in batches:
-            if pdf.empty:
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            ids = pdf[id_col].values
+            vm = _vec_matrix(batch, vec_col)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
             buckets = ((vm @ pl.T) >= 0) @ bitw
             out_p, out_n, out_s = [], [], []
             for b, pidx in probed.items():
@@ -386,13 +406,18 @@ def lsh_topk_arrow(
                     out_p.extend([pids[pi]] * len(top))
                     out_n.extend(sub_ids[top])
                     out_s.extend(sims[top, j])
-            yield pd.DataFrame(
-                {"probe_id": out_p, "neighbor_id": out_n, "cosine_sim": out_s}
+            if not out_p:
+                continue  # empty pandas frames infer object dtypes
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {"probe_id": out_p, "neighbor_id": out_n, "cosine_sim": out_s}
+                ),
+                preserve_index=False,
             )
 
     from .dedup import spread_partitions
 
-    cand = spread_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+    cand = spread_partitions(corpus.select(id_col, vec_col)).mapInArrow(
         part, schema=out_schema
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -461,11 +486,15 @@ def ivf_topk_arrow(
     )
 
     def part(batches):
-        for pdf in batches:
-            if pdf.empty:
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            ids = pdf[id_col].values
+            vm = _vec_matrix(batch, vec_col)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
             best = np.argmin(cm_sq[None, :] - 2.0 * (vm @ cm.T), axis=1)
             bcells = cells_arr[best]
             out_p, out_n, out_s = [], [], []
@@ -483,13 +512,18 @@ def ivf_topk_arrow(
                     out_p.extend([pids[pi]] * len(top))
                     out_n.extend(sub_ids[top])
                     out_s.extend(sims[top, j])
-            yield pd.DataFrame(
-                {"probe_id": out_p, "neighbor_id": out_n, "cosine_sim": out_s}
+            if not out_p:
+                continue  # empty pandas frames infer object dtypes
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {"probe_id": out_p, "neighbor_id": out_n, "cosine_sim": out_s}
+                ),
+                preserve_index=False,
             )
 
     from .dedup import spread_partitions
 
-    cand = spread_partitions(corpus.select(id_col, vec_col)).mapInPandas(
+    cand = spread_partitions(corpus.select(id_col, vec_col)).mapInArrow(
         part, schema=out_schema
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -511,7 +545,7 @@ def cosine_topk_arrow(
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul
-    (``mapInPandas``) -- the vectorized-Python alternative to the
+    (``mapInArrow``) -- the vectorized-Python alternative to the
     JVM higher-order-function formulation in ``cosine_topk``.
 
     The probe matrix is tiny and rides into the workers inside the
@@ -521,9 +555,16 @@ def cosine_topk_arrow(
     corpus. A final ranking window reduces candidates to the global
     top-k. Results match ``cosine_topk`` exactly up to float summation
     order (numpy pairwise vs left-fold); both are correct cosines.
-    """
+
+    r9: the batch iterator is ``mapInArrow``, not ``mapInPandas`` --
+    the vector column materializes by flattening the Arrow list buffer
+    straight into a (n, dim) ndarray (``_vec_matrix``) instead of a
+    pandas Series of Python lists, which profiled as the dominant cost
+    of the 1M x 64d brute scan; pandas appears only on the k x probes
+    output rows."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
     probe_rows = probes.select(probe_id_col, vec_col).collect()
     probe_ids = [r[0] for r in probe_rows]
@@ -537,10 +578,13 @@ def cosine_topk_arrow(
     )
 
     def score(batches):
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm = _vec_matrix(batch, vec_col)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
             cm_norm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             sims = cm_norm @ pm_norm.T  # (batch, probes)
             top = min(k, sims.shape[0])
@@ -552,16 +596,20 @@ def cosine_topk_arrow(
                     pd.DataFrame(
                         {
                             "probe_id": pid,
-                            "neighbor_id": pdf[id_col].iloc[rows].values,
+                            "neighbor_id": ids[rows],
                             "cosine_sim": sims[rows, j],
                         }
                     )
                 )
-            yield pd.concat(frames)
+            yield pa.RecordBatch.from_pandas(
+                pd.concat(frames), preserve_index=False
+            )
 
     from .dedup import spread_partitions
 
-    candidates = spread_partitions(corpus).mapInPandas(score, schema=out_schema)
+    candidates = spread_partitions(corpus.select(id_col, vec_col)).mapInArrow(
+        score, schema=out_schema
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -720,7 +768,6 @@ def assign_cells_arrow(
     ties, which the deterministic tie-break then resolves identically.
     """
     import numpy as np
-    import pandas as pd
 
     cent_rows = sorted(centroids.collect(), key=lambda r: r["cell"])
     cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
@@ -735,22 +782,32 @@ def assign_cells_arrow(
         out_schema += f", {vec_col} {df.schema[vec_col].dataType.simpleString()}"
 
     def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vm = _vec_matrix(batch, vec_col)
             # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
             # constant per row, so argmin needs only the last two terms
             d2 = cm_sq[None, :] - 2.0 * (vm @ cm.T)
             best = cells[np.argmin(d2, axis=1)]
-            out = {id_col: pdf[id_col].values, "cell": best.astype("int32")}
+            # mapInArrow (r9): ids and the kept vector column pass
+            # through as the INPUT batch's own Arrow buffers -- the
+            # embedding never round-trips through pandas object lists
+            arrays = [
+                batch.column(batch.schema.get_field_index(id_col)),
+                pa.array(best.astype("int32"), type=pa.int32()),
+            ]
+            names = [id_col, "cell"]
             if keep_vec:
-                out[vec_col] = pdf[vec_col].values
-            yield pd.DataFrame(out)
+                arrays.append(batch.column(batch.schema.get_field_index(vec_col)))
+                names.append(vec_col)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     from .dedup import spread_partitions
 
-    return spread_partitions(df.select(id_col, vec_col)).mapInPandas(
+    return spread_partitions(df.select(id_col, vec_col)).mapInArrow(
         assign, schema=out_schema
     )
 
