@@ -7482,6 +7482,71 @@ def q_synthdocs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_synthvecs_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthvecs embedding DataSource under the driver oracle
+    (the 1M ANN bench's corpus generator, ``sources/pydatasource.py``):
+    scan 2,000 vectors (dim=16, 8 clusters) with a vec_id < 1500
+    predicate PUSHED into the Python reader (range narrowing), then
+    profile per cluster on the 1680-unit integer grid.  The closed
+    form has denominator 1680, and float32's worst-case error
+    (~5e-7 x |v| <= 8.3) is 600x smaller than half a grid step, so
+    ``floor(CAST(x AS DOUBLE) * 1680 + 0.5)`` recovers the INTENDED
+    integer 1680*base + (k-504) exactly on both engines -- every
+    generated component is value-checked, not just row counts.
+    (Fixed 2k vectors at every sf: the source is synthetic.)"""
+    from .sources.pydatasource import register
+
+    register(spark)
+    vecs = (
+        spark.read.format("synthvecs")
+        .option("n_vecs", 2000).option("dim", 16)
+        .option("n_clusters", 8).option("n_partitions", 8)
+        .load()
+        .filter(F.col("vec_id") < 1500)
+    )
+    grid = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1680.0) + F.lit(0.5)).cast("bigint"),
+    )
+    return (
+        vecs.select(
+            F.pmod("vec_id", F.lit(8)).cast("int").alias("cluster"),
+            F.aggregate(grid, F.lit(0).cast("bigint"), lambda a, v: a + v).alias("_rs"),
+            F.element_at(grid, 1).alias("_d0"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_rs").alias("grid_sum"),
+            F.min("_d0").alias("d0_min"),
+            F.max("_d0").alias("d0_max"),
+        )
+    )
+
+
+SQL_SYNTHVECS_SOURCE = """
+WITH ids AS (
+  SELECT CAST(range AS BIGINT) AS vec_id FROM range(1500)
+),
+comp AS (
+  SELECT vec_id, d.range AS d,
+         ((vec_id % 8) * 37 + d.range * 11) % 17 - 8 AS base,
+         (vec_id * 2654435761 + d.range * 40503) % 1009 - 504 AS kk
+  FROM ids, range(16) d
+),
+grid AS (
+  SELECT vec_id, d, base * 1680 + kk AS g FROM comp
+)
+SELECT CAST(vec_id % 8 AS INT) AS cluster,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(SUM(g) AS BIGINT) AS grid_sum,
+       MIN(CASE WHEN d = 0 THEN g END) AS d0_min,
+       MAX(CASE WHEN d = 0 THEN g END) AS d0_max
+FROM grid
+GROUP BY 1
+"""
+
+
 def _synthdocs_sql() -> str:
     from .sources.pydatasource import _SOURCES, _WORDS
 
@@ -8729,6 +8794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_max_concurrent": q_events_max_concurrent,
     "events_streamed_enriched": q_events_streamed_enriched,
     "synthdocs_source": q_synthdocs_source,
+    "synthvecs_source": q_synthvecs_source,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -8759,11 +8825,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # lands -- jpeg_features and the two pandas-API migration queries),
 # RE-admits the 5 kmeans/IVF/SemDeDup queries whose oracles changed
 # this round (micro-unit quantization -- changed code gets a driver
-# net, the r7 lesson), and fills the remaining 34 slots from the
-# never-checked 53, prioritizing operator-bearing queries; the 19
+# net, the r7 lesson), and fills the remaining 33 slots from the
+# never-checked 53, prioritizing operator-bearing queries; the 20
 # deferred stragglers (the simplest TPC-H filter/agg shapes plus
-# orders_profile/key-gap/percentile tails, each 3-SF CHECKALL-green)
-# are round 10's tranche.  Queries not named here keep their relative
+# orders_profile/key-gap/percentile tails and events_type_pagerank,
+# each 3-SF CHECKALL-green) are round 10's tranche.  Queries not named here keep their relative
 # literal order after position 49; nothing is added or removed, so
 # check_contract / checkall still cover all entries.
 _DRIVER_WINDOW: list[str] = [
@@ -8780,13 +8846,14 @@ _DRIVER_WINDOW: list[str] = [
     "jpeg_features",
     "lineitem_above_avg_pandas_merge",
     "orders_kpi_pandas_pivot",
+    "synthvecs_source",
     # changed in round 9: micro-unit oracle quantization
     "embedding_kmeans_centroids",
     "embedding_kmeans_centroids_arrow",
     "embedding_ivf_trained_topk",
     "embedding_semantic_dedup",
     "embedding_semantic_dedup_arrow",
-    # tranche 2: first driver-side row for 34 of the remaining 53
+    # tranche 2: first driver-side row for 33 of the remaining 53
     "events_range_join",
     "docs_tfidf_terms",
     "docs_quality_deciles",
@@ -8820,7 +8887,6 @@ _DRIVER_WINDOW: list[str] = [
     "lineitem_heavy_hitters",
     "events_rolling_active",
     "lineitem_cms_hot_suppliers",
-    "events_type_pagerank",
 ]
 
 QUERIES = {
@@ -8939,6 +9005,7 @@ ORACLES: dict[str, str] = {
     "events_max_concurrent": SQL_EVENTS_MAX_CONCURRENT,
     "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
+    "synthvecs_source": SQL_SYNTHVECS_SOURCE,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,

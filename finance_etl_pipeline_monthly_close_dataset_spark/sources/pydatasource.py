@@ -174,13 +174,39 @@ class SynthVecsReader(DataSourceReader):
         self.dim = int(options.get("dim", 64))
         self.n_clusters = int(options.get("n_clusters", 64))
         self.n_partitions = int(options.get("n_partitions", 32))
+        self.lo = 0
+        self.hi = self.n_vecs  # exclusive
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # vec_id range comparisons narrow generation, same contract as
+        # SynthDocsReader.pushFilters (a probe slice of a 10^9-vector
+        # source generates only the slice)
+        for f in filters:
+            if getattr(f, "attribute", None) == ("vec_id",):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+            yield f
 
     def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
         n = max(1, self.n_partitions)
-        span = max(1, (self.n_vecs + n - 1) // n)
+        span = max(1, (hi - lo + n - 1) // n)
         return [
-            _RangePartition(s, min(s + span, self.n_vecs))
-            for s in range(0, self.n_vecs, span)
+            _RangePartition(s, min(s + span, hi)) for s in range(lo, hi, span)
         ] or [_RangePartition(0, 0)]
 
     def read(self, partition: _RangePartition):
