@@ -22,6 +22,18 @@ Scale design:
   parquet partition pruning); all other filters are returned to Spark
   to evaluate;
 * rows stream from a generator — O(1) memory per partition.
+
+PUSHDOWN SHARING HAZARD (applies to ANY pushdown-capable Python data
+source, both sources here): Spark plans a Python-source scan ONCE per
+relation (one ``load()`` call) and shares the planned partitions across
+every scan site of that relation — including differently-filtered
+branches of the SAME query. If one branch's ``vec_id < k`` pushes a
+narrowed range, the other branch reads the narrowed range too (verified
+on Spark 4.1: an unfiltered self-join branch silently inherited the
+filtered branch's 4-row range). Rule: derive differently-filtered scans
+from SEPARATE ``load()`` calls; one relation = one pushed filter set.
+``test_synthvecs_source_and_ivf_topk_arrow_parity`` pins the safe
+pattern (and asserts the unfiltered relation stayed un-narrowed).
 """
 
 from __future__ import annotations

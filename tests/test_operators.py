@@ -1549,12 +1549,20 @@ def test_synthvecs_source_and_ivf_topk_arrow_parity(spark):
     )
 
     register(spark)
-    corpus = (
-        spark.read.format("synthvecs")
-        .option("n_vecs", 2000).option("dim", 16).option("n_clusters", 8)
-        .load()
-    )
-    rows = corpus.filter(F.col("vec_id").isin([0, 777, 1999])).collect()
+
+    def load():
+        # one load() per differently-filtered scan: Spark plans a
+        # Python-source pushdown once per RELATION and shares it across
+        # that relation's scan sites, so a filtered branch would narrow
+        # an unfiltered one (module-docstring hazard; pinned below)
+        return (
+            spark.read.format("synthvecs")
+            .option("n_vecs", 2000).option("dim", 16).option("n_clusters", 8)
+            .load()
+        )
+
+    corpus = load()
+    rows = load().filter(F.col("vec_id").isin([0, 777, 1999])).collect()
     for r in rows:
         want = np.array(synth_vec(r["vec_id"], dim=16, n_clusters=8), dtype=np.float32)
         assert np.array_equal(np.array([float(x) for x in r["embedding"]], dtype=np.float32), want)
@@ -1563,9 +1571,12 @@ def test_synthvecs_source_and_ivf_topk_arrow_parity(spark):
     assert n_distinct == 2000
 
     cents = lloyd_kmeans(corpus, k=8, n_iters=2, arrow=True)
-    probes = corpus.filter(F.col("vec_id") < 4).select(
+    probes = load().filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
+    # pin relation isolation: the filtered probe relation must NOT have
+    # narrowed the corpus relation's scan (the module-docstring hazard)
+    assert corpus.count() == 2000
     expr = {(r["probe_id"], r["rank"]): r["neighbor_id"]
             for r in ivf_topk(corpus, probes, k=5, nprobe=3, centroids=cents).collect()}
     arw = {(r["probe_id"], r["rank"]): r["neighbor_id"]
