@@ -578,6 +578,45 @@ GROUP BY 1
 _SQL_TOKENS = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
 
 
+def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicated-span profile
+    (``operators/dedup.py::duplicate_spans``, the substring-dedup
+    quality metric behind Lee et al. 2022): per document, its distinct
+    8-token spans and how many of them occur in >= 1 OTHER document --
+    the boilerplate/quotation measurement near-dup pair-finding cannot
+    give.  Docs with zero duplicated spans are kept (the profile
+    covers the corpus, not just offenders); counts are exact integers
+    over the portable 60-bit md5 span hash, so DuckDB reproduces every
+    row from the same tokenize -> shingle -> hash -> count pipeline.
+
+    Scale shape: one span-hash shuffle with map-side partial counts +
+    one doc-key shuffle for the join back; linear in span volume, no
+    pairwise stage."""
+    return dedup.duplicate_spans(t(spark, sf_dir, "documents"), span_k=8)
+
+
+SQL_DOCS_DUPLICATE_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+spans AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 7, 1) + 1),
+           i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT)
+         ))) AS h
+  FROM toks
+),
+counts AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+FROM spans s JOIN counts c ON s.h = c.h
+GROUP BY 1
+"""
+
+
 def q_docs_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 digest groups with > 1 doc."""
     return dedup.exact_dup_groups(t(spark, sf_dir, "documents"))
@@ -8704,6 +8743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_moving_avg": q_events_moving_avg,
     # --- LLM-data-pipeline: dedup / ANN / text (11) ---
     "docs_exact_dup_groups": q_docs_exact_dup_groups,
+    "docs_duplicate_spans": q_docs_duplicate_spans,
     "docs_minhash_near_dup": q_docs_minhash_near_dup,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_dup_components": q_docs_dup_components,
@@ -8850,12 +8890,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # lands -- jpeg_features and the two pandas-API migration queries),
 # RE-admits the 5 kmeans/IVF/SemDeDup queries whose oracles changed
 # this round (micro-unit quantization -- changed code gets a driver
-# net, the r7 lesson), and fills the remaining 32 slots from the
-# never-checked 53, prioritizing operator-bearing queries; the 21
+# net, the r7 lesson), and fills the remaining 31 slots from the
+# never-checked 53, prioritizing operator-bearing queries; the 22
 # deferred stragglers (the simplest TPC-H filter/agg shapes plus
-# orders_profile/key-gap/percentile tails, events_type_pagerank and
-# lineitem_cms_hot_suppliers, each 3-SF CHECKALL-green) are round
-# 10's tranche.  Queries not named here keep their relative
+# orders_profile/key-gap/percentile tails, events_type_pagerank,
+# lineitem_cms_hot_suppliers and events_rolling_active, each 3-SF
+# CHECKALL-green) are round 10's tranche.  Queries not named here keep their relative
 # literal order after position 49; nothing is added or removed, so
 # check_contract / checkall still cover all entries.
 _DRIVER_WINDOW: list[str] = [
@@ -8874,13 +8914,14 @@ _DRIVER_WINDOW: list[str] = [
     "orders_kpi_pandas_pivot",
     "synthvecs_source",
     "embedding_ivf_trained_topk_arrow",
+    "docs_duplicate_spans",
     # changed in round 9: micro-unit oracle quantization
     "embedding_kmeans_centroids",
     "embedding_kmeans_centroids_arrow",
     "embedding_ivf_trained_topk",
     "embedding_semantic_dedup",
     "embedding_semantic_dedup_arrow",
-    # tranche 2: first driver-side row for 32 of the remaining 53
+    # tranche 2: first driver-side row for 31 of the remaining 53
     "events_range_join",
     "docs_tfidf_terms",
     "docs_quality_deciles",
@@ -8912,7 +8953,6 @@ _DRIVER_WINDOW: list[str] = [
     "docs_unigram_logprob",
     "nation_market_share",
     "lineitem_heavy_hitters",
-    "events_rolling_active",
 ]
 
 QUERIES = {
@@ -8942,6 +8982,7 @@ ORACLES: dict[str, str] = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
     "docs_exact_dup_groups": SQL_DOCS_EXACT_DUP_GROUPS,
+    "docs_duplicate_spans": SQL_DOCS_DUPLICATE_SPANS,
     "docs_dedup_representatives": SQL_DOCS_DEDUP_REPRESENTATIVES,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_lang_id": SQL_DOCS_LANG_ID,

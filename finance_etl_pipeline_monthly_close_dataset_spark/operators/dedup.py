@@ -41,6 +41,61 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_k: int = 8,
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """Inter-document duplicated-SPAN profile -- the substring-dedup
+    quality metric (the relational re-expression of the measurement
+    behind Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for each document, how many of its
+    distinct ``span_k``-token spans also occur in at least one OTHER
+    document.  Near-dup finds document pairs; this finds the
+    boilerplate/quotation SPANS shared across otherwise-distinct
+    documents -- the metric you compute BEFORE deciding what to dedup.
+
+    Spans are keyed by a 60-bit md5-derived hash (the engine's
+    portable hash identity, so an external SQL oracle reproduces the
+    exact counts); a cross-engine-identical collision merges two spans
+    identically on both sides.  Returns ``(id, n_spans,
+    n_dup_spans)`` -- exact integers; the dup fraction is the caller's
+    division.
+
+    Scale shape: tokens stage once (shingles_of is O(n) per doc over a
+    staged token array), spans shuffle ONCE on the hash key with
+    map-side partial counts, and the join back is a second key
+    shuffle.  No pairwise comparison anywhere -- cost is linear in
+    total span volume, never O(docs^2)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    span_hash = F.array_distinct(
+        F.transform(
+            shingles_of(F.col("_toks"), span_k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    spans = toks.select("_id", F.explode(span_hash).alias("h"))
+    if persist_intermediates:
+        # the count side and the join-back side both read the span
+        # stage; without the cache the tokenize+shingle+hash scan runs
+        # twice (same trade as semantic_dedup's staged persist)
+        spans = spans.persist()
+    counts = spans.groupBy("h").agg(F.countDistinct("_id").alias("_nd"))
+    return (
+        spans.join(counts, "h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(F.col("_id").alias(id_col), "n_spans", "n_dup_spans")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest-id representative per distinct content digest.
 

@@ -42,6 +42,22 @@ def test_exact_dup_groups(spark):
     assert groups[0]["n_docs"] == 2
 
 
+def test_duplicate_spans_hand_computed(spark):
+    """4-token spans over a tiny corpus: d1 and d2 share exactly the
+    span 'a b c d' (d2 shifts by one token afterwards); d3 is disjoint.
+    d1: tokens [a b c d e] -> distinct 4-spans {abcd, bcde} (2 spans,
+    1 duplicated); d2: [x a b c d] -> {xabc, abcd} (2 spans, 1
+    duplicated); d3: [p q r s] -> {pqrs} (1 span, 0 duplicated).
+    Sub-k docs produce the single best-effort span per the shingle
+    semantic."""
+    rows = [("d1", "a b c d e"), ("d2", "x a b c d"), ("d3", "p q r s")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in dedup.duplicate_spans(df, span_k=4).collect()}
+    assert (out["d1"]["n_spans"], out["d1"]["n_dup_spans"]) == (2, 1)
+    assert (out["d2"]["n_spans"], out["d2"]["n_dup_spans"]) == (2, 1)
+    assert (out["d3"]["n_spans"], out["d3"]["n_dup_spans"]) == (1, 0)
+
+
 def test_minhash_identical_docs_identical_signatures(spark):
     sigs = {r["doc_id"]: r["signature"] for r in dedup.minhash_signatures(_docs(spark)).collect()}
     assert sigs["d1"] == sigs["d2"]
