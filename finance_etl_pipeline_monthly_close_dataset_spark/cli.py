@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "dedup", "quality-filter", "split", "pack", "decontaminate",
             "sample", "redact", "collocations", "chunk", "embed", "ingest",
-            "zorder", "mix", "retrieve", "semdedup", "curate",
+            "zorder", "mix", "retrieve", "semdedup", "curate", "dup-spans",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -72,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     corpus_p.add_argument("--threshold", type=float, default=0.8,
                           help="dedup minhash: Jaccard threshold; quality-filter: min score")
     corpus_p.add_argument("--max-hamming", type=int, default=3, help="dedup simhash")
+    corpus_p.add_argument("--span-k", type=int, default=8,
+                          help="dup-spans: span length in tokens")
     corpus_p.add_argument("--train-pct", type=int, default=80, help="split")
     corpus_p.add_argument("--val-pct", type=int, default=10, help="split")
     corpus_p.add_argument("--by-content", action="store_true",

@@ -391,6 +391,13 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
             arrow_pairs=getattr(args, "arrow_pairs", False),
         )
         out = df.join(dropped.select(args.id_col), on=args.id_col, how="left_anti")
+    elif args.op == "dup-spans":
+        # per-document duplicated-span profile (the substring-dedup
+        # quality metric) -- a MEASUREMENT op: writes the profile table,
+        # it does not drop documents
+        out = dedup.duplicate_spans(
+            df, args.id_col, args.text_col, span_k=getattr(args, "span_k", 8)
+        )
     else:  # pragma: no cover
         raise ValueError(args.op)
 

@@ -395,6 +395,44 @@ def test_audio_chunk_plan(spark):
     assert all(c[i][1] - c[i + 1][0] == 1_000 for i in range(len(c) - 2))
 
 
+def test_corpus_cli_dup_spans(spark, tmp_path):
+    """`corpus dup-spans` writes the per-doc duplicated-span profile
+    (a measurement op: one row per input doc, nothing dropped)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark import cli
+
+    src = str(tmp_path / "spans_in")
+    spark.createDataFrame(
+        [("d1", "a b c d e"), ("d2", "x a b c d"), ("d3", "p q r s")],
+        "doc_id string, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "span_profile")
+    rc = cli.main(["corpus", "dup-spans", "--in", src, "--out", out, "--span-k", "4"])
+    assert rc == 0
+    prof = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(prof) == 3
+    assert (prof["d1"]["n_spans"], prof["d1"]["n_dup_spans"]) == (2, 1)
+    assert prof["d3"]["n_dup_spans"] == 0
+
+
+def test_driver_window_invariants():
+    """The driver-facing registry order is load-bearing: exactly 50
+    curated entries lead the dict, every window name is oracle-paired,
+    and the window holds no duplicates (a typo here silently shrinks
+    the driver's correctness gate)."""
+    import re
+
+    from finance_etl_pipeline_monthly_close_dataset_spark import contract
+
+    src = open(contract.__file__).read()
+    m = re.search(r"_DRIVER_WINDOW: list\[str\] = \[(.*?)\n\]", src, re.S)
+    window = re.findall(r'"([^"]+)"', m.group(1))
+    assert len(window) == 50 and len(set(window)) == 50
+    assert list(contract.QUERIES)[:50] == window
+    assert all(name in contract.ORACLES for name in window)
+    # every registry entry is oracle-paired (the repo's standing claim)
+    assert set(contract.QUERIES) == set(contract.ORACLES)
+
+
 def test_corpus_cli_simhash_and_exact(spark, tmp_path):
     from finance_etl_pipeline_monthly_close_dataset_spark import cli
 
