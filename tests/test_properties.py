@@ -564,3 +564,43 @@ def test_ewma_fold_equals_closed_form_exactly(spark):
             xs[j] * 0.5 ** (n - j) for j in range(1, n)
         )
         assert got[i] == closed, (i, xs, got[i], closed)
+
+
+# --- duplicate spans vs python brute force ----------------------------------
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=docs_strategy)
+def test_duplicate_spans_matches_brute_force(spark, token_lists):
+    """duplicate_spans == a direct python brute force of the distinct
+    k-span / shared-across-docs rule on random corpora, including
+    sub-k documents (which produce the single best-effort span per the
+    shingle semantic)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    k = 3
+    rows = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+           for r in duplicate_spans(df, span_k=k).collect()}
+
+    spans = {
+        doc_id: {" ".join(toks[i:i + k]) for i in range(max(len(toks) - k + 1, 1))}
+        for (doc_id, _), toks in zip(rows, token_lists)
+    }
+    want = {}
+    for doc_id, ss in spans.items():
+        dup = sum(
+            1 for s in ss
+            if any(s in other for od, other in spans.items() if od != doc_id)
+        )
+        want[doc_id] = (len(ss), dup)
+    assert got == want
