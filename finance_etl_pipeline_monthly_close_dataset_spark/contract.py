@@ -960,9 +960,13 @@ def _lsh_topk_sql(k: int = 10, micro: bool = False) -> str:
     variant's no-round()-of-doubles output form)."""
     bucket = _lsh_bucket_sql()
     if micro:
+        # rank on the quantized BIGINT itself (r10, mirrors micro_rank=True):
+        # the rank becomes a total function of the hashed output columns
         sim_out = "CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS cosine_sim_micro"
+        rank_key = "CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) DESC, neighbor_id"
     else:
         sim_out = "ROUND(sim, 6) AS cosine_sim"
+        rank_key = "sim DESC, neighbor_id"
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
@@ -974,7 +978,7 @@ WITH b AS (
   FROM b e JOIN probes p ON e.bucket = p.bucket
 ), ranked AS (
   SELECT probe_id, neighbor_id, sim,
-         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY {rank_key}) AS rank
   FROM scored
 )
 SELECT probe_id, neighbor_id, {sim_out}, CAST(rank AS INTEGER) AS rank
@@ -999,11 +1003,16 @@ def q_embedding_lsh_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     planes = similarity.portable_hyperplanes(dim=64, n_planes=6)
-    out = similarity.lsh_topk_arrow(emb, probes, dim=64, k=10, planes=planes)
+    # micro_rank (r10): rank on the quantized BIGINT similarity itself
+    # (tie-broken by neighbor_id), so the rank is a total function of
+    # the hashed output -- no raw-double ulp can flip rank rows
+    out = similarity.lsh_topk_arrow(
+        emb, probes, dim=64, k=10, planes=planes, micro_rank=True
+    )
     return out.select(
         "probe_id",
         "neighbor_id",
-        kmeans.micro_units_col(F.col("cosine_sim")).alias("cosine_sim_micro"),
+        "cosine_sim_micro",
         F.col("rank").cast("int").alias("rank"),
     )
 
@@ -5045,11 +5054,13 @@ def q_embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    out = similarity.ivf_topk(emb, probes, k=10, nprobe=2, centroids=cents)
+    out = similarity.ivf_topk(
+        emb, probes, k=10, nprobe=2, centroids=cents, micro_rank=True
+    )
     return out.select(
         "probe_id",
         "neighbor_id",
-        kmeans.micro_units_col(F.col("cosine_sim")).alias("cosine_sim_micro"),
+        "cosine_sim_micro",
         F.col("rank").cast("int").alias("rank"),
     )
 
@@ -5081,8 +5092,11 @@ assigned AS (
          {_sql_cosine('e.embedding', 'p.pvec')} AS sim
   FROM assigned e JOIN probe_cells p ON e.cell = p.cell
 ), ranked AS (
+  -- rank on the quantized BIGINT (r10, mirrors micro_rank=True): the
+  -- rank is a total function of the hashed output columns
   SELECT probe_id, neighbor_id, sim,
-         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+           ORDER BY CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) DESC, neighbor_id) AS rank
   FROM scored
 )
 SELECT probe_id, neighbor_id,
@@ -5110,11 +5124,13 @@ def q_embedding_ivf_trained_topk_arrow(spark: SparkSession, sf_dir: str) -> Data
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    out = similarity.ivf_topk_arrow(emb, probes, cents, k=10, nprobe=2)
+    out = similarity.ivf_topk_arrow(
+        emb, probes, cents, k=10, nprobe=2, micro_rank=True
+    )
     return out.select(
         "probe_id",
         "neighbor_id",
-        kmeans.micro_units_col(F.col("cosine_sim")).alias("cosine_sim_micro"),
+        "cosine_sim_micro",
         F.col("rank").cast("int").alias("rank"),
     )
 
@@ -8698,6 +8714,12 @@ def q_orders_kpi_pandas_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggfunc="sum",
             fill_value=0,
         ).reset_index()
+        # zero-fill statuses absent from the WHOLE dataset (pivot_table's
+        # fill_value only covers missing cells, not missing columns) --
+        # the reference's own guard in transform.py kpi_monthly
+        for status in ("F", "O", "P"):
+            if status not in wide.columns:
+                wide[status] = 0
         wide = wide.rename(columns={"F": "f_cents", "O": "o_cents", "P": "p_cents"})
         wide = wide.assign(
             total_cents=wide["f_cents"] + wide["o_cents"] + wide["p_cents"]

@@ -66,7 +66,14 @@ def quantize_micro(x: float) -> float:
 def quantize_micro_col(col):
     """Column form of ``quantize_micro``: same IEEE ops via Catalyst's
     FLOOR (long result, exact back-conversion below 2^53).  DuckDB
-    mirror: ``floor(x * 1000000.0 + 0.5) / 1000000.0``."""
+    mirror: ``floor(x * 1000000.0 + 0.5) / 1000000.0``.
+
+    Non-finite asymmetry vs the Python form: ``quantize_micro`` passes
+    NaN/inf through unchanged, but Catalyst's FLOOR produces a LONG, so
+    NaN/inf would be mangled here.  Harmless on every current feed
+    (centroid means of finite embeddings are finite by construction);
+    if this ever quantizes raw, possibly non-finite data, wrap it in
+    ``F.when(F.isnan(col) | col.isin(inf...), col)`` first."""
     return F.floor(col * F.lit(MICRO) + F.lit(0.5)) / F.lit(MICRO)
 
 
@@ -157,7 +164,7 @@ def _arrow_cell_partials(vecs: DataFrame, centroids: list[list[float]]) -> DataF
                 continue
             # mapInArrow (r9): flatten the Arrow list buffer straight
             # to the (n, d) matrix, no pandas object lists
-            vm = _vec_matrix(batch, "_vec")
+            vm = _vec_matrix(batch, "_vec", cm.shape[1])
             best = np.argmin(cm_sq[None, :] - 2.0 * (vm @ cm.T), axis=1)
             out_c, out_n, out_s = [], [], []
             for cell in np.unique(best):

@@ -192,6 +192,7 @@ def ivf_topk(
     probe_id_col: str = "probe_id",
     seed: int = 42,
     centroids: DataFrame | None = None,
+    micro_rank: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer
     partitions the corpus into ``n_centroids`` cells; each probe
@@ -303,30 +304,85 @@ def ivf_topk(
             ).alias("cosine_sim"),
         )
     )
+    return _topk_rank(scored, k, micro_rank)
+
+
+def _topk_rank(scored: DataFrame, k: int, micro_rank: bool = False) -> DataFrame:
+    """Final per-probe top-k ranking over a ``(probe_id, neighbor_id,
+    cosine_sim)`` candidate set.
+
+    ``micro_rank=True`` ranks on the exact BIGINT micro-unit
+    quantization of the cosine (tie-broken by ``neighbor_id``) and
+    emits ``cosine_sim_micro`` instead of the raw double, so the rank
+    is a TOTAL function of the quantized output the oracle-paired
+    queries hash: two candidates whose raw doubles differ by a
+    summation-order ulp across engines but land on the same micro-unit
+    can no longer flip rank rows (r9 ADVICE -- the latent CHECKALL
+    flake class the old rank-on-raw-double form admitted).  The DuckDB
+    oracles order by the literal same
+    ``CAST(floor(sim * 1e6 + 0.5) AS BIGINT)`` expression."""
+    if not micro_rank:
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+        )
+    from .kmeans import micro_units_col
+
+    q = scored.withColumn("cosine_sim_micro", micro_units_col(F.col("cosine_sim")))
     w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        F.col("cosine_sim_micro").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        q.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+        .select("probe_id", "neighbor_id", "cosine_sim_micro", "rank")
     )
 
 
-def _vec_matrix(batch, vec_col: str):
+def _local_topk_order(sims_col, ids, kk: int, micro_rank: bool):
+    """Indices of a batch-local top-``kk`` selection, under the SAME
+    total order the final window uses: raw double descending when
+    ``micro_rank`` is off (ulp-tied rows are interchangeable there),
+    (micro-unit desc, id asc) lexicographic when it is on -- the local
+    cut must agree with the global quantized order or a boundary row
+    that ties in micro-units could be dropped in favor of one the
+    global tie-break ranks lower."""
+    import numpy as np
+
+    if not micro_rank:
+        return np.argpartition(-sims_col, kk - 1)[:kk]
+    micro = np.floor(sims_col * 1_000_000.0 + 0.5)
+    return np.lexsort((ids, -micro))[:kk]
+
+
+def _vec_matrix(batch, vec_col: str, dim: int):
     """Arrow ``list<float>`` column of a RecordBatch -> (n, dim)
     float64 ndarray with NO pandas round-trip: flatten the list
     buffer (slice-safe; embeddings are non-null fixed-length by
     construction) and reshape.  The pandas path
     (``Series.tolist()`` -> ``np.array``) builds n x dim Python float
     objects and profiled as the dominant cost of every arrow-batched
-    vector operator at the 1M x 64d bench scale."""
+    vector operator at the 1M x 64d bench scale.
+
+    ``dim`` is required (every caller knows it from its probe/centroid
+    matrix): a ragged batch whose total element count happens to
+    divide ``n`` would otherwise reshape into silently misaligned rows
+    -- here it fails loudly instead (r9 ADVICE)."""
     import numpy as np
 
     col = batch.column(batch.schema.get_field_index(vec_col))
     flat = col.flatten()
     vals = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-    return vals.reshape(len(col), -1)
+    if vals.size != len(col) * dim:
+        raise ValueError(
+            f"ragged vector column {vec_col!r}: {vals.size} elements "
+            f"for {len(col)} rows x dim {dim}"
+        )
+    return vals.reshape(len(col), dim)
 
 
 def lsh_topk_arrow(
@@ -340,6 +396,7 @@ def lsh_topk_arrow(
     probe_id_col: str = "probe_id",
     seed: int = 42,
     planes: list[list[float]] | None = None,
+    micro_rank: bool = False,
 ) -> DataFrame:
     """LSH bucket top-k with Arrow-batched numpy for the bucketing AND
     the within-bucket scoring -- the production probe path, same
@@ -386,7 +443,7 @@ def lsh_topk_arrow(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            vm = _vec_matrix(batch, vec_col)
+            vm = _vec_matrix(batch, vec_col, pl.shape[1])
             ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
                 zero_copy_only=False
             )
@@ -402,7 +459,7 @@ def lsh_topk_arrow(
                 sims = subn @ pn[pidx].T
                 kk = min(k, sims.shape[0])
                 for j, pi in enumerate(pidx):
-                    top = np.argpartition(-sims[:, j], kk - 1)[:kk]
+                    top = _local_topk_order(sims[:, j], sub_ids, kk, micro_rank)
                     out_p.extend([pids[pi]] * len(top))
                     out_n.extend(sub_ids[top])
                     out_s.extend(sims[top, j])
@@ -420,14 +477,7 @@ def lsh_topk_arrow(
     cand = spread_partitions(corpus.select(id_col, vec_col)).mapInArrow(
         part, schema=out_schema
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _topk_rank(cand, k, micro_rank)
 
 
 def ivf_topk_arrow(
@@ -439,6 +489,7 @@ def ivf_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    micro_rank: bool = False,
 ) -> DataFrame:
     """IVF top-k with Arrow-batched numpy for BOTH the cell assignment
     and the within-cell scoring -- the production probe path at corpus
@@ -491,7 +542,7 @@ def ivf_topk_arrow(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            vm = _vec_matrix(batch, vec_col)
+            vm = _vec_matrix(batch, vec_col, cm.shape[1])
             ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
                 zero_copy_only=False
             )
@@ -508,7 +559,7 @@ def ivf_topk_arrow(
                 sims = subn @ pn[pidx].T  # (m, len(pidx))
                 kk = min(k, sims.shape[0])
                 for j, pi in enumerate(pidx):
-                    top = np.argpartition(-sims[:, j], kk - 1)[:kk]
+                    top = _local_topk_order(sims[:, j], sub_ids, kk, micro_rank)
                     out_p.extend([pids[pi]] * len(top))
                     out_n.extend(sub_ids[top])
                     out_s.extend(sims[top, j])
@@ -526,14 +577,7 @@ def ivf_topk_arrow(
     cand = spread_partitions(corpus.select(id_col, vec_col)).mapInArrow(
         part, schema=out_schema
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _topk_rank(cand, k, micro_rank)
 
 
 def cosine_topk_arrow(
@@ -581,7 +625,7 @@ def cosine_topk_arrow(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            cm = _vec_matrix(batch, vec_col)
+            cm = _vec_matrix(batch, vec_col, pm_norm.shape[1])
             ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
                 zero_copy_only=False
             )
@@ -787,7 +831,7 @@ def assign_cells_arrow(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            vm = _vec_matrix(batch, vec_col)
+            vm = _vec_matrix(batch, vec_col, cm.shape[1])
             # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
             # constant per row, so argmin needs only the last two terms
             d2 = cm_sq[None, :] - 2.0 * (vm @ cm.T)
