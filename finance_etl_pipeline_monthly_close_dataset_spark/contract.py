@@ -7658,6 +7658,133 @@ GROUP BY 1
 """
 
 
+def q_synthvecs_ivf_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN volume path under the driver oracle (VERDICT r9 ask #6):
+    a 100k x 64d synthvecs corpus searched through ``ivf_topk_arrow``
+    with a FIXED 16-cell coarse quantizer -- the generator's own
+    integer base vectors (``base(c, d) = ((c*37 + d*11) % 17) - 8``,
+    exact arithmetic both engines can restate literally), so the
+    whole generate -> assign -> probe -> score -> rank pipeline is
+    value-checked at 50x the embeddings table's scale instead of only
+    benched (``ann_1m``).  n_clusters=16 < 17 keeps the base patterns
+    pairwise distinct (mod-17 structure: cells c and c+17 would share
+    a pattern), so every assignment margin is >> float ulps and the
+    argmin is engine-stable.  Probes are vec_ids 0-3 via a SEPARATE
+    ``load()`` -- one relation = one pushed filter set
+    (``sources/pydatasource.py`` hazard); sharing the corpus relation
+    would narrow the corpus scan to the probe range.  ``micro_rank``
+    matters here concretely: within a cluster the jitter is tiny
+    against the base norm, so the top-10 cosines ALL land on micro
+    1000000 and the rank is pure neighbor-id tie-break -- total on the
+    quantized output, where rank-on-raw-double would flake on
+    summation-order ulps."""
+    from .sources.pydatasource import register
+
+    register(spark)
+
+    def load():
+        return (
+            spark.read.format("synthvecs")
+            .option("n_vecs", 100_000).option("dim", 64)
+            .option("n_clusters", 16).option("n_partitions", 32)
+            .load()
+        )
+
+    corpus = load()
+    probes = load().filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    cents = spark.createDataFrame(
+        [
+            (c, [float((c * 37 + d * 11) % 17 - 8) for d in range(64)])
+            for c in range(16)
+        ],
+        "cell int, centroid array<double>",
+    )
+    out = similarity.ivf_topk_arrow(
+        corpus, probes, cents, k=10, nprobe=2, micro_rank=True
+    )
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        "cosine_sim_micro",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _synthvecs_ivf_sql(
+    n_vecs: int = 100_000,
+    dim: int = 64,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+) -> str:
+    """DuckDB replica of the 100k IVF search: regenerate every float32
+    component by the same integer closed form (``CAST(... AS REAL)``
+    reproduces numpy's ``astype(float32)`` bit-for-bit -- both are one
+    correctly-rounded double expression then one float32 rounding),
+    assign by relational d2 argmin against the literal base-vector
+    quantizer, probe/score/rank identically.  Assignment d2 comes from
+    a parallel SUM (order-nondeterministic float fold) -- safe ONLY
+    because the quantizer's inter-cell margins are integer-sized while
+    the fold noise is ulp-sized; the scoring cosine uses ordered
+    ``list_sum`` folds and the rank is total on the micro-unit BIGINT."""
+    cos = (
+        "list_sum(list_transform(range(1, len(ev.v) + 1), "
+        "i -> ev.v[i] * pv.v[i]))"
+        " / (sqrt(list_sum(list_transform(ev.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(pv.v, x -> x * x))))"
+    )
+    return f"""
+WITH comp AS (
+  SELECT t.id AS vec_id, d.range AS d,
+         CAST(CAST(
+           ((t.id % {n_clusters}) * 37 + d.range * 11) % 17 - 8
+           + ((t.id * 2654435761 + d.range * 40503) % 1009 - 504) / 1680.0
+         AS REAL) AS DOUBLE) AS v
+  FROM range({n_vecs}) t(id), range({dim}) d
+), centcomp AS (
+  SELECT c.range AS cell, d.range AS d,
+         CAST((c.range * 37 + d.range * 11) % 17 - 8 AS DOUBLE) AS cv
+  FROM range({n_clusters}) c, range({dim}) d
+), d2s AS (
+  SELECT a.vec_id, c.cell, SUM((a.v - c.cv) * (a.v - c.cv)) AS d2
+  FROM comp a JOIN centcomp c USING (d)
+  GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d2s) WHERE rn = 1
+), probe_cells AS (
+  SELECT vec_id AS probe_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d2s WHERE vec_id < 4) WHERE rn <= {nprobe}
+), vlists AS (
+  SELECT vec_id, list(v ORDER BY d) AS v FROM comp GROUP BY 1
+), scored AS (
+  SELECT p.probe_id, a.vec_id AS neighbor_id, {cos} AS sim
+  FROM assigned a
+  JOIN probe_cells p ON a.cell = p.cell
+  JOIN vlists ev ON ev.vec_id = a.vec_id
+  JOIN vlists pv ON pv.vec_id = p.probe_id
+), ranked AS (
+  SELECT probe_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id,
+       CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS cosine_sim_micro,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_SYNTHVECS_IVF_100K = _synthvecs_ivf_sql()
+
+
 def _synthdocs_sql() -> str:
     from .sources.pydatasource import _SOURCES, _WORDS
 
@@ -8915,6 +9042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_streamed_enriched": q_events_streamed_enriched,
     "synthdocs_source": q_synthdocs_source,
     "synthvecs_source": q_synthvecs_source,
+    "synthvecs_ivf_100k": q_synthvecs_ivf_100k,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -8937,22 +9065,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_kpi_pandas_pivot": q_orders_kpi_pandas_pivot,
 }
 
-# Round-9 driver-window rotation, tranche 2 (VERDICT r8 ask #1).  The
-# r8 rotation gave 42 never-checked queries their first driver-side
-# CORRECTNESS row; 53 registry queries still had none.  This window
-# keeps the 8 long-green sentinels, admits the round-9 NEW queries
-# (standing rule: new-in-round code enters the window the round it
-# lands -- jpeg_features and the two pandas-API migration queries),
-# RE-admits the 5 kmeans/IVF/SemDeDup queries whose oracles changed
-# this round (micro-unit quantization -- changed code gets a driver
-# net, the r7 lesson), and fills the remaining 30 slots from the
-# never-checked 53, prioritizing operator-bearing queries; the 23
-# deferred stragglers (the simplest TPC-H filter/agg shapes plus
-# orders_profile/key-gap/percentile tails, events_type_pagerank,
-# lineitem_cms_hot_suppliers, events_rolling_active and
-# lineitem_heavy_hitters, each 3-SF CHECKALL-green) are round 10's
-# tranche.  Queries not named here keep their relative
-# literal order after position 49; nothing is added or removed, so
+# Round-10 driver-window rotation, FINAL tranche (VERDICT r9 ask #1).
+# The r8+r9 rotations gave 72 never-checked queries their first
+# driver-side CORRECTNESS row; exactly 24 registry queries still had
+# none (the VERDICT r9 cross-round diff -- the r9 comment here said 23,
+# short by one: approx_distinct_quantiles).  This window keeps the 8
+# long-green sentinels, admits ALL 24 remaining stragglers (after this
+# round, every registry query has at least one driver-side row), the
+# round-10 NEW queries, and the queries whose code or oracle CHANGED
+# this round (micro_rank: the ANN top-k rank moved onto the quantized
+# BIGINT similarity; orders_kpi_pandas_pivot gained the missing-status
+# zero-fill).  Queries not named here keep their relative literal
+# order after position 49; nothing is added or removed, so
 # check_contract / checkall still cover all entries.
 _DRIVER_WINDOW: list[str] = [
     # pinned sentinels (driver-green every round since round 1)
@@ -8964,51 +9088,55 @@ _DRIVER_WINDOW: list[str] = [
     "customer_scd2",
     "snapshot_cdc_diff",
     "events_streamed_dedup",
-    # new in round 9
-    "jpeg_features",
-    "lineitem_above_avg_pandas_merge",
-    "orders_kpi_pandas_pivot",
-    "synthvecs_source",
-    "embedding_ivf_trained_topk_arrow",
-    "docs_duplicate_spans",
+    # new in round 10
+    "synthvecs_ivf_100k",
+    # changed in round 10: micro_rank + pivot zero-fill
     "embedding_lsh_topk_arrow",
-    # changed in round 9: micro-unit oracle quantization
-    "embedding_kmeans_centroids",
-    "embedding_kmeans_centroids_arrow",
     "embedding_ivf_trained_topk",
-    "embedding_semantic_dedup",
-    "embedding_semantic_dedup_arrow",
-    # tranche 2: first driver-side row for 30 of the remaining 53
-    "events_range_join",
-    "docs_tfidf_terms",
-    "docs_quality_deciles",
-    "docs_train_val_split",
-    "unpivot_status_totals",
-    "exact_quartiles",
-    "events_json_typed",
-    "hot_keys_join_revenue",
-    "docs_repetition",
-    "docs_sample_deterministic",
-    "order_gap_stats",
-    "group_stats_exact",
-    "docs_stratified_sample",
-    "docs_vocabulary",
-    "docs_weighted_sample",
-    "events_anomaly_hours",
-    "price_histogram",
-    "embedding_dim_profile",
-    "brand_part_rank",
-    "events_hourly_trend",
-    "events_stickiness",
-    "orders_backlog_aging",
-    "supplier_nation_share",
-    "docs_chunks",
-    "docs_chunk_dedup",
-    "embedding_quantize",
-    "docs_normalized_fingerprint",
-    "embedding_lsh_recall",
-    "docs_unigram_logprob",
-    "nation_market_share",
+    "embedding_ivf_trained_topk_arrow",
+    "orders_kpi_pandas_pivot",
+    # final tranche: first driver-side row for ALL 24 remaining
+    # never-checked queries -- zero stragglers after this round
+    "approx_distinct_quantiles",
+    "bracket_pricing_revenue",
+    "customer_order_distribution",
+    "docs_hash_embedding",
+    "events_max_concurrent",
+    "events_rolling_active",
+    "events_type_pagerank",
+    "excess_stock_suppliers",
+    "forecast_revenue_change",
+    "idle_rich_customers",
+    "large_volume_orders",
+    "lineitem_cms_hot_suppliers",
+    "lineitem_heavy_hitters",
+    "lineitem_key_skew",
+    "lineitem_priority_mix",
+    "nation_part_coverage",
+    "orders_key_gaps",
+    "orders_price_percentiles",
+    "orders_profile",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "small_order_revenue",
+    "supplier_part_counts",
+    "supplier_wait_blame",
+    # refresh block: re-checks of operator-bearing queries whose last
+    # driver row is the r8 rotation (swapped out for new r10 queries
+    # as they land; any green query can hold a slot)
+    "docs_minhash_near_dup",
+    "docs_exact_dup_groups",
+    "docs_simhash_pairs",
+    "docs_ngram_jaccard_recall",
+    "docs_pack_budget",
+    "docs_chunk_retrieval",
+    "docs_leakage_split",
+    "docs_token_budget_mix",
+    "docs_semantic_contamination",
+    "docs_pii_scrub",
+    "media_features",
+    "audio_features",
+    "video_features",
 ]
 
 QUERIES = {
@@ -9131,6 +9259,7 @@ ORACLES: dict[str, str] = {
     "events_streamed_enriched": SQL_EVENTS_STREAMED_ENRICHED,
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
     "synthvecs_source": SQL_SYNTHVECS_SOURCE,
+    "synthvecs_ivf_100k": SQL_SYNTHVECS_IVF_100K,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,
