@@ -212,7 +212,28 @@ def run_month(
         "dim_accounts": out_dim,
         "kpi": out_kpi,
     }
-    outputs["metrics"] = {"dq_exception_rows": n_exceptions, **dict(obs.get)}
+    try:
+        fact_metrics = dict(obs.get)
+    except Exception:  # noqa: BLE001
+        # zero-row month: with the fact build now a pure map pipeline
+        # (no sort exchange, r10), empty-relation propagation can
+        # collapse the whole write plan and leave the observation with
+        # no metrics row (obs.get raises from the JVM).  Recompute from
+        # the written parquet -- by definition a tiny (usually empty)
+        # table in this branch, so the extra scan is degenerate.
+        fact_metrics = (
+            fact.sparkSession.read.parquet(str(out_fact))
+            .agg(
+                F.count(F.lit(1)).alias("fact_rows"),
+                F.sum(F.col("amount_base").cast("decimal(28,2)"))
+                .cast("double")
+                .alias("total_amount_base"),
+                F.approx_count_distinct("source").alias("n_sources"),
+            )
+            .first()
+            .asDict()
+        )
+    outputs["metrics"] = {"dq_exception_rows": n_exceptions, **fact_metrics}
     return outputs
 
 

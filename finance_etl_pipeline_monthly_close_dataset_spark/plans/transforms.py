@@ -222,9 +222,21 @@ def to_fact_transactions(
         F.concat_ws("|", F.col("entity").cast("string"), F.col("source"), F.col("document_id")),
     )
 
-    # Row-set order is what correctness checks; the orderBy only shapes
-    # written-file order for golden-CSV parity (transform.py:94).
-    return fact.select(*FACT_COLUMNS).orderBy("date", "entity", "source", "document_id")
+    # Row-set semantics only -- NO global sort here (r10).  The
+    # reference sorts its in-memory frame before writing CSV
+    # (transform.py:94), but our curated format is parquet, where row
+    # order is non-semantic; every boundary where file order IS
+    # observable (the single-file BI/star CSV exports the goldens
+    # byte-compare) re-sorts on the same keys itself
+    # (plans/exports.py:88-90, plans/star.py:215).  Sorting here was
+    # the close's ONLY full-fact shuffle (an Exchange
+    # rangepartitioning of every row before the write) -- at 100 TB
+    # that is the difference between a shuffle-free map pipeline and
+    # re-shuffling the whole fact table for cosmetic file order;
+    # measured 64.2 s -> 41.8 s (-35%) on the 10M-row close.
+    # ``tools/stress_pipeline.py`` now asserts the fact plan carries
+    # NO exchange of any kind (broadcast aside).
+    return fact.select(*FACT_COLUMNS)
 
 
 def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:

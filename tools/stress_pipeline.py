@@ -228,7 +228,13 @@ def assert_plan_shapes(spark, settings, raw_dir: str, ref_dir: str) -> dict:
     )
     fact_plan = _plan(fact)
     checks["fx_join_broadcast"] = "BroadcastHashJoin" in fact_plan
-    checks["fact_no_shuffle_exchange"] = "Exchange hashpartitioning" not in fact_plan
+    # r10: the fact build must be a pure map pipeline -- no hash OR
+    # range exchange (the curated write no longer sorts; file-order
+    # boundaries re-sort themselves)
+    checks["fact_no_shuffle_exchange"] = (
+        "Exchange hashpartitioning" not in fact_plan
+        and "Exchange rangepartitioning" not in fact_plan
+    )
     return checks
 
 
