@@ -96,6 +96,10 @@ HEAVY = [
     "parts_cross_sell",
     "events_interpolated",
     "events_user_sessions_udtf",
+    # round 10: the oracle-paired 100k x 64d IVF probe (generation ->
+    # BLAS assignment -> probe -> micro-ranked top-k), so the volume
+    # ANN registry path is perf-tracked as well as correctness-gated
+    "synthvecs_ivf_100k",
 ]
 
 

@@ -369,10 +369,14 @@ def _vec_matrix(batch, vec_col: str, dim: int):
     vector operator at the 1M x 64d bench scale.
 
     ``dim`` is required (every caller knows it from its probe/centroid
-    matrix): a ragged batch whose total element count happens to
-    divide ``n`` would otherwise reshape into silently misaligned rows
-    -- here it fails loudly instead (r9 ADVICE)."""
+    matrix): a ragged batch would otherwise reshape into silently
+    misaligned rows -- here it fails loudly instead (r9 ADVICE).  The
+    total-count check alone is NOT enough (a ragged [[a,b,c],[d]] still
+    has 2 x dim-2 elements), so variable-length list columns also get a
+    per-row offsets check -- one vectorized diff over the offsets
+    buffer, negligible next to the flatten."""
     import numpy as np
+    import pyarrow as pa
 
     col = batch.column(batch.schema.get_field_index(vec_col))
     flat = col.flatten()
@@ -382,6 +386,13 @@ def _vec_matrix(batch, vec_col: str, dim: int):
             f"ragged vector column {vec_col!r}: {vals.size} elements "
             f"for {len(col)} rows x dim {dim}"
         )
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        if not ((off[1:] - off[:-1]) == dim).all():
+            raise ValueError(
+                f"ragged vector column {vec_col!r}: row lengths differ "
+                f"from dim {dim}"
+            )
     return vals.reshape(len(col), dim)
 
 

@@ -2204,3 +2204,71 @@ def test_decode_images_numpy_jpeg_payload(spark):
     # flat gray image -> every channel/grid mean ~128/255
     assert all(abs(x - 128.0 / 255.0) < 0.02 for x in out[1].feature[:7])
     assert out[2].out_width is None and out[2].feature is None
+
+
+def test_micro_rank_total_on_quantized_output(spark):
+    """micro_rank (r10, ADVICE fix): when two candidates land on the
+    SAME micro-unit similarity but their raw doubles differ, the rank
+    must follow the neighbor_id tie-break (a total function of the
+    emitted quantized columns), while the default mode still ranks on
+    the raw double.  v10 has the strictly larger raw cosine; v5 has
+    the smaller id; both quantize to micro 1000000."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 1e-05, 0.0, 0.0]),   # cos ~ 1 - 5e-11 (largest raw)
+            (5, [1.0, 2e-05, 0.0, 0.0]),    # cos ~ 1 - 2e-10 (same micro)
+            (99, [0.0, 1.0, 0.0, 0.0]),     # orthogonal filler
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "probe_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "cell int, centroid array<double>"
+    )
+
+    for fn in (
+        lambda **kw: similarity.ivf_topk(
+            corpus, probes, k=3, nprobe=1, centroids=cents, **kw
+        ),
+        lambda **kw: similarity.ivf_topk_arrow(
+            corpus, probes, cents, k=3, nprobe=1, **kw
+        ),
+        lambda **kw: similarity.lsh_topk_arrow(
+            corpus, probes, dim=4, k=3, planes=[[1.0, 0.0, 0.0, 0.0]], **kw
+        ),
+    ):
+        micro = {r["rank"]: r for r in fn(micro_rank=True).collect()}
+        assert set(micro[1].asDict()) == {
+            "probe_id", "neighbor_id", "cosine_sim_micro", "rank"
+        }
+        # micro tie at 1000000 -> id order decides
+        assert micro[1]["cosine_sim_micro"] == 1_000_000
+        assert micro[2]["cosine_sim_micro"] == 1_000_000
+        assert (micro[1]["neighbor_id"], micro[2]["neighbor_id"]) == (5, 10)
+
+        raw = {r["rank"]: r for r in fn().collect()}
+        # default mode: the strictly larger raw cosine wins
+        assert (raw[1]["neighbor_id"], raw[2]["neighbor_id"]) == (10, 5)
+
+
+def test_vec_matrix_rejects_ragged(spark):
+    """_vec_matrix (r10, ADVICE fix): a ragged vector column whose
+    total element count still divides the row count must raise, not
+    silently reshape into misaligned rows."""
+    import pyarrow as pa
+    import pytest
+
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "vec_id": [1, 2],
+            "embedding": [[1.0, 2.0, 3.0], [4.0]],  # 4 elements, 2 rows, dim 2
+        }
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        similarity._vec_matrix(batch, "embedding", 2)
+    ok = pa.RecordBatch.from_pydict(
+        {"vec_id": [1, 2], "embedding": [[1.0, 2.0], [3.0, 4.0]]}
+    )
+    assert similarity._vec_matrix(ok, "embedding", 2).shape == (2, 2)
