@@ -72,6 +72,20 @@ def run_month(
     if fail_on not in {"ERROR", "WARN", "NEVER"}:
         raise ValueError("fail_on must be one of: ERROR, WARN, NEVER")
 
+    # per-stage wall clock (r10): regressions in the close attribute to
+    # a STAGE, not just the total -- surfaced via outputs["stage_seconds"]
+    # and printed by tools/stress_pipeline.py
+    import time as _time
+
+    _stages: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        _stages[stage] = round(now - _t0, 2)
+        _t0 = now
+
     raw_dir, curated_dir, reference_dir = Path(raw_dir), Path(curated_dir), Path(reference_dir)
     os.makedirs(curated_dir, exist_ok=True)
 
@@ -138,6 +152,7 @@ def run_month(
     # future gate refactor could easily introduce) costs 118s vs 31s,
     # so the eager parallel materialization is the load-bearing habit.
     n_exceptions = dq_exceptions.count()
+    _mark("dq_sweep")
 
     dq_exceptions_path = curated_dir / "dq_exceptions.csv"
     dq_summary_path = curated_dir / "dq_summary.csv"
@@ -148,6 +163,7 @@ def run_month(
     # audit trail is written BEFORE the gate can raise (pipeline.py:141-146)
     write_csv_single_file(dq_exceptions, str(dq_exceptions_path))
     write_csv_single_file(summary, str(dq_summary_path))
+    _mark("dq_audit_write")
 
     if overall == "FAIL" and fail_on != "NEVER":
         raise DataQualityGateError(
@@ -158,6 +174,12 @@ def run_month(
     start_ts, end_ts = month_window(month)
     in_window = (F.col("date") >= F.lit(start_ts)) & (F.col("date") < F.lit(end_ts))
 
+    # NOTE (r10, measured): deriving v_sales/v_exp from the persisted
+    # check slices instead (cache-hit by lineage) was tried and did NOT
+    # move the fact_write stage (11.4 s -> 11.6 s at 10M rows -- the
+    # stage is FX-join + bround + parquet-encode bound, not CSV-parse
+    # bound), so the Q17 adaptation stands: validation is a
+    # side-channel and the pipeline proceeds from the ORIGINAL inputs.
     v_sales = sales.filter(in_window).drop(ROW_ID_COL)
     v_exp = expenses.filter(in_window).drop(ROW_ID_COL)
     v_inv = inventory.filter(in_window).drop(ROW_ID_COL)
@@ -184,6 +206,7 @@ def run_month(
     out_kpi = curated_dir / "kpi_monthly.parquet"
 
     write_parquet(fact, str(out_fact))
+    _mark("fact_write")
 
     # Build the KPI (and the lake partition copy) from the fact we
     # just WROTE, not from the fact's logical plan (r10): kpi_monthly
@@ -200,6 +223,7 @@ def run_month(
 
     write_parquet(dim_accounts, str(out_dim))
     write_parquet(kpi, str(out_kpi))
+    _mark("kpi_dim_write")
 
     if lake_dir is not None:
         lake_fact = Path(lake_dir) / "fact_transactions"
@@ -208,6 +232,7 @@ def run_month(
             str(lake_fact),
             partition_by=["month"],
         )
+        _mark("lake_write")
 
     dq_exceptions.unpersist()
     # the check slices are released HERE, not right after the
@@ -246,6 +271,7 @@ def run_month(
             .asDict()
         )
     outputs["metrics"] = {"dq_exception_rows": n_exceptions, **fact_metrics}
+    outputs["stage_seconds"] = _stages
     return outputs
 
 

@@ -375,6 +375,7 @@ def main() -> int:
     )
     out["t_run_month"] = round(time.time() - t0, 1)
     out["metrics"] = result["metrics"]
+    out["stage_seconds"] = result.get("stage_seconds")
 
     if verify:
         t0 = time.time()
