@@ -365,6 +365,9 @@ def main() -> None:
                     # VALUE-verified (DuckDB KPI recompute in exact
                     # cents + row counts), not only timed with plan_ok
                     "verify": res.get("verify"),
+                    # r10: per-stage wall clock so a close regression
+                    # attributes to a stage, not just the total
+                    "stages": res.get("stage_seconds"),
                 }
             except Exception as exc:  # noqa: BLE001
                 errors[f"close_10m_{label}"] = f"{type(exc).__name__}: {exc}"[:200]
