@@ -219,7 +219,14 @@ def run_month(
     # round-trips doubles exactly); measured 41.8 s -> 35.2 s on the
     # 10M close, on top of the sort removal's 64.2 -> 41.8.
     fact_r = fact.sparkSession.read.parquet(str(out_fact))
+    # kpi_monthly is eager up to its dimension-bounded pre-aggregate
+    # (one column-pruned scan of the written fact; r11 -- previously
+    # the types-collect, pivot and null-group passes each rescanned
+    # it, which is what made this stage super-linear at 100M).  The
+    # scan lands in "kpi_agg"; "kpi_dim_write" is then pivot-on-tiny
+    # plus the two parquet sinks.
     kpi = kpi_monthly(fact_r, dim_accounts)
+    _mark("kpi_agg")
 
     write_parquet(dim_accounts, str(out_dim))
     write_parquet(kpi, str(out_kpi))

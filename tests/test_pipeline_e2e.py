@@ -389,3 +389,48 @@ def test_duckdb_close_verifier_on_golden_outputs(outputs):
 
     bad = verify_close_outputs(curated, GOLDEN_FACT_ROWS + 1, GOLDEN_FACT_ROWS)
     assert not bad["ok"] and not bad["fact_rows_match_metric"]
+
+
+def test_duckdb_close_verifier_degenerate_and_quoted_types(spark, tmp_path):
+    """ADVICE r10 regression pair for verify_close_outputs: (a) a
+    dataset with NO COGS/Expense rows must still verify green -- the
+    expected CTE coalesces the missing required types to 0 cents and
+    always computes the profit columns, mirroring kpi_monthly's
+    force-fill -- and (b) an account-type value containing both quote
+    characters must not break the interpolated DuckDB SQL."""
+    import sys as _sys
+    from datetime import date
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from stress_pipeline import verify_close_outputs
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.transforms import (
+        kpi_monthly,
+    )
+
+    nasty = "O'Brien \"Ops\""
+    fact = spark.createDataFrame(
+        [
+            ("TLM", date(2025, 12, 3), "40000001", 123.45),
+            ("TLM", date(2025, 12, 9), "99990001", -10.00),
+            ("UPE", date(2025, 12, 5), "40000001", 77.10),
+        ],
+        "entity string, date date, account_code string, amount_base double",
+    )
+    dim = spark.createDataFrame(
+        [("40000001", "Revenue"), ("99990001", nasty)],
+        "account_code string, account_type string",
+    )
+    curated = tmp_path / "curated"
+    fact.write.parquet(str(curated / "fact_transactions.parquet"))
+    dim.write.parquet(str(curated / "dim_accounts.parquet"))
+    kpi = kpi_monthly(fact, dim)
+    # only Revenue + the quoted type observed; COGS/Expense force-filled
+    assert {"Revenue", nasty, "COGS", "Expense"} <= set(kpi.columns)
+    kpi.write.parquet(str(curated / "kpi_monthly.parquet"))
+
+    res = verify_close_outputs(str(curated), 3, 3)
+    assert res["ok"], res
+    assert res["kpi_cells_match"] and res["kpi_groups"] == 2
+    assert nasty in res["account_types"]

@@ -274,17 +274,32 @@ def verify_close_outputs(curated: str, fact_rows_metric: int, total_rows: int) -
             WHERE d.account_type IS NOT NULL ORDER BY 1"""
         ).fetchall()
     ]
+    # account-type values come FROM THE DATA: escape them for both the
+    # string-literal and quoted-identifier positions (ADVICE r10 — a
+    # type containing a quote character used to break the SQL), and
+    # mirror kpi_monthly's force-fill: any of Revenue/COGS/Expense
+    # absent from the observed types becomes a literal-0 column so the
+    # profit columns are ALWAYS computed (ADVICE r10 — NULL expected
+    # profits vs kpi's 0.0 was a false verification failure on
+    # degenerate datasets).
+    def _lit(t: str) -> str:
+        return t.replace("'", "''")
+
+    def _ident(t: str) -> str:
+        return t.replace('"', '""')
+
+    all_types = types + [t for t in ("Revenue", "COGS", "Expense") if t not in types]
     type_cols = ",\n".join(
-        "COALESCE(SUM(CASE WHEN d.account_type = '{t}' THEN "
+        "COALESCE(SUM(CASE WHEN d.account_type = '{lt}' THEN "
         "CAST(CAST(f.amount_base AS DECIMAL(28,2)) * 100 AS BIGINT) END), 0)"
-        " AS \"{t}\"".format(t=t)
+        ' AS "{it}"'.format(lt=_lit(t), it=_ident(t))
         for t in types
+    ) + "".join(
+        f',\n0 AS "{_ident(t)}"' for t in all_types if t not in types
     )
     profit_cols = (
         '"Revenue" + "COGS" AS gross_profit, '
         '"Revenue" + "COGS" + "Expense" AS operating_profit'
-        if all(t in types for t in ("Revenue", "COGS", "Expense"))
-        else "NULL AS gross_profit, NULL AS operating_profit"
     )
     con.sql(
         f"""
@@ -299,8 +314,8 @@ def verify_close_outputs(curated: str, fact_rows_metric: int, total_rows: int) -
         SELECT *, {profit_cols} FROM base ORDER BY entity, month"""
     )
     kpi_cents_cols = ", ".join(
-        f'CAST(floor("{c}" * 100 + 0.5) AS BIGINT) AS "{c}"'
-        for c in types + ["gross_profit", "operating_profit"]
+        f'CAST(floor("{_ident(c)}" * 100 + 0.5) AS BIGINT) AS "{_ident(c)}"'
+        for c in all_types + ["gross_profit", "operating_profit"]
     )
     con.sql(
         f"""
@@ -309,8 +324,8 @@ def verify_close_outputs(curated: str, fact_rows_metric: int, total_rows: int) -
         FROM read_parquet('{kpi_glob}') ORDER BY entity, month"""
     )
     cell_preds = " AND ".join(
-        f'e."{c}" IS NOT DISTINCT FROM a."{c}"'
-        for c in types + ["gross_profit", "operating_profit"]
+        f'e."{_ident(c)}" IS NOT DISTINCT FROM a."{_ident(c)}"'
+        for c in all_types + ["gross_profit", "operating_profit"]
     )
     n_expected, n_actual = (
         con.sql("SELECT COUNT(*) FROM expected").fetchone()[0],
