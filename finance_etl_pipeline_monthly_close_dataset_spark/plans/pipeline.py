@@ -37,7 +37,6 @@ from ..schemas import (
 from ..sources.readers import ROW_ID_COL, read_csv, read_csv_typed
 from ..sources.writers import write_csv_single_file, write_parquet
 from .quality import (
-    account_in_coa_exceptions,
     add_severity,
     build_dataset_specs,
     collect_exceptions,
@@ -110,17 +109,29 @@ def run_month(
     }
 
     # -- DQ collection (pandera-lazy equivalent: ALL failures) ---------------
-    # sales/expenses fan into THREE check families (row-level explode,
-    # uniqueness group-by, COA anti-join), so their declared-column
-    # slices persist once here and every family reads the cache -- one
-    # CSV scan each. The other datasets go straight to
-    # collect_exceptions, which persists internally only when more
-    # than one family consumes the scan (measured at the 10M stress:
-    # persisting the single-consumer payroll/inventory slices too
-    # REGRESSED run_month ~50% -- a cache nobody reads twice is pure
-    # write amplification).
+    # sales/expenses fan into TWO check families (row-level explode --
+    # which since r11 includes the COA membership check as a fused
+    # literal-set predicate, saving what used to be a third full pass
+    # for the broadcast anti-join -- and the uniqueness group-by), so
+    # their declared-column slices persist once here and both families
+    # read the cache -- one CSV scan each. The other datasets go
+    # straight to collect_exceptions, which persists internally only
+    # when more than one family consumes the scan (measured at the 10M
+    # stress: persisting the single-consumer payroll/inventory slices
+    # too REGRESSED run_month ~50% -- a cache nobody reads twice is
+    # pure write amplification).
     specs = build_dataset_specs(settings.allowed_currencies, settings.base_currency)
-    from .quality import checked_slice
+    from .quality import checked_slice, coa_membership_check
+
+    # the chart of accounts is driver-sized (reference fixture, dozens
+    # of rows): one tiny collect turns Q12 into a row-level literal
+    # membership check instead of a per-dataset anti-join pass
+    coa_codes = [
+        r[0] for r in dim_accounts.select(F.col("account_code").cast("string")).collect()
+    ]
+    coa_check = coa_membership_check(coa_codes)
+    for name in ("sales", "expenses"):
+        specs[name].checks.append(coa_check)
 
     slices = {
         name: checked_slice(frames[name], specs[name]).persist()
@@ -133,12 +144,6 @@ def run_month(
         exceptions = exceptions.unionByName(
             collect_exceptions(checked, specs[name], persist_intermediates=name not in slices)
         )
-    exceptions = exceptions.unionByName(
-        account_in_coa_exceptions(slices["sales"], "sales", dim_accounts)
-    )
-    exceptions = exceptions.unionByName(
-        account_in_coa_exceptions(slices["expenses"], "expenses", dim_accounts)
-    )
 
     dq_exceptions = add_severity(exceptions).cache()  # forced: the gate must decide
     # Materialize the cache with FULL parallelism before the

@@ -81,6 +81,24 @@ def _isin_check(column: str, allowed: list[str]) -> ColumnCheck:
     )
 
 
+def coa_membership_check(account_codes: list[str]) -> ColumnCheck:
+    """Q12 fused into the row-level family (r11): account_code ∈ chart
+    of accounts as a literal-set membership check evaluated in the SAME
+    single scan as the other row-level checks, instead of a separate
+    broadcast anti-join pass over the cached slice.  Valid because the
+    chart of accounts is driver-sized by construction (reference
+    chart_of_accounts.csv, dozens of rows), so the membership set is a
+    literal -- the 100 TB story is unchanged (an isin literal is
+    cheaper to ship than a broadcast table).  Emits rows identical to
+    ``account_in_coa_exceptions``: NULL codes fail too (a left-anti
+    join keeps null keys), hence the explicit isNull() arm."""
+    return ColumnCheck(
+        "account_code",
+        "account_in_coa",
+        F.col("account_code").isNull() | ~F.col("account_code").isin(account_codes),
+    )
+
+
 def build_dataset_specs(
     allowed_currencies: tuple[str, ...], base_currency: str
 ) -> dict[str, DatasetSpec]:

@@ -434,3 +434,29 @@ def test_duckdb_close_verifier_degenerate_and_quoted_types(spark, tmp_path):
     assert res["ok"], res
     assert res["kpi_cells_match"] and res["kpi_groups"] == 2
     assert nasty in res["account_types"]
+
+
+def test_gate_flags_unknown_account_code(outputs, tmp_path):
+    """Q12 through run_month after the r11 fusion: an account code
+    outside the chart of accounts must still gate as an ERROR
+    account_in_coa exception (now emitted by the fused row-level
+    check, not a separate anti-join pass)."""
+    spark, _, root = outputs
+    raw = root / "raw"
+    bad = tmp_path / "raw_badcoa"
+    bad.mkdir()
+    for f in raw.iterdir():
+        bad.joinpath(f.name).write_text(f.read_text())
+    with bad.joinpath("sales.csv").open("a") as fh:
+        fh.write("2025-12-11,TLM,INV-COA,99999999,USD,5.0,unknown code\n")
+    curated = tmp_path / "curated_badcoa"
+    with pytest.raises(DataQualityGateError):
+        run_month(
+            spark, Settings(), month="2025-12", raw_dir=bad, curated_dir=curated,
+            reference_dir=root / "ref", fail_on="ERROR",
+        )
+    exc = spark.read.csv(str(curated / "dq_exceptions.csv"), header=True).collect()
+    coa_rows = [r for r in exc if r["check"] == "account_in_coa"]
+    assert len(coa_rows) == 1
+    assert coa_rows[0]["failure_case"] == "99999999"
+    assert coa_rows[0]["severity"] == "ERROR"

@@ -180,3 +180,49 @@ def test_dtype_coercion_check(spark, specs, tmp_path):
     assert ("invoice_id", "not_nullable") in by_check
     # typed values still parse for clean rows
     assert df.filter(F.col("amount") == 7.5).count() == 1
+
+
+def test_coa_membership_fused_matches_anti_join(spark, specs):
+    """r11: the pipeline evaluates Q12 as a fused row-level literal-set
+    check (coa_membership_check) instead of a separate anti-join pass;
+    the two forms must emit the SAME exception row-set -- including a
+    NULL account_code, which a left-anti join keeps (null key never
+    matches) and the fused predicate must keep via its isNull() arm."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.quality import (
+        coa_membership_check,
+        collect_exceptions,
+    )
+
+    df = _sales(
+        spark,
+        [
+            (TS, "TLM", "I1", "99999999", "USD", 5.0, ""),   # unknown code
+            (TS, "TLM", "I2", "40000001", "USD", 5.0, ""),   # known code
+            (TS, "TLM", "I3", None, "USD", 5.0, ""),          # NULL code
+        ],
+    )
+    dim = spark.createDataFrame([("40000001",)], "account_code string")
+
+    anti = {
+        (r["index"], r["failure_case"])
+        for r in account_in_coa_exceptions(df, "sales", dim).collect()
+    }
+
+    codes = [r[0] for r in dim.collect()]
+    spec = specs["sales"]
+    fused_spec = type(spec)(
+        dataset=spec.dataset,
+        columns=spec.columns,
+        not_null=[],
+        checks=[coa_membership_check(codes)],
+        unique_keys=[],
+    )
+    fused = {
+        (r["index"], r["failure_case"])
+        for r in collect_exceptions(df, fused_spec).collect()
+    }
+    assert fused == anti and len(fused) == 2
+    assert all(
+        r["check"] == "account_in_coa" and r["column"] == "account_code"
+        for r in collect_exceptions(df, fused_spec).collect()
+    )

@@ -198,24 +198,28 @@ def assert_plan_shapes(spark, settings, raw_dir: str, ref_dir: str) -> dict:
         "fx_rates": read_csv_typed(spark, os.path.join(raw_dir, "fx_rates.csv"), FX_SCHEMA, with_row_id=True),
     }
     specs = quality.build_dataset_specs(("USD", "TZS", "EUR"), "USD")
+    # mirror run_month (r11): COA membership is FUSED into the
+    # row-level family as a literal-set check, not a separate anti-join
+    coa_codes = [r[0] for r in dim.select(F.col("account_code").cast("string")).collect()]
+    for name in ("sales", "expenses"):
+        specs[name].checks.append(quality.coa_membership_check(coa_codes))
 
-    # DQ exception path: union of per-dataset exception plans + COA checks
+    # DQ exception path: union of per-dataset exception plans
     exc = None
     for name, df in frames.items():
         part = quality.collect_exceptions(df, specs[name])
         exc = part if exc is None else exc.unionByName(part)
-    exc = exc.unionByName(quality.account_in_coa_exceptions(frames["sales"], "sales", dim))
-    exc = exc.unionByName(quality.account_in_coa_exceptions(frames["expenses"], "expenses", dim))
     exc_plan = _plan(quality.add_severity(exc))
 
     checks = {}
     checks["dq_no_python_eval"] = "BatchEvalPython" not in exc_plan
     checks["dq_no_cartesian"] = "CartesianProduct" not in exc_plan
-    # sales has 6 not_null + 2 row checks + 1 unique key + COA: the
-    # row-level checks MUST share one scan -> at most 3 sales scans
+    # sales has 6 not_null + 2 row checks + fused COA + 1 unique key:
+    # everything row-level MUST share one scan -> at most 2 sales scans
+    # (row-level family + uniqueness group-by)
     n_sales_scans = exc_plan.count("sales.csv")
     checks["dq_sales_scans"] = n_sales_scans
-    checks["dq_one_scan_rowlevel"] = n_sales_scans <= 3
+    checks["dq_one_scan_rowlevel"] = n_sales_scans <= 2
 
     fx = fx_to_base(frames["fx_rates"].drop(ROW_ID_COL), "USD")
     fact = to_fact_transactions(
