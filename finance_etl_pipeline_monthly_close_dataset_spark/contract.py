@@ -7678,6 +7678,27 @@ def q_synthvecs_ivf_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000000 and the rank is pure neighbor-id tie-break -- total on the
     quantized output, where rank-on-raw-double would flake on
     summation-order ulps."""
+    return _synthvecs_ivf_query(spark, n_vecs=100_000)
+
+
+def q_synthvecs_ivf_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same oracle-gated IVF pipeline at 2x the corpus (VERDICT r10
+    ask #6: promote the largest size whose DuckDB oracle stays under
+    the ~30 s/query checkall budget).  Measured EXCLUSIVELY (loadavg <1
+    at start, sf-independent sizes): 100k 12.0 s, 200k 28.7 s, 250k
+    44.5 s under load and an OutOfMemoryException on one exclusive
+    attempt (the oracle's d2 join materializes n_vecs x 64 x 16 rows;
+    a list-dot-product rewrite that avoids the blowup was tried and
+    measured 3x SLOWER -- DuckDB's list lambdas are interpreted), so
+    200k is the registered ceiling.  Same fixed quantizer, probes,
+    micro_rank semantics as ``synthvecs_ivf_100k``; only n_vecs
+    changes, so a divergence between the two sizes isolates
+    volume-dependent bugs (partition-boundary batching, probe-slice
+    relation sharing)."""
+    return _synthvecs_ivf_query(spark, n_vecs=200_000)
+
+
+def _synthvecs_ivf_query(spark: SparkSession, n_vecs: int) -> DataFrame:
     from .sources.pydatasource import register
 
     register(spark)
@@ -7685,7 +7706,7 @@ def q_synthvecs_ivf_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     def load():
         return (
             spark.read.format("synthvecs")
-            .option("n_vecs", 100_000).option("dim", 64)
+            .option("n_vecs", n_vecs).option("dim", 64)
             .option("n_clusters", 16).option("n_partitions", 32)
             .load()
         )
@@ -7783,6 +7804,7 @@ FROM ranked WHERE rank <= {k}
 
 
 SQL_SYNTHVECS_IVF_100K = _synthvecs_ivf_sql()
+SQL_SYNTHVECS_IVF_200K = _synthvecs_ivf_sql(n_vecs=200_000)
 
 
 def _synthdocs_sql() -> str:
@@ -9043,6 +9065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthdocs_source": q_synthdocs_source,
     "synthvecs_source": q_synthvecs_source,
     "synthvecs_ivf_100k": q_synthvecs_ivf_100k,
+    "synthvecs_ivf_200k": q_synthvecs_ivf_200k,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -9088,55 +9111,55 @@ _DRIVER_WINDOW: list[str] = [
     "customer_scd2",
     "snapshot_cdc_diff",
     "events_streamed_dedup",
-    # new in round 10
-    "synthvecs_ivf_100k",
-    # changed in round 10: micro_rank + pivot zero-fill
-    "embedding_lsh_topk_arrow",
-    "embedding_ivf_trained_topk",
-    "embedding_ivf_trained_topk_arrow",
-    "orders_kpi_pandas_pivot",
-    # final tranche: first driver-side row for ALL 24 remaining
-    # never-checked queries -- zero stragglers after this round
-    "approx_distinct_quantiles",
-    "bracket_pricing_revenue",
-    "customer_order_distribution",
-    "docs_hash_embedding",
-    "events_max_concurrent",
-    "events_rolling_active",
-    "events_type_pagerank",
-    "excess_stock_suppliers",
-    "forecast_revenue_change",
-    "idle_rich_customers",
-    "large_volume_orders",
-    "lineitem_cms_hot_suppliers",
-    "lineitem_heavy_hitters",
-    "lineitem_key_skew",
-    "lineitem_priority_mix",
-    "nation_part_coverage",
-    "orders_key_gaps",
-    "orders_price_percentiles",
-    "orders_profile",
-    "promo_revenue_share",
-    "returned_item_customers",
-    "small_order_revenue",
-    "supplier_part_counts",
-    "supplier_wait_blame",
-    # refresh block: re-checks of operator-bearing queries whose last
-    # driver row is the r8 rotation (swapped out for new r10 queries
-    # as they land; any green query can hold a slot)
-    "docs_minhash_near_dup",
-    "docs_exact_dup_groups",
-    "docs_simhash_pairs",
-    "docs_ngram_jaccard_recall",
-    "docs_pack_budget",
-    "docs_chunk_retrieval",
-    "docs_leakage_split",
-    "docs_token_budget_mix",
-    "docs_semantic_contamination",
-    "docs_pii_scrub",
-    "media_features",
-    "audio_features",
-    "video_features",
+    # new in round 11: the measured-ceiling ANN volume gate (its
+    # sibling synthvecs_ivf_100k got its driver row in r10)
+    "synthvecs_ivf_200k",
+    # refresh block (r11): with zero never-checked stragglers left, the
+    # window rotates to the queries whose LAST driver-side CORRECTNESS
+    # row is oldest -- all 23 last checked in round 2, both r5 entries,
+    # and the 16 alphabetically-first of the round-7 cohort (the
+    # remaining r7/r8/r9 cohort is next round's refresh pool)
+    "case_insensitive_filter",
+    "distinct_counts",
+    "distinct_segments",
+    "docs_dedup_representatives",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_ngram_jaccard",
+    "embedding_label_centroid",
+    "embedding_lsh_topk",
+    "embedding_near_dup",
+    "events_json_props",
+    "events_resampled",
+    "global_extremes",
+    "literal_map_join",
+    "min_per_group",
+    "month_end_keys",
+    "order_priority_exists",
+    "regional_supplier_volume",
+    "running_totals",
+    "set_operations",
+    "string_document_ids",
+    "top_supplier",
+    "union_sources",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "brand_revenue",
+    "cube_revenue",
+    "customer_rfm_segments",
+    "date_parts",
+    "docs_bigram_lift",
+    "docs_contamination",
+    "docs_dup_components",
+    "docs_quality",
+    "docs_token_stats",
+    "duplicate_keys",
+    "events_asof_last_purchase",
+    "events_funnel",
+    "events_hourly",
+    "events_moving_avg",
+    "events_retention_cohorts",
+    "events_session_window",
 ]
 
 QUERIES = {
@@ -9260,6 +9283,7 @@ ORACLES: dict[str, str] = {
     "synthdocs_source": SQL_SYNTHDOCS_SOURCE,
     "synthvecs_source": SQL_SYNTHVECS_SOURCE,
     "synthvecs_ivf_100k": SQL_SYNTHVECS_IVF_100K,
+    "synthvecs_ivf_200k": SQL_SYNTHVECS_IVF_200K,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,

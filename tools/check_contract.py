@@ -110,6 +110,15 @@ def dtype_parity(spark_dtypes, duck_types_by_col) -> list[str]:
 
 def duck_connect(sf_dir: str):
     con = duckdb.connect()
+    # Bound the oracle engine's footprint and let it SPILL instead of
+    # malloc-failing (r11: a synthvecs oracle hit a transient
+    # "Out of Memory Error: Failed to allocate block" right after a
+    # 100M-row close freed its JVM -- system memory was still being
+    # reclaimed.  DuckDB's default limit is 80% of RAM with no temp
+    # directory, so any transient squeeze is a hard failure; with a
+    # 24 GB cap + spill dir the same squeeze degrades to out-of-core.)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for tbl in TABLES:
         p = f"{sf_dir}/{tbl}.parquet"
         if os.path.exists(p):
