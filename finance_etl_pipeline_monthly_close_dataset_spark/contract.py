@@ -47,6 +47,30 @@ from .operators.text_analysis import STOPWORDS
 from .streaming import events as ev
 
 
+def _raise_map_count(target: int = 1_048_576) -> None:
+    """DuckDB 1.0's block allocator takes one mmap per buffer block;
+    the volume oracles (synthvecs_ivf_*) need ~120k mappings at peak --
+    measured via /proc/self/maps, far over the Linux default
+    vm.max_map_count of 65530.  At the default, the oracle process
+    fails with transient "Out of Memory Error: Failed to allocate
+    block" (and once a native segfault) while system memory is >95%
+    free.  Raise the limit once at import, best-effort (root in this
+    container; silently skipped where not permitted), so every harness
+    that runs the oracles -- driver CORRECTNESS, checkall, bench's
+    close verifier -- is covered."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as fh:
+            cur = int(fh.read().strip())
+        if cur < target:
+            with open("/proc/sys/vm/max_map_count", "w") as fh:
+                fh.write(str(target))
+    except (OSError, ValueError):
+        pass
+
+
+_raise_map_count()
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver runs these with its own SparkSession; pin the
     # semantics the oracles were validated under. Both confs are
