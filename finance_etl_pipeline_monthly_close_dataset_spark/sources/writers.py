@@ -22,8 +22,20 @@ def write_parquet(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    compression: str = "zstd",
 ) -> None:
-    writer = df.write.mode(mode)
+    """Curated-layer parquet sink.
+
+    zstd by default (r11, measured at the 50M-row fact): the encode
+    step is a small fraction of the write stage (the stage is
+    CSV-parse + FX-compute bound -- noop 39.5 s vs snappy 44.1 s vs
+    zstd 46.3 s), while the bytes written drop 2.6x (snappy 0.95 GB ->
+    zstd 0.37 GB).  At 100 TB that trade is decisive: ~2 s of encode
+    CPU per 50M rows buys 61% less curated storage AND proportionally
+    less IO for every downstream scan (the KPI/lake passes re-read the
+    written fact).  lz4 matched snappy's size; plain noop write proved
+    the compute floor."""
+    writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
