@@ -133,6 +133,27 @@ def _load_fingerprint() -> dict:
     return fp
 
 
+def _distinct_slice_widths(n_seq: int, n_batches: int) -> list[int]:
+    """n_batches DISTINCT positive widths summing to n_seq (arithmetic
+    progression, step 2, remainder folded onto the largest slice).
+    Distinctness is what makes stream replay order observable in the
+    progress stream; refuse rather than silently fall back to equal or
+    zero widths, which would defeat the order gate (ADVICE r11)."""
+    base_w = n_seq // n_batches
+    widths = [base_w + 2 * i - (n_batches - 1) for i in range(n_batches)]
+    # the progression sums to n_batches*base_w; the remainder only
+    # grows the max, so all widths stay distinct.
+    widths[-1] += n_seq - n_batches * base_w
+    if min(widths) <= 0 or len(set(widths)) != n_batches or sum(widths) != n_seq:
+        raise ValueError(
+            f"stream_state: cannot build {n_batches} distinct positive "
+            f"slice widths from n_seq={n_seq} (n_events//n_users); need "
+            f"n_seq//n_batches > n_batches-1 -- lower n_batches or raise "
+            f"n_events/n_users"
+        )
+    return widths
+
+
 def _stream_state_bench(
     spark, n_events: int = 2_000_000, n_users: int = 50_000, n_batches: int = 4
 ) -> dict:
@@ -177,10 +198,7 @@ def _stream_state_bench(
         # OBSERVABLE in the progress stream and assertable below
         # (ADVICE r10: mtime-only ordering could silently replay slices
         # out of time order on coarse-mtime filesystems).
-        base_w = n_seq // n_batches
-        widths = [base_w + 2 * i - (n_batches - 1) for i in range(n_batches)]
-        if min(widths) <= 0 or sum(widths) != n_seq:
-            widths = [base_w] * (n_batches - 1) + [n_seq - base_w * (n_batches - 1)]
+        widths = _distinct_slice_widths(n_seq, n_batches)
         bounds = [0]
         for w in widths:
             bounds.append(bounds[-1] + w)

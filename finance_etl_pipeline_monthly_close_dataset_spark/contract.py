@@ -54,10 +54,15 @@ def _raise_map_count(target: int = 1_048_576) -> None:
     vm.max_map_count of 65530.  At the default, the oracle process
     fails with transient "Out of Memory Error: Failed to allocate
     block" (and once a native segfault) while system memory is >95%
-    free.  Raise the limit once at import, best-effort (root in this
-    container; silently skipped where not permitted), so every harness
-    that runs the oracles -- driver CORRECTNESS, checkall, bench's
-    close verifier -- is covered."""
+    free.  The sysctl is SYSTEM-WIDE, so raising it from any process
+    covers every DuckDB oracle on the host; it is invoked (best-effort:
+    root in this container, silently skipped where not permitted) from
+    exactly the paths that need it -- the synthvecs query builders
+    (which always run before their own oracles, covering the driver's
+    CORRECTNESS harness) and ``tools.check_contract.duck_connect``
+    (covering checkall / check_contract / bench's close verifier) --
+    NOT at library import, so merely importing the package never
+    mutates kernel state (round-12 ADVICE fix)."""
     try:
         with open("/proc/sys/vm/max_map_count") as fh:
             cur = int(fh.read().strip())
@@ -66,9 +71,6 @@ def _raise_map_count(target: int = 1_048_576) -> None:
                 fh.write(str(target))
     except (OSError, ValueError):
         pass
-
-
-_raise_map_count()
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -7725,6 +7727,10 @@ def q_synthvecs_ivf_200k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synthvecs_ivf_query(spark: SparkSession, n_vecs: int) -> DataFrame:
     from .sources.pydatasource import register
 
+    # system-wide sysctl; the query builder always runs before the
+    # harness executes the matching DuckDB oracle, so raising it here
+    # covers the driver's oracle process too (see _raise_map_count).
+    _raise_map_count()
     register(spark)
 
     def load():

@@ -51,6 +51,14 @@ class DataQualityGateError(ValueError):
     """Raised when the DQ gate fails (reference pipeline.py:145-146)."""
 
 
+# Q12 fusion guard (ADVICE r11): the chart of accounts is collected to
+# the driver and inlined as a literal isin ONLY below this row count;
+# over the cap the close falls back to the broadcast anti-join so an
+# unexpectedly large chart can't bloat codegen or OOM the driver.
+# Module-level so tests can monkeypatch it to force the fallback path.
+COA_FUSION_CAP = 10_000
+
+
 def run_month(
     spark: SparkSession,
     settings: Settings,
@@ -121,17 +129,25 @@ def run_month(
     # too REGRESSED run_month ~50% -- a cache nobody reads twice is
     # pure write amplification).
     specs = build_dataset_specs(settings.allowed_currencies, settings.base_currency)
-    from .quality import checked_slice, coa_membership_check
+    from .quality import account_in_coa_exceptions, checked_slice, coa_membership_check
 
     # the chart of accounts is driver-sized (reference fixture, dozens
     # of rows): one tiny collect turns Q12 into a row-level literal
-    # membership check instead of a per-dataset anti-join pass
-    coa_codes = [
-        r[0] for r in dim_accounts.select(F.col("account_code").cast("string")).collect()
-    ]
-    coa_check = coa_membership_check(coa_codes)
-    for name in ("sales", "expenses"):
-        specs[name].checks.append(coa_check)
+    # membership check instead of a per-dataset anti-join pass.  The
+    # driver-sized assumption is ENFORCED, not assumed (ADVICE r11):
+    # collect at most cap+1 rows; if the chart exceeds the cap, skip
+    # the fusion and fall back to the broadcast anti-join form below --
+    # an oversized literal isin would bloat codegen / OOM the driver.
+    coa_rows = (
+        dim_accounts.select(F.col("account_code").cast("string"))
+        .limit(COA_FUSION_CAP + 1)
+        .collect()
+    )
+    coa_fused = len(coa_rows) <= COA_FUSION_CAP
+    if coa_fused:
+        coa_check = coa_membership_check([r[0] for r in coa_rows])
+        for name in ("sales", "expenses"):
+            specs[name].checks.append(coa_check)
 
     slices = {
         name: checked_slice(frames[name], specs[name]).persist()
@@ -144,6 +160,12 @@ def run_month(
         exceptions = exceptions.unionByName(
             collect_exceptions(checked, specs[name], persist_intermediates=name not in slices)
         )
+        if not coa_fused and name in ("sales", "expenses"):
+            # over-cap chart of accounts: Q12 via the retained broadcast
+            # anti-join (reads the persisted slice, so no extra CSV scan)
+            exceptions = exceptions.unionByName(
+                account_in_coa_exceptions(checked, name, dim_accounts)
+            )
 
     dq_exceptions = add_severity(exceptions).cache()  # forced: the gate must decide
     # Materialize the cache with FULL parallelism before the

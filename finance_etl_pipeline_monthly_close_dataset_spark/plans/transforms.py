@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.datetime_fns import month_end_date, month_str
 from ..functions.money import money_round
@@ -274,11 +275,19 @@ def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
     # is order-independent (identical on any partitioning/merge order,
     # and bit-equal to a serial pandas/DuckDB sum); the double cast
     # happens once, after ALL decimal adds (pre-aggregate + pivot).
-    pre = (
-        joined.groupBy("entity", "month", "account_type")
-        .agg(F.sum(F.col("amount_base").cast("decimal(28,2)")).alias("_sum_base"))
-        .localCheckpoint(eager=True)
+    # persist + count (NOT localCheckpoint): both give the same
+    # eager single-scan behavior, but checkpoint blocks live only on
+    # executors -- on a real cluster an executor loss (spot nodes,
+    # dynamic allocation) makes them unrecoverable and fails the job,
+    # while a persisted DF recomputes the lost partitions from lineage
+    # (ADVICE r11).  MEMORY_AND_DISK: the pre-aggregate is
+    # dimension-bounded (entities x months x <=6 types) so it stays in
+    # memory; disk is the degrade path, not the plan.
+    pre = joined.groupBy("entity", "month", "account_type").agg(
+        F.sum(F.col("amount_base").cast("decimal(28,2)")).alias("_sum_base")
     )
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    pre.count()
 
     observed_types = sorted(
         r[0]

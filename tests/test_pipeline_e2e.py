@@ -460,3 +460,32 @@ def test_gate_flags_unknown_account_code(outputs, tmp_path):
     assert len(coa_rows) == 1
     assert coa_rows[0]["failure_case"] == "99999999"
     assert coa_rows[0]["severity"] == "ERROR"
+
+
+def test_gate_over_cap_chart_falls_back_to_anti_join(outputs, tmp_path, monkeypatch):
+    """COA fusion guard (ADVICE r11): when the chart of accounts
+    exceeds COA_FUSION_CAP, run_month must skip the literal-isin
+    fusion and emit the same account_in_coa ERROR through the
+    retained broadcast anti-join path."""
+    import finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline as pl
+
+    spark, _, root = outputs
+    raw = root / "raw"
+    bad = tmp_path / "raw_badcoa_fallback"
+    bad.mkdir()
+    for f in raw.iterdir():
+        bad.joinpath(f.name).write_text(f.read_text())
+    with bad.joinpath("sales.csv").open("a") as fh:
+        fh.write("2025-12-11,TLM,INV-COA,99999999,USD,5.0,unknown code\n")
+    curated = tmp_path / "curated_badcoa_fallback"
+    monkeypatch.setattr(pl, "COA_FUSION_CAP", 1)  # 12-row chart > cap
+    with pytest.raises(DataQualityGateError):
+        run_month(
+            spark, Settings(), month="2025-12", raw_dir=bad, curated_dir=curated,
+            reference_dir=root / "ref", fail_on="ERROR",
+        )
+    exc = spark.read.csv(str(curated / "dq_exceptions.csv"), header=True).collect()
+    coa_rows = [r for r in exc if r["check"] == "account_in_coa"]
+    assert len(coa_rows) == 1
+    assert coa_rows[0]["failure_case"] == "99999999"
+    assert coa_rows[0]["severity"] == "ERROR"

@@ -109,6 +109,11 @@ def dtype_parity(spark_dtypes, duck_types_by_col) -> list[str]:
 
 
 def duck_connect(sf_dir: str):
+    # DuckDB 1.0 takes one mmap per buffer block; the synthvecs volume
+    # oracles need ~120k mappings vs the 65530 Linux default. Raise the
+    # (system-wide) sysctl here -- the oracle-harness entrypoint --
+    # rather than at library import (round-12 ADVICE fix).
+    contract._raise_map_count()
     con = duckdb.connect()
     # Bound the oracle engine's footprint and let it SPILL instead of
     # malloc-failing (r11: a synthvecs oracle hit a transient
