@@ -7836,6 +7836,95 @@ FROM ranked WHERE rank <= {k}
 SQL_SYNTHVECS_IVF_100K = _synthvecs_ivf_sql()
 SQL_SYNTHVECS_IVF_200K = _synthvecs_ivf_sql(n_vecs=200_000)
 
+# mutated token position per group copy (c = doc_id % 4): edge-biased
+# so each mutation corrupts as few 3-shingles as possible and every
+# within-group pair stays deep inside the LSH-certain regime
+_SYNTHDOCS_LSH_MUTS = (0, 1, 38, 39)
+
+
+def q_synthdocs_lsh_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup volume gate (r12, VERDICT r11 ask #4 --
+    the synthvecs_ivf playbook applied to the text-dedup path, which
+    was oracle-verified only at sf0.1 scale ~5k docs).
+
+    Corpus: 100k closed-form docs in groups of 4 near-duplicates.
+    Doc d = 40 tokens; token j is ``g<d//4>w<j>`` except position
+    ``(0,1,38,39)[d%4]`` which is the per-doc ``u<d>``.  Within a
+    group every pair shares 34-36 of its 38 3-shingles (exact Jaccard
+    0.81-0.9); ACROSS groups the vocabularies are disjoint (the group
+    id is in every non-unique token), so cross-group Jaccard is
+    identically 0 and the >=0.5 answer is exactly the 6 pairs per
+    group -- 150k pairs at this size.
+
+    LSH certainty: 32 minhashes in 16 bands x 2 rows -- a J>=0.81
+    pair escapes all 16 bands with probability (1-0.81^2)^16 ~ 4e-8,
+    and the pipeline is fully deterministic (fixed hash family), so
+    the observed all-pairs-caught result at this size is a fixed fact
+    of the corpus, not a per-run coin flip; the oracle's exact-Jaccard
+    recompute re-verifies it every round.  Size chosen by measured
+    oracle ceiling (see PLANS.md r12: the inverted-index oracle form
+    was 129 s at 100k and was replaced by the group-candidate form
+    whose exactness the disjoint-vocabulary construction proves).
+    """
+    return _synthdocs_lsh_query(spark, n_docs=100_000)
+
+
+def _synthdocs_lsh_query(spark: SparkSession, n_docs: int) -> DataFrame:
+    d = F.col("id")
+    g = F.expr("id div 4")
+    mut = F.element_at(
+        F.array(*[F.lit(p) for p in _SYNTHDOCS_LSH_MUTS]),
+        (d % 4 + 1).cast("int"),
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda j: F.when(j == mut, F.concat(F.lit("u"), d.cast("string"))).otherwise(
+            F.concat(F.lit("g"), g.cast("string"), F.lit("w"), j.cast("string"))
+        ),
+    )
+    docs = spark.range(n_docs).select(d.alias("doc_id"), F.concat_ws(" ", toks).alias("text"))
+    out = dedup.near_dup_minhash(docs, num_hashes=32, num_bands=16, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _synthdocs_lsh_sql(n_docs: int) -> str:
+    """Exact near-dup answer on the synthdocs-lsh corpus: regenerate
+    the tokens by the same closed form, shingle, and compute exact
+    Jaccard over candidate pairs.  Candidates are the within-group
+    pairs (doc_id//4): an EXACT superset of the >=0.5 answer because
+    every non-unique token embeds its group id and the unique token
+    embeds the doc id, so docs of different groups share ZERO tokens
+    (hence zero shingles, Jaccard 0).  The general-corpus oracle shape
+    (inverted shingle index, SQL_DOCS_MINHASH_NEAR_DUP) stays on the
+    real ``documents`` table at 3 SFs; at 100k synthetic docs it
+    measured 129 s -- the group-candidate form keeps the volume gate
+    inside the checkall budget without weakening exactness."""
+    muts = ", ".join(str(p) for p in _SYNTHDOCS_LSH_MUTS)
+    return f"""
+WITH docs AS (
+  SELECT d AS doc_id,
+         list_transform(range(0, 40), j ->
+           CASE WHEN j = ([{muts}])[CAST(d % 4 AS INT) + 1]
+                THEN 'u' || CAST(d AS VARCHAR)
+                ELSE 'g' || CAST(d // 4 AS VARCHAR) || 'w' || CAST(j AS VARCHAR) END) AS toks
+  FROM range(0, {n_docs}) t(d)
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, 39), i -> array_to_string(toks[i:i+2], ' '))) AS s
+  FROM docs
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= 0.5
+"""
+
+
+SQL_SYNTHDOCS_LSH_100K = _synthdocs_lsh_sql(100_000)
+
 
 def _synthdocs_sql() -> str:
     from .sources.pydatasource import _SOURCES, _WORDS
@@ -9096,6 +9185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthvecs_source": q_synthvecs_source,
     "synthvecs_ivf_100k": q_synthvecs_ivf_100k,
     "synthvecs_ivf_200k": q_synthvecs_ivf_200k,
+    "synthdocs_lsh_100k": q_synthdocs_lsh_100k,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -9132,64 +9222,65 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # order after position 49; nothing is added or removed, so
 # check_contract / checkall still cover all entries.
 _DRIVER_WINDOW: list[str] = [
-    # pinned sentinels (driver-green every round since round 1)
-    "flagship_revenue_by_month",
-    "pricing_summary",
-    "dq_exceptions_orders",
-    "dq_severity_counts",
-    "dq_summary_status",
-    "customer_scd2",
-    "snapshot_cdc_diff",
-    "events_streamed_dedup",
-    # new in round 11: the measured-ceiling ANN volume gate (its
-    # sibling synthvecs_ivf_100k got its driver row in r10)
-    "synthvecs_ivf_200k",
-    # refresh block (r11): with zero never-checked stragglers left, the
-    # window rotates to the queries whose LAST driver-side CORRECTNESS
-    # row is oldest -- all 23 last checked in round 2, both r5 entries,
-    # and the 16 alphabetically-first of the round-7 cohort (the
-    # remaining r7/r8/r9 cohort is next round's refresh pool)
-    "case_insensitive_filter",
-    "distinct_counts",
-    "distinct_segments",
-    "docs_dedup_representatives",
-    "docs_fingerprint",
-    "docs_lang_id",
-    "docs_ngram_jaccard",
-    "embedding_label_centroid",
-    "embedding_lsh_topk",
-    "embedding_near_dup",
-    "events_json_props",
-    "events_resampled",
-    "global_extremes",
-    "literal_map_join",
-    "min_per_group",
-    "month_end_keys",
-    "order_priority_exists",
-    "regional_supplier_volume",
-    "running_totals",
-    "set_operations",
-    "string_document_ids",
-    "top_supplier",
-    "union_sources",
-    "embedding_cosine_topk",
-    "embedding_ivf_topk",
-    "brand_revenue",
-    "cube_revenue",
-    "customer_rfm_segments",
-    "date_parts",
-    "docs_bigram_lift",
-    "docs_contamination",
-    "docs_dup_components",
-    "docs_quality",
-    "docs_token_stats",
-    "duplicate_keys",
-    "events_asof_last_purchase",
-    "events_funnel",
-    "events_hourly",
-    "events_moving_avg",
-    "events_retention_cohorts",
-    "events_session_window",
+    # r12 rotation (VERDICT r11 ask #2: finish the staleness cycle).
+    # The 8 pinned sentinels are PAUSED for this one round -- they all
+    # have fresh r11 driver rows, and the judge's ask is to clear the
+    # r7/r8 staleness tail in one window; they resume in r13.  Slots:
+    # 1 new query (this round's only new registration, the LSH dedup
+    # volume gate) + all 23 queries last driver-checked in r7 + the 26
+    # alphabetically-first of the 28 last checked in r8 (leftover for
+    # r13: parts_cross_sell, synthdocs_source + the 38-strong r9
+    # cohort -- one cohort, as the ask requires).
+    "synthdocs_lsh_100k",
+    "events_sessions",
+    "events_sliding",
+    "events_streamed_hourly",
+    "events_streamed_rollup",
+    "events_top_paths",
+    "grouping_sets_revenue",
+    "latest_order_per_customer",
+    "month_window_filter",
+    "orders_above_customer_avg",
+    "orders_streamed_upsert",
+    "orders_yoy_growth",
+    "part_fuzzy_pairs",
+    "parts_never_ordered",
+    "revenue_share",
+    "rollup_revenue",
+    "salted_join_revenue",
+    "shipping_priority",
+    "signed_amounts",
+    "status_pivot",
+    "surrogate_keys",
+    "table_fingerprint",
+    "topk_customers",
+    "zero_fill_join",
+    "docs_chunks_udtf",
+    "docs_cluster_best",
+    "events_ewma",
+    "events_interpolated",
+    "events_props_variant",
+    "events_stateful_sessions",
+    "events_streamed_attribution",
+    "events_streamed_attribution_outer",
+    "events_streamed_dedup_shifted",
+    "events_streamed_enriched",
+    "events_streamed_late_drop",
+    "events_user_sessions_udtf",
+    "image_formats_features",
+    "important_parts_value",
+    "lineitem_bloom_semijoin",
+    "nation_pair_trade",
+    "nation_profit",
+    "orders_benford",
+    "orders_incremental_state",
+    "orders_kmv_customers",
+    "orders_monthly_pandas_api",
+    "orders_priority_percentiles",
+    "orders_quantile_rollup",
+    "orders_quantile_sketch",
+    "orders_versioned_cdf",
+    "part_cheapest_supplier",
 ]
 
 QUERIES = {
@@ -9314,6 +9405,7 @@ ORACLES: dict[str, str] = {
     "synthvecs_source": SQL_SYNTHVECS_SOURCE,
     "synthvecs_ivf_100k": SQL_SYNTHVECS_IVF_100K,
     "synthvecs_ivf_200k": SQL_SYNTHVECS_IVF_200K,
+    "synthdocs_lsh_100k": SQL_SYNTHDOCS_LSH_100K,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,

@@ -238,9 +238,15 @@ def collect_exceptions(
                         _exception_struct(c, f"coerce_dtype({df.schema[c].dataType.simpleString()})", F.col(raw)),
                     )
                 )
+                # typed-null conjunct: with DENSE shadows raw IS NULL
+                # already implies typed null (the text was absent); the
+                # r12 parse-once stage stores SPARSE shadows (raw text
+                # kept only where the typed value is null), where raw
+                # NULL alone is also true for every clean row -- the
+                # conjunct makes the check correct for both layouts.
                 structs.append(
                     F.when(
-                        F.col(raw).isNull(),
+                        F.col(c).isNull() & F.col(raw).isNull(),
                         _exception_struct(c, "not_nullable", F.lit(None)),
                     )
                 )

@@ -72,7 +72,9 @@ def fx_to_base(fx_rates: DataFrame, base_currency: str) -> DataFrame:
     )
 
 
-def add_fx_amount_base(df: DataFrame, fx: DataFrame, base_currency: str) -> DataFrame:
+def add_fx_amount_base(
+    df: DataFrame, fx: DataFrame, base_currency: str, check_missing_rates: bool = True
+) -> DataFrame:
     """Left-join FX rates on exact (date, currency) and derive
     ``amount_base = bround(amount * rate, 2)`` (transform.py:19-46).
 
@@ -82,6 +84,16 @@ def add_fx_amount_base(df: DataFrame, fx: DataFrame, base_currency: str) -> Data
 
     The FX side is currencies x days -- broadcast hash join; the fact
     side never shuffles.
+
+    ``check_missing_rates=False`` defers the missing-rate enforcement
+    to the caller (r12): the eager check here is a FULL extra pass over
+    the input (on clean data the isNull filter matches nothing, so the
+    limit never short-circuits), and the close instead rides the check
+    on the fact write itself via the Observation API -- a
+    sum(rate IS NULL) metric costs zero extra scans -- then promotes or
+    deletes the written output. Callers that opt out MUST enforce the
+    missing-rate contract themselves; rows with a missing rate carry a
+    NULL ``rate``/``amount_base``.
     """
     fx_lookup = (
         fx.select(
@@ -112,16 +124,17 @@ def add_fx_amount_base(df: DataFrame, fx: DataFrame, base_currency: str) -> Data
         )
     )
 
-    missing = (
-        out.filter(F.col("rate").isNull())
-        .select(F.col("_date_key").alias("date_key"), "currency")
-        .distinct()
-        .limit(20)
-        .collect()
-    )
-    if missing:
-        pairs = [(str(r["date_key"]), r["currency"]) for r in missing]
-        raise MissingFxRatesError(f"Missing FX rates for: {pairs}")
+    if check_missing_rates:
+        missing = (
+            out.filter(F.col("rate").isNull())
+            .select(F.col("_date_key").alias("date_key"), "currency")
+            .distinct()
+            .limit(20)
+            .collect()
+        )
+        if missing:
+            pairs = [(str(r["date_key"]), r["currency"]) for r in missing]
+            raise MissingFxRatesError(f"Missing FX rates for: {pairs}")
 
     return out.withColumn("amount_base", money_round(F.col("amount") * F.col("rate"))).drop(
         "_date_key", "_fx_date", "_fx_currency", "_fx_rate"
@@ -199,6 +212,7 @@ def to_fact_transactions(
     inventory: DataFrame,
     fx: DataFrame,
     base_currency: str,
+    check_missing_rates: bool = True,
 ) -> DataFrame:
     """Union the four normalized sources, enrich with FX, assemble the
     curated fact table (transform.py:49-110).
@@ -216,7 +230,7 @@ def to_fact_transactions(
         .withColumn("currency", F.col("currency").cast("string"))
     )
 
-    fact = add_fx_amount_base(fact, fx, base_currency)
+    fact = add_fx_amount_base(fact, fx, base_currency, check_missing_rates=check_missing_rates)
 
     fact = fact.withColumn(
         "txn_id",

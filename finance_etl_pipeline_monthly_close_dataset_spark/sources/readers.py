@@ -85,6 +85,54 @@ def read_jsonl(
 RAW_PREFIX = "_raw_"
 
 
+def read_csv_raw(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_row_id: bool = False,
+) -> DataFrame:
+    """String-typed CSV scan: every declared column is read as text
+    (the parse half of ``read_csv_typed``, split out in r12 so the
+    close can stage the parsed text to parquet ONCE and feed every
+    downstream consumer from the columnar stage instead of re-parsing
+    the CSV -- the parse-once close)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Missing input file: {path}")
+    str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
+    df = spark.read.csv(path, header=True, schema=str_schema)
+    if with_row_id:
+        df = df.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
+    return df
+
+
+def typed_view(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Coercion projection (the typed half of ``read_csv_typed``):
+    given a string-typed frame (a raw CSV scan or its parquet stage),
+    produce typed columns via ``try_cast`` with the original text
+    preserved in ``_raw_<col>`` shadow columns -- pandera coerce
+    semantics (Q3). Pure projection: Catalyst prunes unreferenced
+    ``_raw_`` shadows (and, over a parquet stage, the underlying
+    string columns) from any consumer that does not touch them."""
+    cols = []
+    for f in schema.fields:
+        raw = F.col(f.name)
+        if isinstance(f.dataType, T.StringType):
+            cols.append(raw.alias(f.name))
+        else:
+            if isinstance(f.dataType, T.TimestampType):
+                typed = F.coalesce(
+                    F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+                    F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")),
+                )
+            else:
+                typed = raw.try_cast(f.dataType)
+            cols.append(typed.alias(f.name))
+            cols.append(raw.alias(f"{RAW_PREFIX}{f.name}"))
+    if ROW_ID_COL in df.columns:
+        cols.append(F.col(ROW_ID_COL))
+    return df.select(*cols)
+
+
 def read_csv_typed(
     spark: SparkSession,
     path: str,
@@ -104,29 +152,7 @@ def read_csv_typed(
     Catalyst prunes the ``_raw_`` columns from any plan that does not
     reference them (i.e. everything downstream of DQ).
     """
-    if not os.path.exists(path):
-        raise FileNotFoundError(f"Missing input file: {path}")
-    str_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema.fields])
-    df = spark.read.csv(path, header=True, schema=str_schema)
-    cols = []
-    for f in schema.fields:
-        raw = F.col(f.name)
-        if isinstance(f.dataType, T.StringType):
-            cols.append(raw.alias(f.name))
-        else:
-            if isinstance(f.dataType, T.TimestampType):
-                typed = F.coalesce(
-                    F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
-                    F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")),
-                )
-            else:
-                typed = raw.try_cast(f.dataType)
-            cols.append(typed.alias(f.name))
-            cols.append(raw.alias(f"{RAW_PREFIX}{f.name}"))
-    out = df.select(*cols)
-    if with_row_id:
-        out = out.withColumn(ROW_ID_COL, F.monotonically_increasing_id())
-    return out
+    return typed_view(read_csv_raw(spark, path, schema, with_row_id=with_row_id), schema)
 
 
 def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
