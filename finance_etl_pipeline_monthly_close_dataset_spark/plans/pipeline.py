@@ -10,9 +10,13 @@ filter -> FX prep -> fact build -> KPI pivot -> Parquet sinks.
 Lazy-engine adaptation (SURVEY.md §7.4 item 7): the exceptions
 DataFrame is the one forced materialization point mid-pipeline -- it
 is cached before the gate decision, reused for the audit files, and
-the pipeline then proceeds from the ORIGINAL inputs (validation is a
-side-channel, not a transform -- Q17). Stages 6-9 stay one lazy plan
-until the writes.
+the pipeline then proceeds from the ORIGINAL typed inputs (validation
+is a side-channel, not a transform -- Q17; since r12 the big inputs
+flow through the persisted slice projections of those same typed
+frames, so the one DQ parse also feeds the fact).  The fact write is
+single-pass (r12): the missing-FX hard error rides the write's
+Observation with scratch-dir + rename promotion instead of an eager
+pre-pass.  Stages 6-9 stay one lazy plan until the writes.
 """
 
 from __future__ import annotations
