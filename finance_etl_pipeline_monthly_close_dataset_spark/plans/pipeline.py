@@ -61,6 +61,18 @@ class DataQualityGateError(ValueError):
     """Raised when the DQ gate fails (reference pipeline.py:145-146)."""
 
 
+def plan_has_month_partition_filter(plan: str) -> bool:
+    """True iff the formatted plan's PartitionFilters entry ITSELF
+    carries the month predicate.  'month' appearing anywhere in the
+    plan text is weak -- it also shows up in PushedFilters and the
+    output schema, so a reader that scans every partition could still
+    pass the loose check (ADVICE r12).  Shared by the lake-pruning
+    assertion in tools/stress_pipeline.py and the golden-scale e2e."""
+    import re
+
+    return bool(re.search(r"PartitionFilters: \[[^\]]*month", plan))
+
+
 # Q12 fusion guard (ADVICE r11): the chart of accounts is collected to
 # the driver and inlined as a literal isin ONLY below this row count;
 # over the cap the close falls back to the broadcast anti-join so an
@@ -284,45 +296,53 @@ def run_month(
     import shutil
 
     tmp_fact = str(out_fact) + "._building"
-    write_parquet(fact, tmp_fact)
+    promoted = False
     try:
-        fact_metrics = dict(obs.get)
-    except Exception:  # noqa: BLE001
-        # zero-row month: with the fact build a pure map pipeline (no
-        # exchange), empty-relation propagation can collapse the write
-        # plan and leave the observation with no metrics row (obs.get
-        # raises from the JVM).  Recompute from the written parquet --
-        # by definition a tiny (usually empty) table here.
-        fact_metrics = (
-            spark.read.parquet(tmp_fact)
-            .agg(
-                F.count(F.lit(1)).alias("fact_rows"),
-                F.sum(F.col("amount_base").cast("decimal(28,2)"))
-                .cast("double")
-                .alias("total_amount_base"),
-                F.approx_count_distinct("source").alias("n_sources"),
-                F.sum(F.col("rate").isNull().cast("long")).alias("_missing_fx_rows"),
+        write_parquet(fact, tmp_fact)
+        try:
+            fact_metrics = dict(obs.get)
+        except Exception:  # noqa: BLE001
+            # zero-row month: with the fact build a pure map pipeline (no
+            # exchange), empty-relation propagation can collapse the write
+            # plan and leave the observation with no metrics row (obs.get
+            # raises from the JVM).  Recompute from the written parquet --
+            # by definition a tiny (usually empty) table here.
+            fact_metrics = (
+                spark.read.parquet(tmp_fact)
+                .agg(
+                    F.count(F.lit(1)).alias("fact_rows"),
+                    F.sum(F.col("amount_base").cast("decimal(28,2)"))
+                    .cast("double")
+                    .alias("total_amount_base"),
+                    F.approx_count_distinct("source").alias("n_sources"),
+                    F.sum(F.col("rate").isNull().cast("long")).alias("_missing_fx_rows"),
+                )
+                .first()
+                .asDict()
             )
-            .first()
-            .asDict()
-        )
-    if fact_metrics.pop("_missing_fx_rows") or 0:
-        pairs = [
-            (str(r["date_key"]), r["currency"])
-            for r in spark.read.parquet(tmp_fact)
-            .filter(F.col("rate").isNull())
-            .select(F.to_date("date").alias("date_key"), "currency")
-            .distinct()
-            .limit(20)
-            .collect()
-        ]
-        shutil.rmtree(tmp_fact, ignore_errors=True)
-        for s in slices.values():
-            s.unpersist()
-        raise MissingFxRatesError(f"Missing FX rates for: {pairs}")
-    if os.path.exists(out_fact):
-        shutil.rmtree(out_fact)
-    os.rename(tmp_fact, out_fact)
+        if fact_metrics.pop("_missing_fx_rows", 0):
+            pairs = [
+                (str(r["date_key"]), r["currency"])
+                for r in spark.read.parquet(tmp_fact)
+                .filter(F.col("rate").isNull())
+                .select(F.to_date("date").alias("date_key"), "currency")
+                .distinct()
+                .limit(20)
+                .collect()
+            ]
+            raise MissingFxRatesError(f"Missing FX rates for: {pairs}")
+        if os.path.exists(out_fact):
+            shutil.rmtree(out_fact)
+        os.rename(tmp_fact, out_fact)
+        promoted = True
+    finally:
+        # any non-promotion exit (missing FX, write failure, obs
+        # fallback failure) must not leave the scratch dir on disk or
+        # the slice caches persisted for the SparkSession lifetime
+        if not promoted:
+            shutil.rmtree(tmp_fact, ignore_errors=True)
+            for s in slices.values():
+                s.unpersist()
     _mark("fact_write")
 
     # the slice caches have no consumers past this point (KPI and the

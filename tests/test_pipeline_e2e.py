@@ -294,7 +294,13 @@ def test_two_month_lifecycle_with_lake(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         pruned.explain("formatted")
     plan = buf.getvalue()
-    assert "PartitionFilters" in plan and "month" in plan
+    # the month predicate must sit on the PartitionFilters entry
+    # itself, not merely appear somewhere in the plan (ADVICE r12)
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import (
+        plan_has_month_partition_filter,
+    )
+
+    assert plan_has_month_partition_filter(plan)
     files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
     assert files and all("month=2025-12" in f for f in files)
 

@@ -36,7 +36,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from finance_etl_pipeline_monthly_close_dataset_spark import sample_data  # noqa: E402
 from finance_etl_pipeline_monthly_close_dataset_spark.config import Settings  # noqa: E402
 from finance_etl_pipeline_monthly_close_dataset_spark.plans import quality  # noqa: E402
-from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import run_month  # noqa: E402
+from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import (  # noqa: E402
+    plan_has_month_partition_filter,
+    run_month,
+)
 from finance_etl_pipeline_monthly_close_dataset_spark.session import get_spark  # noqa: E402
 
 MONTH = "2025-12"
@@ -384,19 +387,27 @@ def assert_lake_pruning(spark, lake_dir: str, month: str) -> dict:
     O(month) and O(table) at 100 TB."""
     from pyspark.sql import functions as F
 
+    import shutil
+
     fact_lake = os.path.join(lake_dir, "fact_transactions")
     # tiny decoy partition: one foreign-month row, appended directly
     decoy = spark.read.parquet(fact_lake).limit(1).withColumn("month", F.lit("1999-01"))
     decoy.write.mode("append").partitionBy("month").parquet(fact_lake)
 
-    pruned = spark.read.parquet(fact_lake).filter(F.col("month") == month)
-    plan = _plan(pruned)
-    files = [
-        r[0]
-        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
-    ]
+    try:
+        pruned = spark.read.parquet(fact_lake).filter(F.col("month") == month)
+        plan = _plan(pruned)
+        files = [
+            r[0]
+            for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+        ]
+    finally:
+        # the decoy must not outlive the assertion -- a later reader of
+        # this lake (same run, or --keep inspection) would otherwise see
+        # a polluted table with one bogus 1999-01 row (ADVICE r12)
+        shutil.rmtree(os.path.join(fact_lake, "month=1999-01"), ignore_errors=True)
     return {
-        "plan_has_partition_filter": ("PartitionFilters" in plan and "month" in plan),
+        "plan_has_partition_filter": plan_has_month_partition_filter(plan),
         "n_files_read": len(files),
         "all_files_in_month_partition": bool(files)
         and all(f"month={month}" in f for f in files),
