@@ -33,6 +33,19 @@ def main(argv: list[str] | None = None) -> int:
         "--lake-dir", default=None,
         help="Optional month-partitioned curated lake to upsert this month into",
     )
+    run_p.add_argument(
+        "--raw-lake-dir", default=None,
+        help="Lake-fed close: read typed raw parquet written by ingest-lake "
+        "instead of parsing --raw-dir CSVs",
+    )
+
+    ing_p = sub.add_parser(
+        "ingest-lake",
+        help="Parse one month's raw CSVs once into the typed raw parquet lake",
+    )
+    ing_p.add_argument("--month", required=True, help="Target month YYYY-MM")
+    ing_p.add_argument("--raw-dir", default="data/raw")
+    ing_p.add_argument("--lake-dir", required=True)
 
     gen_p = sub.add_parser("generate", help="Generate seeded synthetic raw data")
     gen_p.add_argument("--out-dir", default="data/raw")
@@ -169,6 +182,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Synthetic raw data written to {args.out_dir}")
         return 0
 
+    if args.command == "ingest-lake":
+        from .sources.raw_lake import ingest_raw_to_lake
+
+        spark = get_spark()
+        out = ingest_raw_to_lake(spark, args.month, args.raw_dir, args.lake_dir)
+        for name, path in out.items():
+            print(f"{name}: {path}")
+        return 0
+
     if args.command in ("export-bi", "export-star", "dashboard"):
         from .plans.dashboard import build_dashboard
         from .plans.exports import export_bi_datasets
@@ -277,6 +299,7 @@ def main(argv: list[str] | None = None) -> int:
         reference_dir=args.reference_dir,
         fail_on=args.fail_on,
         lake_dir=args.lake_dir,
+        raw_lake_dir=args.raw_lake_dir,
     )
     for name, path in outputs.items():
         print(f"{name}: {path}")

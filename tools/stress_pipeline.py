@@ -420,6 +420,7 @@ def main() -> int:
     skew = "--skew" in sys.argv
     verify = "--verify" in sys.argv
     lake = "--lake" in sys.argv
+    lakefed = "--lakefed" in sys.argv
 
     base = tempfile.mkdtemp(prefix="stress_month_")
     raw_dir = os.path.join(base, "raw")
@@ -439,10 +440,29 @@ def main() -> int:
     out["plan_checks"] = checks
     out["t_plan_checks"] = round(time.time() - t0, 1)
 
+    raw_lake = None
+    if lakefed:
+        # lake-fed close (r13): pay the parse once at ingest, time it
+        # separately, then time the close reading typed parquet.  The
+        # honest comparison against the CSV close is t_run_month alone
+        # for steady state (the ingest amortizes over every re-close /
+        # downstream consumer) and t_ingest + t_run_month for a
+        # single-shot month.
+        from finance_etl_pipeline_monthly_close_dataset_spark.sources.raw_lake import (
+            ingest_raw_to_lake,
+        )
+
+        raw_lake = os.path.join(base, "raw_lake")
+        t0 = time.time()
+        ingest_raw_to_lake(spark, MONTH, raw_dir, raw_lake)
+        out["t_ingest"] = round(time.time() - t0, 1)
+
     t0 = time.time()
     result = run_month(
-        spark, Settings(), MONTH, raw_dir, curated, ref_dir, fail_on="ERROR",
+        spark, Settings(), MONTH, raw_dir if not lakefed else None, curated, ref_dir,
+        fail_on="ERROR",
         lake_dir=os.path.join(base, "lake") if lake else None,
+        raw_lake_dir=raw_lake,
     )
     out["t_run_month"] = round(time.time() - t0, 1)
     if lake:
