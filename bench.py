@@ -176,6 +176,77 @@ def check_budgets(result: dict) -> list[str]:
     return viol
 
 
+# --- capture contamination adjudication (r13, judge r12 ask #2) -----------
+# The r12 driver capture flagged flagship 3.451s > budget while the
+# same-HEAD committed median showed 1.265s with no violations -- the
+# capture had started at loadavg 12.86 and EVERYTHING in it (including
+# pure data generation) ran ~1.5-2x slower.  A violation in a loaded
+# capture is not attributable to code; the artifact now says so itself.
+# Threshold: 8.0 = 0.25/core on the 32-core box.  Clean exclusive
+# captures start <4 (r11 driver: 6.62 and was clean but slower across
+# the board; 8 splits the observed clean/contaminated clusters).
+LOAD_SUSPECT_LOADAVG1 = 8.0
+LOAD_WAIT_MAX_S = 180.0  # pre-pass gate: wait up to this for load to drain
+LOAD_WAIT_POLL_S = 15.0
+
+
+def adjudicate_regressions(result: dict) -> list[dict]:
+    """Attach a machine-readable contamination verdict to every budget
+    violation, from the load fingerprint captured at pass start (before
+    this bench's own JVM existed).  ``contaminated_capture`` means the
+    machine was demonstrably loaded when the pass began, so the
+    violation cannot be attributed to a code regression; a
+    ``clean_capture`` violation is a real regression candidate.  Pure
+    function of the result dict (unit-drivable)."""
+    fp = (result.get("load_fingerprint") or {}).get("start") or {}
+    load1 = (fp.get("loadavg_1_5_15") or [None])[0]
+    n_java = fp.get("n_java_procs")
+    reasons = []
+    if load1 is not None and load1 > LOAD_SUSPECT_LOADAVG1:
+        reasons.append(f"start loadavg1 {load1} > {LOAD_SUSPECT_LOADAVG1}")
+    if (n_java or 0) > 0:
+        reasons.append(f"{n_java} other java proc(s) at start")
+    verdict = "contaminated_capture" if reasons else "clean_capture"
+    return [
+        {
+            "violation": v,
+            "start_loadavg1": load1,
+            "n_java_at_start": n_java,
+            "verdict": verdict,
+            "reason": "; ".join(reasons) or "no load signal at start (exclusive capture)",
+        }
+        for v in result.get("regressions", [])
+    ]
+
+
+def wait_for_quiet_machine(
+    max_wait_s: float = LOAD_WAIT_MAX_S,
+    poll_s: float = LOAD_WAIT_POLL_S,
+    _sleep=None,
+    _fingerprint=None,
+) -> float:
+    """Refuse to start the capture on a loaded machine: poll until the
+    1-min loadavg drops under LOAD_SUSPECT_LOADAVG1 or the wait budget
+    runs out (then proceed anyway -- the adjudication verdict records
+    the residual load).  Returns seconds waited.  _sleep/_fingerprint
+    are injectable for unit tests."""
+    sleep = _sleep or time.sleep
+    fingerprint = _fingerprint or _load_fingerprint
+    waited = 0.0
+    while waited < max_wait_s:
+        load1 = (fingerprint().get("loadavg_1_5_15") or [0.0])[0]
+        if load1 <= LOAD_SUSPECT_LOADAVG1:
+            break
+        print(
+            f"bench: start loadavg1 {load1} > {LOAD_SUSPECT_LOADAVG1}, "
+            f"waiting {poll_s}s for the machine to drain ({waited:.0f}s so far)",
+            file=sys.stderr,
+        )
+        sleep(poll_s)
+        waited += poll_s
+    return waited
+
+
 def _load_fingerprint() -> dict:
     """Machine-load snapshot (judge r9 ask #5): the driver's capture of
     round 9 ran uniformly ~1.5x slower than the committed exclusive run
@@ -673,10 +744,13 @@ def main() -> None:
     # capture keep their old duration.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
     passes: list[dict] = []
+    waited = wait_for_quiet_machine()  # refuse a demonstrably loaded start (r13)
     for _ in range(n_passes):
         fp0 = _load_fingerprint()
         p = run_pass(spark, sf_dir, sf)
         p["load_fingerprint"] = {"start": fp0, "end": _load_fingerprint()}
+        if waited:
+            p["waited_for_load_s"] = round(waited, 1)
         passes.append(p)
     ranked = sorted(
         range(n_passes),
@@ -691,8 +765,14 @@ def main() -> None:
     # machine-checked budgets (r12): violations land IN the artifact so
     # a regression can't hide in prose; empty list = all budgets hold
     out["regressions"] = check_budgets(out)
+    # every violation carries a contamination verdict from the pass's
+    # own load fingerprint (r13): a loaded capture can no longer
+    # masquerade as a code regression, nor vice versa
+    out["regression_verdicts"] = adjudicate_regressions(out)
     if out["regressions"]:
         print("BUDGET VIOLATIONS: " + "; ".join(out["regressions"]), file=sys.stderr)
+        for v in out["regression_verdicts"]:
+            print(f"  verdict[{v['verdict']}]: {v['reason']}", file=sys.stderr)
     # Lossless local artifact (judge r8 ask #4): the driver's capture
     # of stdout is tail-truncated on long runs, so the full result is
     # also written to BENCH_LOCAL_r{N}.json (round from

@@ -78,3 +78,69 @@ def test_absent_tiers_do_not_trip():
     # budgets only judge what the pass actually measured
     r = {"queries": dict(bench.R11_HEADLINE_MEDIANS)}
     assert bench.check_budgets(r) == []
+
+
+# --- contamination adjudication (r13, judge r12 ask #2) --------------------
+
+
+def _violating_result(load1: float, n_java: int) -> dict:
+    r = _clean_result()
+    r["queries"]["flagship_revenue_by_month"] = 99.0
+    r["regressions"] = bench.check_budgets(r)
+    r["load_fingerprint"] = {
+        "start": {"cpus": 32, "loadavg_1_5_15": [load1, 0.0, 0.0], "n_java_procs": n_java},
+        "end": {},
+    }
+    return r
+
+
+def test_violation_on_loaded_machine_is_contaminated():
+    r = _violating_result(load1=12.86, n_java=0)
+    v = bench.adjudicate_regressions(r)
+    assert len(v) == 1
+    assert v[0]["verdict"] == "contaminated_capture"
+    assert "loadavg1 12.86" in v[0]["reason"]
+    assert v[0]["start_loadavg1"] == 12.86
+
+
+def test_violation_with_other_jvm_is_contaminated():
+    r = _violating_result(load1=1.0, n_java=2)
+    v = bench.adjudicate_regressions(r)
+    assert v[0]["verdict"] == "contaminated_capture"
+    assert "java proc" in v[0]["reason"]
+
+
+def test_violation_on_quiet_machine_is_clean():
+    r = _violating_result(load1=1.2, n_java=0)
+    v = bench.adjudicate_regressions(r)
+    assert v[0]["verdict"] == "clean_capture"
+
+
+def test_clean_result_has_empty_verdicts():
+    r = _clean_result()
+    r["regressions"] = bench.check_budgets(r)
+    r["load_fingerprint"] = {"start": {"loadavg_1_5_15": [20.0, 0, 0], "n_java_procs": 3}}
+    # contaminated machine but NO violations -> nothing to adjudicate
+    assert bench.adjudicate_regressions(r) == []
+
+
+def test_wait_for_quiet_machine_drains_then_proceeds():
+    loads = iter([12.0, 9.5, 3.0])
+    slept = []
+    waited = bench.wait_for_quiet_machine(
+        max_wait_s=60.0,
+        poll_s=10.0,
+        _sleep=slept.append,
+        _fingerprint=lambda: {"loadavg_1_5_15": [next(loads), 0, 0]},
+    )
+    assert waited == 20.0 and slept == [10.0, 10.0]
+
+
+def test_wait_for_quiet_machine_gives_up_at_budget():
+    waited = bench.wait_for_quiet_machine(
+        max_wait_s=30.0,
+        poll_s=10.0,
+        _sleep=lambda s: None,
+        _fingerprint=lambda: {"loadavg_1_5_15": [50.0, 0, 0]},
+    )
+    assert waited == 30.0
