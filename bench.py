@@ -168,7 +168,7 @@ def check_budgets(result: dict) -> list[str]:
                 f"stream_state:{label}: state_rows {row.get('state_rows')} != "
                 f"{STREAM_STATE_EXPECT_ROWS}"
             )
-    for label in ("uniform", "skew"):
+    for label in ("uniform", "skew", "lakefed"):
         v = ((result.get("close_10m") or {}).get(label) or {}).get("verify")
         if v is not None and not v.get("ok"):
             viol.append(f"close_10m:{label}: DuckDB verify not ok: "
@@ -522,7 +522,15 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
 
         here = os.path.dirname(os.path.abspath(__file__))
         close: dict[str, dict] = {}
-        for label, extra in (("uniform", []), ("skew", ["--skew"])):
+        # r13 adds the lakefed row: the lake-fed close is a first-class
+        # mode now, so its regression story rides the same per-round
+        # artifact (t_close excludes the one-time ingest, reported
+        # separately as t_ingest).
+        for label, extra in (
+            ("uniform", []),
+            ("skew", ["--skew"]),
+            ("lakefed", ["--lakefed"]),
+        ):
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.join(here, "tools", "stress_pipeline.py"),
@@ -544,6 +552,8 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                     # attributes to a stage, not just the total
                     "stages": res.get("stage_seconds"),
                 }
+                if "t_ingest" in res:
+                    close[label]["t_ingest"] = res["t_ingest"]
             except Exception as exc:  # noqa: BLE001
                 errors[f"close_10m_{label}"] = f"{type(exc).__name__}: {exc}"[:200]
                 out["errors"] = errors

@@ -144,3 +144,10 @@ def test_wait_for_quiet_machine_gives_up_at_budget():
         _fingerprint=lambda: {"loadavg_1_5_15": [50.0, 0, 0]},
     )
     assert waited == 30.0
+
+
+def test_lakefed_close_verify_failure_trips():
+    r = _clean_result()
+    r["close_10m"]["lakefed"] = {"verify": {"ok": False, "kpi_cells_match": False}}
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "lakefed" in v[0]
