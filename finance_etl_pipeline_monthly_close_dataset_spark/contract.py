@@ -1557,26 +1557,28 @@ def q_docs_ngram_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle-ceiling form (r13): staged tokens + arithmetic Jaccard from
+# the inverted index -- see SQL_DOCS_MINHASH_NEAR_DUP for the
+# derivation; sf0.1 oracle 45.5 s -> ~1 s, same truth set.
 SQL_DOCS_NGRAM_JACCARD_RECALL = """
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len({toks}) - 2, 1) + 1),
-           i -> array_to_string(({toks})[i:i+2], ' '))) AS s
-  FROM documents
+WITH tok AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 1) + 1),
+           i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM tok
 ), inv AS (
-  SELECT doc_id, unnest(s) AS g FROM sh
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+), pairc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS c
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
   WHERE CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 4)) AS INT) < 16384
+  GROUP BY 1, 2, 3, 4
 ), truth AS (
-  SELECT cand.id_a, cand.id_b
-  FROM cand
-  JOIN sh sa ON cand.id_a = sa.doc_id
-  JOIN sh sb ON cand.id_b = sb.doc_id
-  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+  SELECT id_a, id_b FROM pairc
+  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
        CAST(COUNT(*) AS BIGINT) AS n_found,
@@ -2054,7 +2056,13 @@ GROUP BY user_id, sid
 def q_hot_keys_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid hot-key routing join (operators/skew.py): hot keys take
     the broadcast path, the tail shuffles; routing cannot change the
-    aggregate, so the oracle is the plain join."""
+    aggregate, so the oracle is the plain join.  On TPC-H's uniform
+    orderkeys the threshold-5 "hot" set is tens of thousands of keys
+    (dense, not skewed), so this exercises the operator's enforced
+    max_hot_keys GUARD -- the fallback to the plain shuffle join
+    (88 s of literal-isin codegen -> ~2 s at sf0.1, PLANS.md r13);
+    the genuine split-routing path is pinned with synthetic skew by
+    tests/test_scale_ops.py."""
     from .operators.skew import broadcast_hot_keys_join
 
     li = t(spark, sf_dir, "lineitem")

@@ -55,19 +55,35 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
+# routing is only worth it for a HANDFUL of pathological keys; past
+# this many "hot" keys the data is not skewed, it is merely dense, and
+# a giant literal isin would bloat codegen on every routed filter
+# (the COA_FUSION_CAP lesson applied here, r13)
+MAX_HOT_KEYS = 1_000
+
+
 def broadcast_hot_keys_join(
     fact: DataFrame,
     dim: DataFrame,
     on: str,
     hot_key_threshold: int = 1_000_000,
     how: str = "inner",
+    max_hot_keys: int = MAX_HOT_KEYS,
 ) -> DataFrame:
     """Split-route join: hot keys broadcast, tail shuffles.
 
     ``hot_key_threshold`` is the per-key row count in ``fact`` above
     which a key counts as hot. The hot-key list is collected to the
     driver -- it is by construction tiny (#keys with >threshold rows
-    <= total_rows / threshold).
+    <= total_rows / threshold), and that assumption is ENFORCED: at
+    most ``max_hot_keys`` + 1 keys are collected, and when the "hot"
+    set exceeds the cap the join falls back to the plain shuffle form.
+    An over-cap hot set means the key distribution is dense rather
+    than skewed -- routing cannot help, and the three ``isin`` filters
+    it would build from tens of thousands of literals were measured at
+    88 s vs ~2 s for the plain join on uniform TPC-H keys at sf0.1
+    (PLANS.md r13).  Result-identical either way (routing is a
+    partitioning decision, not a semantic one).
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
         # right/full outer would duplicate unmatched hot-key dim rows
@@ -76,8 +92,8 @@ def broadcast_hot_keys_join(
             f"broadcast_hot_keys_join supports left-oriented joins only, got {how!r}"
         )
     counts = fact.groupBy(on).count().filter(F.col("count") > hot_key_threshold)
-    hot_keys = [r[0] for r in counts.select(on).collect()]
-    if not hot_keys:
+    hot_keys = [r[0] for r in counts.select(on).limit(max_hot_keys + 1).collect()]
+    if not hot_keys or len(hot_keys) > max_hot_keys:
         return fact.join(dim, on=on, how=how)
 
     fact_hot = fact.filter(F.col(on).isin(hot_keys))

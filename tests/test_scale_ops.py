@@ -803,3 +803,16 @@ def test_user_session_stats_udtf_partitions_and_terminates(spark):
         ).collect()
     }
     assert got == {1: (2, 3), 2: (2, 3)}
+
+
+def test_broadcast_hot_keys_join_caps_dense_hot_set(spark):
+    # dense-not-skewed: EVERY key exceeds the threshold; the guard must
+    # refuse to build a giant literal isin and fall back to the plain
+    # shuffle join -- result-identical, no BroadcastHashJoin forced
+    fact = spark.range(2_000).select((F.col("id") % 500).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("name"))
+    plain = fact.join(dim, on="k")
+    hybrid = broadcast_hot_keys_join(fact, dim, on="k", hot_key_threshold=1, max_hot_keys=100)
+    assert plain.count() == hybrid.count()
+    plan = hybrid._jdf.queryExecution().optimizedPlan().toString()
+    assert "UNION" not in plan.upper()  # single plain join, not the split route
