@@ -8090,6 +8090,24 @@ def q_synthclose_500k(spark: SparkSession, sf_dir: str) -> DataFrame:
     1M ran 39 s Spark-side, 500k fits), oracle ~0.1 s (pure integer
     aggregation over range()).
     """
+    return _synthclose_query(spark, lakefed=False)
+
+
+def q_synthclose_lake_500k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAKE-FED close under the same volume gate (r13): the
+    identical 500k-row closed-form month, but the raw CSVs are first
+    ingested ONCE into the typed raw lake (``sources/raw_lake.py`` --
+    the parse-once layer with sparse coercion shadows) and the close
+    runs from partition-pruned typed parquet
+    (``run_month(raw_lake_dir=...)``).  Same corpus, same cells, SAME
+    ORACLE as ``synthclose_500k`` -- a cell divergence between the two
+    registrations isolates a lake-mode bug (shadow layout, partition
+    pruning, cache-policy split) at volume, re-proven by the driver
+    every round instead of only by the golden-scale equality tests."""
+    return _synthclose_query(spark, lakefed=True)
+
+
+def _synthclose_query(spark: SparkSession, lakefed: bool) -> DataFrame:
     import shutil
     import tempfile
 
@@ -8103,10 +8121,17 @@ def q_synthclose_500k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref = os.path.join(base, "ref")
         write_chart_of_accounts(ref)
         _synthclose_write_raw(spark, raw, _SYNTHCLOSE_N)
+        raw_lake = None
+        if lakefed:
+            from .sources.raw_lake import ingest_raw_to_lake
+
+            raw_lake = os.path.join(base, "raw_lake")
+            ingest_raw_to_lake(spark, "2025-12", raw, raw_lake)
         out = run_month(
-            spark, Settings(), month="2025-12", raw_dir=raw,
+            spark, Settings(), month="2025-12",
+            raw_dir=None if lakefed else raw,
             curated_dir=os.path.join(base, "curated"), reference_dir=ref,
-            fail_on="ERROR",
+            fail_on="ERROR", raw_lake_dir=raw_lake,
         )
         kpi = spark.read.parquet(str(out["kpi"]))
         n_fact = (
@@ -9404,6 +9429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthvecs_ivf_200k": q_synthvecs_ivf_200k,
     "synthdocs_lsh_100k": q_synthdocs_lsh_100k,
     "synthclose_500k": q_synthclose_500k,
+    "synthclose_lake_500k": q_synthclose_lake_500k,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -9447,9 +9473,8 @@ _DRIVER_WINDOW: list[str] = [
     # changes) + the final staleness cohort: both r8 stragglers
     # (parts_cross_sell, synthdocs_source) and the entire 38-query r9
     # cohort.  After this round every registry query is driver-checked
-    # >= r9 and the cycle is complete; slot 50 starts the next lap
-    # with the alphabetically-first r10-stale query
-    # (approx_distinct_quantiles).
+    # >= r9 and the cycle is complete; slot 50 carries the round's
+    # second new registration (the lake-fed close volume gate).
     "flagship_revenue_by_month",
     "pricing_summary",
     "dq_exceptions_orders",
@@ -9499,7 +9524,7 @@ _DRIVER_WINDOW: list[str] = [
     "supplier_nation_share",
     "synthvecs_source",
     "unpivot_status_totals",
-    "approx_distinct_quantiles",
+    "synthclose_lake_500k",
 ]
 
 QUERIES = {
@@ -9626,6 +9651,7 @@ ORACLES: dict[str, str] = {
     "synthvecs_ivf_200k": SQL_SYNTHVECS_IVF_200K,
     "synthdocs_lsh_100k": SQL_SYNTHDOCS_LSH_100K,
     "synthclose_500k": SQL_SYNTHCLOSE_500K,
+    "synthclose_lake_500k": SQL_SYNTHCLOSE_500K,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,
