@@ -44,7 +44,6 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..schemas import RAW_SCHEMAS
 from .readers import RAW_PREFIX, ROW_ID_COL, read_csv_raw, typed_view
@@ -63,7 +62,7 @@ RAW_LAKE_DATASETS = [
 ]
 
 
-def _sparsify_shadows(df: DataFrame, schema: T.StructType) -> DataFrame:
+def _sparsify_shadows(df: DataFrame) -> DataFrame:
     """Keep raw-text shadows only where coercion failed.
 
     ``typed_view`` emits a DENSE ``_raw_<col>`` per non-string column
@@ -101,7 +100,7 @@ def ingest_raw_to_lake(
     for name in datasets or RAW_LAKE_DATASETS:
         schema = RAW_SCHEMAS[name]
         raw = read_csv_raw(spark, str(raw_dir / f"{name}.csv"), schema, with_row_id=True)
-        typed = _sparsify_shadows(typed_view(raw, schema), schema)
+        typed = _sparsify_shadows(typed_view(raw, schema))
         table = Path(lake_dir) / "raw" / name
         write_parquet(
             typed.withColumn(CLOSE_MONTH_COL, F.lit(month)),

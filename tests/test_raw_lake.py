@@ -170,3 +170,26 @@ def test_run_month_requires_a_source(spark, tmp_path):
             spark, Settings(), month=MONTH, raw_dir=None,
             curated_dir=tmp_path / "c", reference_dir=tmp_path / "r",
         )
+
+
+def test_lake_mode_gate_fail_still_writes_audit(spark, dirty_month, both_closes, tmp_path):
+    """Reference contract in lake mode: the account_in_coa ERROR rows
+    must fail the gate AND the audit CSVs must land before the raise
+    (audit-before-raise, reference pipeline.py:141-146).  Depends on
+    both_closes so the lake exists even under -k selection."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.plans.pipeline import (
+        DataQualityGateError,
+    )
+
+    root, raw, ref = dirty_month
+    curated = tmp_path / "curated_gate"
+    with pytest.raises(DataQualityGateError):
+        run_month(
+            spark, Settings(), month=MONTH, raw_dir=None,
+            raw_lake_dir=root / "lake", curated_dir=curated,
+            reference_dir=ref, fail_on="ERROR",
+        )
+    exc_body = (curated / "dq_exceptions.csv").read_text()
+    assert "account_in_coa" in exc_body and "99999999" in exc_body
+    assert (curated / "dq_summary.csv").exists()
+    assert not (curated / "fact_transactions.parquet").exists()
