@@ -192,28 +192,48 @@ LOAD_WAIT_POLL_S = 15.0
 
 def adjudicate_regressions(result: dict) -> list[dict]:
     """Attach a machine-readable contamination verdict to every budget
-    violation, from the load fingerprint captured at pass start (before
-    this bench's own JVM existed).  ``contaminated_capture`` means the
-    machine was demonstrably loaded when the pass began, so the
+    violation.  ``contaminated_capture`` means the machine was
+    demonstrably loaded by FOREIGN work when the capture began, so the
     violation cannot be attributed to a code regression; a
     ``clean_capture`` violation is a real regression candidate.  Pure
-    function of the result dict (unit-drivable)."""
-    fp = (result.get("load_fingerprint") or {}).get("start") or {}
-    load1 = (fp.get("loadavg_1_5_15") or [None])[0]
-    n_java = fp.get("n_java_procs")
+    function of the result dict (unit-drivable).
+
+    Which signals are foreign-attributable (the r13 self-confounding
+    lesson -- the first cut of this read the pass-start fingerprint and
+    marked our OWN session JVM / our own prior pass's decaying loadavg
+    as contamination):
+
+    * loadavg is only a foreign-load signal at BOOT, captured before
+      this process creates its Spark JVM or runs warmup -- from pass 2
+      on, pass-start loadavg mostly measures the bench's own preceding
+      pass draining.
+    * the bench itself is exactly one long-lived JVM (local-mode
+      session; close_10m subprocess JVMs exit inside their pass), so
+      java procs BEYOND one at a pass start -- or ANY at boot -- are
+      foreign.
+    """
+    boot = result.get("load_fingerprint_boot") or {}
+    boot_load1 = (boot.get("loadavg_1_5_15") or [None])[0]
+    boot_java = boot.get("n_java_procs")
+    pass_fp = (result.get("load_fingerprint") or {}).get("start") or {}
+    pass_java = pass_fp.get("n_java_procs")
     reasons = []
-    if load1 is not None and load1 > LOAD_SUSPECT_LOADAVG1:
-        reasons.append(f"start loadavg1 {load1} > {LOAD_SUSPECT_LOADAVG1}")
-    if (n_java or 0) > 0:
-        reasons.append(f"{n_java} other java proc(s) at start")
+    if boot_load1 is not None and boot_load1 > LOAD_SUSPECT_LOADAVG1:
+        reasons.append(f"boot loadavg1 {boot_load1} > {LOAD_SUSPECT_LOADAVG1}")
+    if (boot_java or 0) > 0:
+        reasons.append(f"{boot_java} foreign java proc(s) at boot")
+    if (pass_java or 0) > 1:
+        reasons.append(f"{pass_java - 1} foreign java proc(s) at pass start")
     verdict = "contaminated_capture" if reasons else "clean_capture"
     return [
         {
             "violation": v,
-            "start_loadavg1": load1,
-            "n_java_at_start": n_java,
+            "boot_loadavg1": boot_load1,
+            "n_java_at_boot": boot_java,
+            "n_java_at_pass_start": pass_java,
             "verdict": verdict,
-            "reason": "; ".join(reasons) or "no load signal at start (exclusive capture)",
+            "reason": "; ".join(reasons)
+            or "no foreign load signal at boot or pass start (exclusive capture)",
         }
         for v in result.get("regressions", [])
     ]
@@ -716,6 +736,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
+    # BOOT fingerprint + quiet-machine gate, BEFORE the Spark JVM and
+    # warmup exist: this is the only point where loadavg and the JVM
+    # count are purely foreign signals (r13 -- see
+    # adjudicate_regressions).  A loaded start waits up to 180 s to
+    # drain rather than producing a capture that can only be
+    # adjudicated contaminated.
+    waited = wait_for_quiet_machine()
+    fp_boot = _load_fingerprint()
+
     # Local-profile scan sizing: sf0.1 parquet files are 0.5-11 MB, so
     # the cluster default of 128 MB/split would scan them on 1-3 cores.
     # 4 MB splits use the 32 local cores; a real cluster against 100 TB
@@ -754,11 +783,11 @@ def main() -> None:
     # capture keep their old duration.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
     passes: list[dict] = []
-    waited = wait_for_quiet_machine()  # refuse a demonstrably loaded start (r13)
     for _ in range(n_passes):
         fp0 = _load_fingerprint()
         p = run_pass(spark, sf_dir, sf)
         p["load_fingerprint"] = {"start": fp0, "end": _load_fingerprint()}
+        p["load_fingerprint_boot"] = fp_boot
         if waited:
             p["waited_for_load_s"] = round(waited, 1)
         passes.append(p)
