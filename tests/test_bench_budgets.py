@@ -10,14 +10,26 @@ import bench
 
 def _clean_result() -> dict:
     return {
-        "queries": dict(bench.R11_HEADLINE_MEDIANS),
+        "queries": dict(bench.BUDGET_MEDIANS),
         "stream_state": {
             "hdfs": {"t_replay": 71.8, "state_rows": 50_000},
             "rocksdb": {"t_replay": 79.9, "state_rows": 50_000},
         },
         "close_10m": {
-            "uniform": {"verify": {"ok": True, "kpi_cells_match": True}},
-            "skew": {"verify": {"ok": True, "kpi_cells_match": True}},
+            "uniform": {"t_close": 48.5, "verify": {"ok": True, "kpi_cells_match": True}},
+            "skew": {"t_close": 48.1, "verify": {"ok": True, "kpi_cells_match": True}},
+            "lakefed": {"t_close": 33.7, "verify": {"ok": True, "kpi_cells_match": True}},
+            "skew_ratio": 0.99,
+        },
+        "kmeans_k64": {"hof": 13.0, "arrow": 2.0, "max_centroid_delta": 0.0},
+        "ann_1m": {
+            "ann_1m_ivf": {
+                "t_build_lloyd_k64": 2.5, "t_probe_nprobe8": 1.24, "recall_at_10": 0.9812,
+            },
+            "ann_1m_lsh": {
+                "t_probe_12planes": 8.6, "recall_at_10": 1.0,
+                "t_probe_12planes_arrow": 0.72, "recall_at_10_arrow": 0.9938,
+            },
         },
     }
 
@@ -76,8 +88,77 @@ def test_close_verify_failure_trips():
 def test_absent_tiers_do_not_trip():
     # SPARK_GRAFT_SKIP_VOLUME / SKIP_CLOSE runs omit whole tiers; the
     # budgets only judge what the pass actually measured
-    r = {"queries": dict(bench.R11_HEADLINE_MEDIANS)}
+    r = {"queries": dict(bench.BUDGET_MEDIANS)}
     assert bench.check_budgets(r) == []
+
+
+# --- full-coverage budgets (r14, judge r13 ask #1) -------------------------
+# The r13 drift (docs_ngram_jaccard_recall 1.42 -> 3.09 s) sailed through
+# because only the 13 headline queries had budgets; every timed query now
+# has one, baselined on the steady-state r12 medians.
+
+
+def test_heavy_tier_regression_trips():
+    r = _clean_result()
+    base = bench.R12_HEAVY_MEDIANS["docs_ngram_jaccard_recall"]
+    # the exact r13 drift value: 3.087 s against the 1.421 s r12 median
+    r["queries"]["docs_ngram_jaccard_recall"] = 3.087
+    assert base * bench.HEADLINE_REGRESSION_RATIO + bench.HEADLINE_REGRESSION_GRACE_S < 3.087
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and v[0].startswith("heavy:docs_ngram_jaccard_recall")
+
+
+def test_missing_heavy_row_trips():
+    r = _clean_result()
+    del r["queries"]["events_user_sessions_udtf"]
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "events_user_sessions_udtf" in v[0] and "no timing row" in v[0]
+
+
+def test_every_timed_query_has_a_budget():
+    assert set(bench.BUDGET_MEDIANS) == set(bench.HEADLINE) | set(bench.HEAVY)
+
+
+def test_close_t_close_budget_trips():
+    r = _clean_result()
+    r["close_10m"]["lakefed"]["t_close"] = bench.CLOSE_BUDGET_S["lakefed"] + 1
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "close_10m:lakefed" in v[0] and "t_close" in v[0]
+
+
+def test_close_skew_ratio_budget_trips():
+    r = _clean_result()
+    r["close_10m"]["skew_ratio"] = 2.4
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "skew_ratio" in v[0]
+
+
+def test_kmeans_k64_budget_trips():
+    r = _clean_result()
+    r["kmeans_k64"]["arrow"] = bench.KMEANS_K64_BUDGET_S["arrow"] + 0.5
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "kmeans_k64:arrow" in v[0]
+
+
+def test_kmeans_centroid_divergence_trips():
+    r = _clean_result()
+    r["kmeans_k64"]["max_centroid_delta"] = 0.01
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "max_centroid_delta" in v[0]
+
+
+def test_ann_recall_floor_trips():
+    r = _clean_result()
+    r["ann_1m"]["ann_1m_ivf"]["recall_at_10"] = 0.91
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "ivf recall_at_10" in v[0] and "<" in v[0]
+
+
+def test_ann_probe_time_budget_trips():
+    r = _clean_result()
+    r["ann_1m"]["ann_1m_lsh"]["t_probe_12planes_arrow"] = 9.0
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "t_probe_12planes_arrow" in v[0]
 
 
 # --- contamination adjudication (r13, judge r12 ask #2) --------------------
