@@ -24,7 +24,14 @@ def main(argv: list[str] | None = None) -> int:
 
     run_p = sub.add_parser("run", help="Run the monthly close for one month")
     run_p.add_argument("--month", required=True, help="Target month YYYY-MM")
-    run_p.add_argument("--raw-dir", default="data/raw")
+    # default applied in the handler ONLY when --raw-lake-dir is absent:
+    # run_month refuses both sources (ADVICE r13), and an always-on
+    # default here would trip that for every lake-fed run
+    run_p.add_argument(
+        "--raw-dir", default=None,
+        help="Raw CSV inputs (default data/raw; mutually exclusive with "
+        "--raw-lake-dir)",
+    )
     run_p.add_argument("--curated-dir", default="data/curated")
     run_p.add_argument("--reference-dir", default="data/reference")
     run_p.add_argument("--fail-on", default="ERROR", choices=["ERROR", "WARN", "NEVER"])
@@ -290,11 +297,19 @@ def main(argv: list[str] | None = None) -> int:
 
     settings = Settings(base_currency=args.base_currency)
     spark = get_spark()
+    if args.raw_dir is not None and args.raw_lake_dir is not None:
+        raise SystemExit(
+            "run: --raw-dir and --raw-lake-dir are mutually exclusive "
+            "(a stale lake must not silently shadow fresh CSVs)"
+        )
+    raw_dir = args.raw_dir
+    if raw_dir is None and args.raw_lake_dir is None:
+        raw_dir = "data/raw"
     outputs = run_month(
         spark,
         settings,
         month=args.month,
-        raw_dir=args.raw_dir,
+        raw_dir=raw_dir,
         curated_dir=args.curated_dir,
         reference_dir=args.reference_dir,
         fail_on=args.fail_on,

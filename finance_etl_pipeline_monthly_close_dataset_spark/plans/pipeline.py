@@ -112,6 +112,14 @@ def run_month(
         raise ValueError("fail_on must be one of: ERROR, WARN, NEVER")
     if raw_dir is None and raw_lake_dir is None:
         raise ValueError("one of raw_dir / raw_lake_dir is required")
+    if raw_dir is not None and raw_lake_dir is not None:
+        # ADVICE r13: silently preferring the lake here meant a user
+        # pointing at fresh CSVs while an old lake path was still set
+        # got stale-lake results with no signal -- refuse instead.
+        raise ValueError(
+            "ambiguous input source: both raw_dir and raw_lake_dir were "
+            "provided; pass exactly one"
+        )
 
     # per-stage wall clock (r10): regressions in the close attribute to
     # a STAGE, not just the total -- surfaced via outputs["stage_seconds"]

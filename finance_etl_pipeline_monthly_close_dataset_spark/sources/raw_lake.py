@@ -124,8 +124,18 @@ def read_raw_lake(
     returns the same shape ``read_csv_typed`` produces -- typed columns
     + sparse ``_raw_`` shadows + ``_row_id`` -- so the close's DQ and
     fact stages run unchanged on it."""
-    table = Path(lake_dir) / "raw" / dataset
-    if not os.path.exists(table):
+    # Existence pre-check only for plain local paths: for qualified
+    # URIs (hdfs://, s3a://) os.path cannot answer, so let the Spark
+    # read raise its own AnalysisException on a missing table
+    # (ADVICE r13 -- the check must not reject tables that exist on a
+    # cluster filesystem).
+    lake_str = str(lake_dir)
+    table = (
+        f"{lake_str.rstrip('/')}/raw/{dataset}"
+        if "://" in lake_str
+        else Path(lake_dir) / "raw" / dataset
+    )
+    if "://" not in lake_str and not os.path.exists(table):
         raise FileNotFoundError(f"Missing raw lake table: {table}")
     return (
         spark.read.parquet(str(table))

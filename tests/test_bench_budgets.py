@@ -119,6 +119,18 @@ def test_every_timed_query_has_a_budget():
     assert set(bench.BUDGET_MEDIANS) == set(bench.HEADLINE) | set(bench.HEAVY)
 
 
+def test_py_seam_queries_get_wider_grace():
+    # audio_features at 1.88 s (a real r14 exclusive capture value) is
+    # inside the seam budget (1.176 x 1.25 + 0.8 = 2.27) but would trip
+    # the pure-JVM grace; a genuine 2x regression still trips
+    r = _clean_result()
+    r["queries"]["audio_features"] = 1.88
+    assert bench.check_budgets(r) == []
+    r["queries"]["audio_features"] = 2.4
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "audio_features" in v[0] and "0.8s grace" in v[0]
+
+
 def test_close_t_close_budget_trips():
     r = _clean_result()
     r["close_10m"]["lakefed"]["t_close"] = bench.CLOSE_BUDGET_S["lakefed"] + 1

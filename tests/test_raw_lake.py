@@ -172,6 +172,26 @@ def test_run_month_requires_a_source(spark, tmp_path):
         )
 
 
+def test_run_month_refuses_both_sources(spark, tmp_path):
+    # ADVICE r13: silently preferring the lake when both were passed
+    # let a stale lake shadow fresh CSVs with no signal
+    with pytest.raises(ValueError, match="ambiguous"):
+        run_month(
+            spark, Settings(), month=MONTH, raw_dir=tmp_path / "raw",
+            raw_lake_dir=tmp_path / "lake",
+            curated_dir=tmp_path / "c", reference_dir=tmp_path / "r",
+        )
+
+
+def test_read_raw_lake_uri_paths_skip_local_check(spark):
+    # ADVICE r13: a qualified URI must reach the Spark reader (which
+    # raises its own error), not fail the local os.path pre-check
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        read_raw_lake(spark, "file:///nonexistent_lake_root", "sales", MONTH)
+
+
 def test_lake_mode_gate_fail_still_writes_audit(spark, dirty_month, both_closes, tmp_path):
     """Reference contract in lake mode: the account_in_coa ERROR rows
     must fail the gate AND the audit CSVs must land before the raise
