@@ -240,11 +240,23 @@ def run_month(
     for name, df in frames.items():
         exceptions = exceptions.unionByName(schema_shape_exceptions(spark, df, specs[name]))
         checked = slices.get(name, df)
+        # lake mode reads the ingest-materialized uniqueness exceptions
+        # (r14): the month partition is immutable, so its duplicate-key
+        # set was computed once at ingest -- the close-side group-by
+        # shuffle on the two biggest datasets' string keys disappears.
+        # A pre-r14 lake returns None here and the group-by fallback
+        # inside collect_exceptions runs as before.
+        pre_unique = None
+        if lake_mode and specs[name].unique_keys:
+            from ..sources.raw_lake import read_lake_unique_exceptions
+
+            pre_unique = read_lake_unique_exceptions(spark, raw_lake_dir, name, month)
         exceptions = exceptions.unionByName(
             collect_exceptions(
                 checked,
                 specs[name],
                 persist_intermediates=(name not in slices) and not lake_mode,
+                precomputed_unique=pre_unique,
             )
         )
         if not coa_fused and name in ("sales", "expenses"):

@@ -196,8 +196,36 @@ def _exception_struct(column: str, check: str, failure_case: Column) -> Column:
     )
 
 
+def unique_key_exceptions(
+    df: DataFrame, dataset: str, keys: tuple[str, ...]
+) -> DataFrame:
+    """Composite-key duplicate exceptions (Q10): one exception row per
+    key combination appearing more than once, in the reference's
+    exception-record shape (quality.py:8-13,27,43 composite keys).
+    Shared by the close-side check and the lake ingest's write-time
+    materialization (r14) so the two paths cannot drift."""
+    return (
+        df.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(
+            F.lit(dataset).alias("dataset"),
+            F.lit(None).cast("long").alias("index"),
+            F.lit(None).cast("string").alias("column"),
+            F.lit(f"unique_keys{list(keys)}").alias("check"),
+            F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("failure_case"),
+            F.lit("DataFrameSchema").alias("schema_context"),
+            F.lit(None).cast("int").alias("check_number"),
+            F.lit(None).cast("string").alias("severity"),
+        )
+    )
+
+
 def collect_exceptions(
-    df: DataFrame, spec: DatasetSpec, persist_intermediates: bool = True
+    df: DataFrame,
+    spec: DatasetSpec,
+    persist_intermediates: bool = True,
+    precomputed_unique: DataFrame | None = None,
 ) -> DataFrame:
     """All row-level + key-uniqueness exceptions for one dataset.
 
@@ -216,9 +244,11 @@ def collect_exceptions(
     spark.catalog.clearCache() or an explicit unpersist by the owner
     of the returned plan's lifecycle).
     """
-    n_consumers = (
-        1 if (spec.not_null or spec.checks) else 0
-    ) + sum(1 for ks in spec.unique_keys if all(k in df.columns for k in ks))
+    n_consumers = (1 if (spec.not_null or spec.checks) else 0) + (
+        0
+        if precomputed_unique is not None
+        else sum(1 for ks in spec.unique_keys if all(k in df.columns for k in ks))
+    )
     df = checked_slice(df, spec)
     if persist_intermediates and n_consumers > 1:
         df = df.persist()
@@ -295,26 +325,18 @@ def collect_exceptions(
             )
         )
 
-    for keys in spec.unique_keys:
-        present = [k for k in keys if k in df.columns]
-        if len(present) != len(keys):
-            continue
-        dup = (
-            df.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .select(
-                F.lit(spec.dataset).alias("dataset"),
-                F.lit(None).cast("long").alias("index"),
-                F.lit(None).cast("string").alias("column"),
-                F.lit(f"unique_keys{list(keys)}").alias("check"),
-                F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("failure_case"),
-                F.lit("DataFrameSchema").alias("schema_context"),
-                F.lit(None).cast("int").alias("check_number"),
-                F.lit(None).cast("string").alias("severity"),
-            )
-        )
-        parts.append(dup)
+    if precomputed_unique is not None:
+        # lake-fed close (r14): the uniqueness exceptions were
+        # materialized at ingest (the month partition is immutable, so
+        # its duplicate-key set is too); the 80M-row close-side
+        # group-by shuffle is replaced by a tiny side-table read
+        parts.append(precomputed_unique)
+    else:
+        for keys in spec.unique_keys:
+            present = [k for k in keys if k in df.columns]
+            if len(present) != len(keys):
+                continue
+            parts.append(unique_key_exceptions(df, spec.dataset, keys))
 
     spark = df.sparkSession
     out = parts[0] if parts else spark.createDataFrame([], DQ_EXCEPTIONS_SCHEMA)
