@@ -221,6 +221,102 @@ ANN_BUDGETS = {
 }
 
 
+def effective_budget_view(result: dict) -> dict:
+    """Budget-gate view of a MULTI-PASS result (r14): every TIMING takes
+    its minimum across the passes, every CORRECTNESS field its worst
+    pass.  Rationale, from this round's capture: a code regression is
+    systematic -- slow in EVERY pass -- while box/VM-host noise is not
+    (the r14 clean-boot capture had 8 query "violations" whose other-pass
+    medians all sat comfortably inside budget, e.g. docs_quality
+    1.43/1.36/0.65 s, while exclusive single-query re-measurement
+    reproduced the fast value).  Gating on the cross-pass min kills
+    those false flags and still catches any real slowdown; verify/ok
+    flags, state row counts, recalls, and the centroid delta instead
+    flag if ANY pass failed them, because one bad pass of a
+    deterministic check is a bug.  Single-pass results (the driver's
+    per-round capture) pass through unchanged -- their violations rely
+    on the contamination adjudication as before.  Pure function."""
+    runs = result.get("runs")
+    if not runs:
+        return result
+    eff = dict(result)
+    names: set[str] = set()
+    for r in runs:
+        names |= set(r.get("queries") or {})
+    eff["queries"] = {
+        n: min(vals)
+        for n in names
+        if (vals := [v for r in runs if (v := (r.get("queries") or {}).get(n)) is not None])
+    }
+    close_eff: dict = {}
+    labels = {
+        k
+        for r in runs
+        for k, v in (r.get("close_10m") or {}).items()
+        if isinstance(v, dict)
+    }
+    for lb in labels:
+        rows = [c for r in runs if (c := (r.get("close_10m") or {}).get(lb))]
+        ts = [c["t_close"] for c in rows if c.get("t_close") is not None]
+        verifies = [c["verify"] for c in rows if c.get("verify") is not None]
+        bad = next((v for v in verifies if not v.get("ok")), None)
+        row: dict = {}
+        if ts:
+            row["t_close"] = min(ts)
+        if verifies:
+            row["verify"] = bad if bad is not None else verifies[0]
+        close_eff[lb] = row
+    ratios = [
+        sr for r in runs
+        if (sr := (r.get("close_10m") or {}).get("skew_ratio")) is not None
+    ]
+    if ratios:
+        close_eff["skew_ratio"] = min(ratios)
+    if close_eff:
+        eff["close_10m"] = close_eff
+    ks = [r.get("kmeans_k64") or {} for r in runs]
+    eff_k: dict = {}
+    for key in ("hof", "arrow"):
+        vals = [k[key] for k in ks if k.get(key) is not None]
+        if vals:
+            eff_k[key] = min(vals)
+    deltas = [k["max_centroid_delta"] for k in ks if k.get("max_centroid_delta") is not None]
+    if deltas:
+        eff_k["max_centroid_delta"] = max(deltas)
+    if eff_k:
+        eff["kmeans_k64"] = eff_k
+    anns = [r.get("ann_1m") or {} for r in runs]
+    eff_ann: dict = {}
+    for part in ("ann_1m_ivf", "ann_1m_lsh"):
+        sub = [a.get(part) or {} for a in anns]
+        row = {}
+        for field in set().union(*[set(s) for s in sub]) if sub else set():
+            vals = [s[field] for s in sub if s.get(field) is not None]
+            if not vals:
+                continue
+            row[field] = min(vals)  # worst pass for recalls (floors), best for times
+        if row:
+            eff_ann[part] = row
+    if eff_ann:
+        eff["ann_1m"] = eff_ann
+    sss = [r.get("stream_state") or {} for r in runs]
+    eff_ss: dict = {}
+    for lb in ("hdfs", "rocksdb"):
+        rows = [s.get(lb) or {} for s in sss if s.get(lb)]
+        if not rows:
+            continue
+        ts = [r["t_replay"] for r in rows if r.get("t_replay") is not None]
+        srows = [r.get("state_rows") for r in rows]
+        bad_rows = next((x for x in srows if x != STREAM_STATE_EXPECT_ROWS), None)
+        eff_ss[lb] = {
+            "t_replay": min(ts) if ts else None,
+            "state_rows": bad_rows if bad_rows is not None else (srows[0] if srows else None),
+        }
+    if eff_ss:
+        eff["stream_state"] = eff_ss
+    return eff
+
+
 def check_budgets(result: dict) -> list[str]:
     """Return the list of budget violations in a bench result (empty =
     all budgets hold).  Pure function of the result dict so a unit test
@@ -940,8 +1036,14 @@ def main() -> None:
         out["median_pass_index"] = med_i
         out["runs"] = passes
     # machine-checked budgets (r12): violations land IN the artifact so
-    # a regression can't hide in prose; empty list = all budgets hold
-    out["regressions"] = check_budgets(out)
+    # a regression can't hide in prose; empty list = all budgets hold.
+    # Multi-pass captures gate on the cross-pass min / worst-correctness
+    # view (r14, effective_budget_view); the committed median pass's own
+    # violations stay visible as regressions_median_pass for
+    # transparency (they are where box noise shows up).
+    out["regressions"] = check_budgets(effective_budget_view(out))
+    if n_passes > 1:
+        out["regressions_median_pass"] = check_budgets(out)
     # every violation carries a contamination verdict from the pass's
     # own load fingerprint (r13): a loaded capture can no longer
     # masquerade as a code regression, nor vice versa

@@ -173,6 +173,75 @@ def test_ann_probe_time_budget_trips():
     assert len(v) == 1 and "t_probe_12planes_arrow" in v[0]
 
 
+# --- cross-pass effective budget view (r14) --------------------------------
+# A code regression is slow in EVERY pass; box/VM-host noise is not.
+# Multi-pass captures gate timings on the cross-pass min and
+# correctness fields on the worst pass.
+
+
+def _three_pass_result() -> dict:
+    base = _clean_result()
+    runs = [
+        {**{k: v for k, v in _clean_result().items()}, "value": 8.0},
+        {**{k: v for k, v in _clean_result().items()}, "value": 8.2},
+        {**{k: v for k, v in _clean_result().items()}, "value": 8.4},
+    ]
+    base["runs"] = runs
+    return base
+
+
+def test_effective_view_single_pass_passthrough():
+    r = _clean_result()
+    assert bench.effective_budget_view(r) is r
+
+
+def test_noise_in_one_pass_does_not_trip():
+    r = _three_pass_result()
+    # the committed median pass carries the real r14 noise value...
+    r["queries"]["docs_quality"] = 1.432
+    r["runs"][0]["queries"] = dict(r["queries"])
+    # ...but another pass ran it at steady state
+    r["runs"][2]["queries"]["docs_quality"] = 0.646
+    assert bench.check_budgets(bench.effective_budget_view(r)) == []
+
+
+def test_systematic_regression_still_trips():
+    r = _three_pass_result()
+    for run in [r] + r["runs"]:
+        run["queries"] = dict(run["queries"])
+        run["queries"]["docs_quality"] = 2.5
+    v = bench.check_budgets(bench.effective_budget_view(r))
+    assert len(v) == 1 and "docs_quality" in v[0]
+
+
+def test_verify_failure_in_any_pass_trips():
+    r = _three_pass_result()
+    r["runs"][1]["close_10m"] = {
+        "uniform": {"t_close": 30.0, "verify": {"ok": False, "kpi_cells_match": False}},
+    }
+    v = bench.check_budgets(bench.effective_budget_view(r))
+    assert len(v) == 1 and "close_10m:uniform" in v[0] and "verify" in v[0]
+
+
+def test_recall_floor_checks_worst_pass():
+    r = _three_pass_result()
+    r["runs"][2]["ann_1m"] = {
+        "ann_1m_ivf": {"t_probe_nprobe8": 1.0, "recall_at_10": 0.5},
+        "ann_1m_lsh": dict(r["ann_1m"]["ann_1m_lsh"]),
+    }
+    v = bench.check_budgets(bench.effective_budget_view(r))
+    assert len(v) == 1 and "ivf recall_at_10" in v[0]
+
+
+def test_close_timing_takes_best_pass():
+    r = _three_pass_result()
+    r["runs"][0]["close_10m"] = {
+        "uniform": {"t_close": 90.0, "verify": {"ok": True}}}
+    r["runs"][1]["close_10m"] = {
+        "uniform": {"t_close": 30.0, "verify": {"ok": True}}}
+    assert bench.check_budgets(bench.effective_budget_view(r)) == []
+
+
 # --- contamination adjudication (r13, judge r12 ask #2) --------------------
 
 
