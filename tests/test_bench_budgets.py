@@ -190,9 +190,20 @@ def _three_pass_result() -> dict:
     return base
 
 
-def test_effective_view_single_pass_passthrough():
+def test_single_pass_gates_on_run_min_and_repeat_min():
+    # the driver's per-round capture has no cross-pass samples; it
+    # gates each query on the fastest of its 3 runs (spread[0]) and
+    # the close on the min of its --repeats list
     r = _clean_result()
-    assert bench.effective_budget_view(r) is r
+    r["queries"]["docs_quality"] = 1.432  # noisy median...
+    r["spread"] = {"docs_quality": [0.65, 2.3]}  # ...but one steady run
+    r["close_10m"]["uniform"]["t_close"] = 90.0
+    r["close_10m"]["uniform"]["t_run_month_runs"] = [90.0, 30.0, 95.0]
+    assert bench.check_budgets(bench.effective_budget_view(r)) == []
+    # a systematic slowdown raises the min too and still trips
+    r["spread"]["docs_quality"] = [2.2, 2.4]
+    v = bench.check_budgets(bench.effective_budget_view(r))
+    assert len(v) == 1 and "docs_quality" in v[0]
 
 
 def test_noise_in_one_pass_does_not_trip():
