@@ -29,6 +29,7 @@ parse once, validate and close from columnar storage forever after.
 Layout::
 
     <lake_dir>/raw/<dataset>/close_month=<YYYY-MM>/part-*.parquet
+    <lake_dir>/raw/_dq_unique/<dataset>/close_month=<YYYY-MM>/part-*.parquet
 
 ``close_month`` (not ``month``) because payroll already carries a
 ``month`` DATA column; the partition key is the ingest batch, the data
