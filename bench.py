@@ -198,13 +198,14 @@ PY_SEAM_QUERIES = {
 PY_SEAM_GRACE_S = 0.8
 STREAM_STATE_BUDGET_S = 93.0  # 1.25x the r11 measured band's median
 STREAM_STATE_EXPECT_ROWS = 50_000
-# Close budgets (r14, judge r13 ask #3): t_close is now the median of
-# --repeats 3 serialized closes over one generated input set, so a
-# budget on it is meaningful.  Baselines: worst committed single-run
-# t_close across r11-r13 (uniform 48.5, skew 48.1, lakefed 33.7 with a
-# PLANS band to 40.7) x 1.25 -- coarse on purpose; they catch the >=1.5x
-# regressions that matter while the box's +-30% noise stays inside.
-CLOSE_BUDGET_S = {"uniform": 61.0, "skew": 61.0, "lakefed": 51.0}
+# Close budgets (r14, judge r13 ask #3): t_close is the median of
+# --repeats 3 serialized closes over one generated input set (cold
+# first run included in the median sample), gated on the min across
+# passes.  Baselines: the r14 3-pass capture's worst per-pass median
+# at 10M (uniform 36.2, skew 31.8, lakefed 28.8 -- post-uniqueness-
+# materialization numbers) x 1.25 + 5 s absolute grace for the cold
+# run's page-cache share of a median.
+CLOSE_BUDGET_S = {"uniform": 50.0, "skew": 45.0, "lakefed": 41.0}
 CLOSE_SKEW_RATIO_MAX = 2.0  # PLANS.md skew budget: skewed close <= 2x uniform
 # Volume-tier budgets (r14): recalls are deterministic on the closed-form
 # corpora (identical every committed round), so floors sit just under
@@ -248,13 +249,10 @@ def effective_budget_view(result: dict) -> dict:
             n: (spread[n][0] if n in spread else v)
             for n, v in (result.get("queries") or {}).items()
         }
-        close = result.get("close_10m") or {}
-        close_eff = dict(close)
-        for lb, row in close.items():
-            if isinstance(row, dict) and row.get("t_run_month_runs"):
-                close_eff[lb] = {**row, "t_close": min(row["t_run_month_runs"])}
-        if close_eff:
-            eff["close_10m"] = close_eff
+        # closes keep their median-of-repeats t_close: repeats 2..n run
+        # in a warmed subprocess JVM, so gating on their min would
+        # compare a warm number against cold-calibrated budgets and
+        # mask real cold-path regressions (review r14)
         return eff
     def _pass_min(r: dict, name: str):
         # per-pass floor for one query: the fastest of its 3 runs when
@@ -280,11 +278,9 @@ def effective_budget_view(result: dict) -> dict:
     }
     for lb in labels:
         rows = [c for r in runs if (c := (r.get("close_10m") or {}).get(lb))]
-        ts = [
-            min(c["t_run_month_runs"]) if c.get("t_run_month_runs") else c["t_close"]
-            for c in rows
-            if c.get("t_close") is not None
-        ]
+        # per-pass t_close is already the median of --repeats (cold run
+        # included); min across PASSES only -- see the single-pass note
+        ts = [c["t_close"] for c in rows if c.get("t_close") is not None]
         verifies = [c["verify"] for c in rows if c.get("verify") is not None]
         bad = next((v for v in verifies if not v.get("ok")), None)
         row: dict = {}
@@ -293,12 +289,14 @@ def effective_budget_view(result: dict) -> dict:
         if verifies:
             row["verify"] = bad if bad is not None else verifies[0]
         close_eff[lb] = row
-    ratios = [
-        sr for r in runs
-        if (sr := (r.get("close_10m") or {}).get("skew_ratio")) is not None
-    ]
-    if ratios:
-        close_eff["skew_ratio"] = min(ratios)
+    # the skew bound is checked on the view's own effective t_close
+    # values, NOT min() over per-pass ratios: a single pass whose
+    # uniform (denominator) close caught box noise would otherwise mask
+    # a skew regression that is systematic in every pass (review r14)
+    u = (close_eff.get("uniform") or {}).get("t_close")
+    s = (close_eff.get("skew") or {}).get("t_close")
+    if u and s:
+        close_eff["skew_ratio"] = round(s / u, 3)
     if close_eff:
         eff["close_10m"] = close_eff
     ks = [r.get("kmeans_k64") or {} for r in runs]
@@ -328,16 +326,17 @@ def effective_budget_view(result: dict) -> dict:
         eff["ann_1m"] = eff_ann
     sss = [r.get("stream_state") or {} for r in runs]
     eff_ss: dict = {}
+    _missing = object()  # None is itself a bad state_rows value, not a sentinel
     for lb in ("hdfs", "rocksdb"):
         rows = [s.get(lb) or {} for s in sss if s.get(lb)]
         if not rows:
             continue
         ts = [r["t_replay"] for r in rows if r.get("t_replay") is not None]
         srows = [r.get("state_rows") for r in rows]
-        bad_rows = next((x for x in srows if x != STREAM_STATE_EXPECT_ROWS), None)
+        bad_rows = next((x for x in srows if x != STREAM_STATE_EXPECT_ROWS), _missing)
         eff_ss[lb] = {
             "t_replay": min(ts) if ts else None,
-            "state_rows": bad_rows if bad_rows is not None else (srows[0] if srows else None),
+            "state_rows": (srows[0] if srows else None) if bad_rows is _missing else bad_rows,
         }
     if eff_ss:
         eff["stream_state"] = eff_ss
@@ -352,7 +351,12 @@ def check_budgets(result: dict) -> list[str]:
     queries = result.get("queries", {})
     for name, base in BUDGET_MEDIANS.items():
         tier = "headline" if name in R11_HEADLINE_MEDIANS else "heavy"
-        src = "r11" if tier == "headline" else "r12"
+        if tier == "headline":
+            src = "r11"
+        elif name in PY_SEAM_QUERIES:
+            src = "r13-worst-committed"  # py-seam baselines, see R12_HEAVY_MEDIANS
+        else:
+            src = "r12"
         t = queries.get(name)
         grace = PY_SEAM_GRACE_S if name in PY_SEAM_QUERIES else HEADLINE_REGRESSION_GRACE_S
         if t is None:

@@ -295,8 +295,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['bucket']}\t{r['checksum']}\t{r['n_rows']}")
         return 0
 
-    settings = Settings(base_currency=args.base_currency)
-    spark = get_spark()
+    # pure-args validation BEFORE the JVM spins up: failing a
+    # mutually-exclusive-flags error should not cost a Spark startup
     if args.raw_dir is not None and args.raw_lake_dir is not None:
         raise SystemExit(
             "run: --raw-dir and --raw-lake-dir are mutually exclusive "
@@ -305,6 +305,8 @@ def main(argv: list[str] | None = None) -> int:
     raw_dir = args.raw_dir
     if raw_dir is None and args.raw_lake_dir is None:
         raw_dir = "data/raw"
+    settings = Settings(base_currency=args.base_currency)
+    spark = get_spark()
     outputs = run_month(
         spark,
         settings,

@@ -16,10 +16,10 @@ def _clean_result() -> dict:
             "rocksdb": {"t_replay": 79.9, "state_rows": 50_000},
         },
         "close_10m": {
-            "uniform": {"t_close": 48.5, "verify": {"ok": True, "kpi_cells_match": True}},
-            "skew": {"t_close": 48.1, "verify": {"ok": True, "kpi_cells_match": True}},
-            "lakefed": {"t_close": 33.7, "verify": {"ok": True, "kpi_cells_match": True}},
-            "skew_ratio": 0.99,
+            "uniform": {"t_close": 30.0, "verify": {"ok": True, "kpi_cells_match": True}},
+            "skew": {"t_close": 31.0, "verify": {"ok": True, "kpi_cells_match": True}},
+            "lakefed": {"t_close": 25.0, "verify": {"ok": True, "kpi_cells_match": True}},
+            "skew_ratio": 1.03,
         },
         "kmeans_k64": {"hof": 13.0, "arrow": 2.0, "max_centroid_delta": 0.0},
         "ann_1m": {
@@ -190,20 +190,44 @@ def _three_pass_result() -> dict:
     return base
 
 
-def test_single_pass_gates_on_run_min_and_repeat_min():
+def test_single_pass_gates_on_run_min():
     # the driver's per-round capture has no cross-pass samples; it
-    # gates each query on the fastest of its 3 runs (spread[0]) and
-    # the close on the min of its --repeats list
+    # gates each query on the fastest of its 3 runs (spread[0])
     r = _clean_result()
     r["queries"]["docs_quality"] = 1.432  # noisy median...
     r["spread"] = {"docs_quality": [0.65, 2.3]}  # ...but one steady run
-    r["close_10m"]["uniform"]["t_close"] = 90.0
-    r["close_10m"]["uniform"]["t_run_month_runs"] = [90.0, 30.0, 95.0]
     assert bench.check_budgets(bench.effective_budget_view(r)) == []
     # a systematic slowdown raises the min too and still trips
     r["spread"]["docs_quality"] = [2.2, 2.4]
     v = bench.check_budgets(bench.effective_budget_view(r))
     assert len(v) == 1 and "docs_quality" in v[0]
+
+
+def test_single_pass_close_keeps_repeat_median():
+    # the close's t_close stays the median of --repeats: repeats 2..n
+    # run warm in the same subprocess JVM, so a min would be compared
+    # against cold-calibrated budgets and mask cold-path regressions
+    r = _clean_result()
+    r["close_10m"]["uniform"]["t_close"] = 90.0
+    r["close_10m"]["uniform"]["t_run_month_runs"] = [90.0, 30.0, 95.0]
+    v = bench.check_budgets(bench.effective_budget_view(r))
+    assert len(v) == 1 and "close_10m:uniform" in v[0] and "t_close" in v[0]
+
+
+def test_multi_pass_skew_ratio_from_effective_closes():
+    # a skew regression systematic in every pass must trip even when
+    # one pass's uniform close caught box noise (which would have
+    # flattered a min-over-per-pass-ratios gate)
+    r = _three_pass_result()
+    for i, (u, s) in enumerate([(30.0, 75.0), (90.0, 76.0), (31.0, 78.0)]):
+        r["runs"][i]["close_10m"] = {
+            "uniform": {"t_close": u, "verify": {"ok": True}},
+            "skew": {"t_close": s, "verify": {"ok": True}},
+            "skew_ratio": round(s / u, 3),
+        }
+    v = bench.check_budgets(bench.effective_budget_view(r))
+    # effective: uniform 30.0, skew 75.0 -> ratio 2.5 trips; skew 75 > 45 budget also trips
+    assert any("skew_ratio" in x for x in v)
 
 
 def test_noise_in_one_pass_does_not_trip():

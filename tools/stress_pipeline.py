@@ -466,7 +466,7 @@ def main() -> int:
         out["t_ingest"] = round(time.time() - t0, 1)
 
     close_times: list[float] = []
-    result: dict = {}
+    run_results: list[dict] = []
     for i in range(repeats):
         if i > 0:
             # each run must pay the full close cost: clear the curated
@@ -474,15 +474,21 @@ def main() -> int:
             shutil.rmtree(curated, ignore_errors=True)
             spark.catalog.clearCache()
         t0 = time.time()
-        result = run_month(
+        run_results.append(run_month(
             spark, Settings(), MONTH, raw_dir if not lakefed else None, curated, ref_dir,
             fail_on="ERROR",
             lake_dir=os.path.join(base, "lake") if lake else None,
             raw_lake_dir=raw_lake,
-        )
+        ))
         close_times.append(round(time.time() - t0, 1))
     ranked = sorted(close_times)
-    out["t_run_month"] = ranked[len(ranked) // 2]
+    med = ranked[len(ranked) // 2]
+    # metrics AND stage_seconds come from the MEDIAN run, so the
+    # per-stage attribution describes the same run as the reported
+    # t_close (stages from the last run would neither sum to t_close
+    # nor expose a stage regression visible only in the median)
+    result = run_results[close_times.index(med)]
+    out["t_run_month"] = med
     if repeats > 1:
         out["t_run_month_runs"] = close_times
         out["t_run_month_spread"] = [ranked[0], ranked[-1]]

@@ -12,7 +12,7 @@ as "the check explode + two uniqueness group-bys (an 80M-row shuffle on
               groupBy on the tiny matched subset (collision-safe: the
               final counts come from the real key columns)
 
-Usage: python tools/uniq_experiment.py [n_rows] [--skip-generate DIR]
+Usage: python tools/uniq_experiment.py [n_rows]
 Prints one JSON line.  Exclusive-run protocol: serialize with
 everything else on this box.
 """
