@@ -170,13 +170,19 @@ def read_lake_unique_exceptions(
     month: str,
 ) -> DataFrame | None:
     """The ingest-materialized uniqueness exceptions for one dataset's
-    month, or ``None`` when the lake predates r14 (or is addressed by a
-    qualified URI, where the local existence probe can't answer) -- the
-    caller then computes the group-by itself, so old lakes keep
-    working."""
-    if "://" in str(lake_dir):
-        return None
+    month, or ``None`` when the lake predates r14 -- the caller then
+    computes the group-by itself, so old lakes keep working.  Local
+    paths use a cheap os.path existence probe; qualified URIs (hdfs://,
+    s3a://) attempt the read and treat AnalysisException as absent, so
+    cluster lakes get the materialized path too."""
     path = _dq_unique_path(lake_dir, dataset, month)
+    if "://" in str(lake_dir):
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
     if not os.path.exists(path):
         return None
     return spark.read.parquet(path)

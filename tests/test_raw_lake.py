@@ -195,6 +195,11 @@ def test_ingest_materializes_unique_exceptions(spark, dirty_month, both_closes):
     assert clean is not None and clean.count() == 0
     # pre-r14 lake (side table absent) -> None, caller computes
     assert read_lake_unique_exceptions(spark, root / "lake", "sales", "1999-01") is None
+    # URI-addressed lakes attempt the read: present month resolves,
+    # absent month degrades to None instead of raising
+    uri = "file://" + str(root / "lake")
+    assert read_lake_unique_exceptions(spark, uri, "sales", MONTH).count() == 1
+    assert read_lake_unique_exceptions(spark, uri, "sales", "1999-01") is None
 
 
 def test_lake_close_falls_back_without_unique_side_table(spark, dirty_month, both_closes, tmp_path):
