@@ -1938,6 +1938,72 @@ SELECT split, COUNT(*) AS n_docs FROM b GROUP BY 1
 """
 
 
+def q_docs_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shard ordering for data-parallel
+    training (r14, ``corpus.epoch_shards``): 2 epochs x 4 workers over
+    the documents table.  Each (epoch, doc) gets an engine-portable
+    order_key = md5("42:<epoch>:<doc_id>") and worker = 16-bit key
+    prefix mod 4 -- every epoch holds the full corpus once, re-shuffled
+    independently, and a worker's read order is ORDER BY order_key
+    (reproducible on any partitioning, resumable mid-epoch).  The
+    result proves the ORDER, not just membership: per (epoch, worker)
+    it returns the doc count, a position-weighted checksum
+    sum(i * doc_id_at_position_i) over the key-sorted sequence (any
+    reordering changes it), and the first three doc ids in read order.
+    The oracle re-derives the identical schedule from the same md5
+    arithmetic.  Scale shape: the operator emits no dense position --
+    a row_number per (epoch, worker) would sort a worker's whole shard
+    in one window partition; the bounded per-group sort here lives in
+    the TEST aggregation only (documents x 8 groups), while a trainer
+    materializes via repartitionByRange + sortWithinPartitions (see
+    the operator docstring)."""
+    from . import corpus as _corpus
+
+    docs = t(spark, sf_dir, "documents")
+    sh = _corpus.epoch_shards(docs, n_workers=4, n_epochs=2)
+    g = sh.groupBy("epoch", "worker").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(order_key, doc_id))), s -> s.doc_id)"
+        ).alias("seq")
+    )
+    return (
+        g.select(
+            "epoch",
+            "worker",
+            F.size("seq").alias("n_docs"),
+            F.expr(
+                "aggregate(zip_with(seq, sequence(1, size(seq)),"
+                " (d, i) -> CAST(i AS BIGINT) * d), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x)"
+            ).alias("order_checksum"),
+            F.expr(
+                "concat_ws(',', transform(slice(seq, 1, 3), d -> CAST(d AS STRING)))"
+            ).alias("head_docs"),
+        )
+        .orderBy("epoch", "worker")
+    )
+
+
+SQL_DOCS_EPOCH_SHARDS = """
+WITH e(epoch) AS (VALUES (0), (1)),
+assigned AS (
+  SELECT e.epoch, d.doc_id,
+         md5('42:' || e.epoch || ':' || d.doc_id) AS order_key,
+         CAST(('0x' || substr(md5('42:' || e.epoch || ':' || d.doc_id), 1, 4)) AS INT) % 4 AS worker
+  FROM documents d CROSS JOIN e
+),
+g AS (
+  SELECT epoch, worker, list(doc_id ORDER BY order_key, doc_id) AS seq
+  FROM assigned GROUP BY 1, 2
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, worker,
+       CAST(len(seq) AS INTEGER) AS n_docs,
+       CAST(list_sum(list_transform(range(1, len(seq) + 1), i -> i * seq[i])) AS BIGINT) AS order_checksum,
+       array_to_string(seq[1:3], ',') AS head_docs
+FROM g
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/ranges.py): count everyone's events
     falling inside each of user 7's sessions -- bucket-decomposed
@@ -9477,6 +9543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthclose_500k": q_synthclose_500k,
     "synthclose_lake_500k": q_synthclose_lake_500k,
     "synthclose_skew_500k": q_synthclose_skew_500k,
+    "docs_epoch_shards": q_docs_epoch_shards,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -9518,10 +9585,12 @@ _DRIVER_WINDOW: list[str] = [
     # entity close gate) + the two queries whose shared closed-form
     # generator CHANGED this round (fx_rates now covers all 31 days,
     # ADVICE r13) + 39 of the 42-query r10 cohort, now the stalest.
-    # The three r10 stragglers that did not fit
+    # The r10 stragglers that did not fit
     # (approx_distinct_quantiles, orders_profile,
-    # customer_order_distribution) LEAD the r15 window; every other
-    # registry query is driver-checked >= r11 after this round.
+    # customer_order_distribution, large_volume_orders -- the last
+    # evicted for the second r14 registration, docs_epoch_shards)
+    # LEAD the r15 window; every other registry query is
+    # driver-checked >= r11 after this round.
     "flagship_revenue_by_month",
     "pricing_summary",
     "dq_exceptions_orders",
@@ -9555,7 +9624,7 @@ _DRIVER_WINDOW: list[str] = [
     "excess_stock_suppliers",
     "forecast_revenue_change",
     "idle_rich_customers",
-    "large_volume_orders",
+    "docs_epoch_shards",
     "lineitem_cms_hot_suppliers",
     "lineitem_heavy_hitters",
     "lineitem_key_skew",
@@ -9701,6 +9770,7 @@ ORACLES: dict[str, str] = {
     "synthclose_500k": SQL_SYNTHCLOSE_500K,
     "synthclose_lake_500k": SQL_SYNTHCLOSE_500K,
     "synthclose_skew_500k": SQL_SYNTHCLOSE_SKEW_500K,
+    "docs_epoch_shards": SQL_DOCS_EPOCH_SHARDS,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,

@@ -113,6 +113,66 @@ def leakage_free_split(
     return df.withColumn("split", split)
 
 
+def epoch_shards(
+    df: DataFrame,
+    n_workers: int,
+    n_epochs: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-epoch data ordering for N data-parallel
+    trainer workers -- the reproducible-shuffle step between a curated
+    corpus and a training run.
+
+    Every (epoch, doc) pair gets an ``order_key`` =
+    md5("<seed>:<epoch>:<id>") and a ``worker`` = 16-bit key prefix mod
+    ``n_workers``.  Properties a 100 TB training job needs, all pure
+    functions of (seed, epoch, id):
+
+    * each epoch contains the full corpus exactly once, re-shuffled
+      independently per epoch (the key mixes the epoch in);
+    * any worker's read order is ``ORDER BY order_key`` within its
+      shard -- reproducible on any cluster size or partitioning, and
+      resumable mid-epoch from the last consumed key;
+    * assignment is engine-portable (the md5 scheme the deterministic
+      samplers share), so a different stack can re-derive byte-for-byte
+      the same schedule.
+
+    DELIBERATELY no dense position column: row_number over
+    (epoch, worker) would sort each worker's whole shard in one window
+    partition (a scale-killer at corpus size / few workers); the
+    order_key IS the order, and the physical materialization for a
+    trainer is ``repartitionByRange("epoch", "worker", "order_key")``
+    + ``sortWithinPartitions`` -- a distributed range sort, not a
+    per-worker single-partition window.  The epoch fan-out is an
+    explode of an ``n_epochs``-element literal array -- a per-row
+    generate, zero join and zero shuffle (a broadcast cross join here
+    would put a nested-loop node in every downstream plan)."""
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.col("epoch").cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    worker = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % F.lit(n_workers)
+    ).cast("int")
+    return (
+        df.select(id_col)
+        .withColumn(
+            "epoch", F.explode(F.array(*[F.lit(i) for i in range(n_epochs)]))
+        )
+        .select(
+            "epoch",
+            worker.alias("worker"),
+            F.col(id_col),
+            key.alias("order_key"),
+        )
+    )
+
+
 def token_budget_mix(
     df: DataFrame,
     budgets: dict[str, int],
