@@ -2004,6 +2004,111 @@ FROM g
 """
 
 
+def q_docs_epoch_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-epoch resume under the oracle (r15, judge r14 ask #6): the
+    ``epoch_shards`` docstring's resumability claim -- a worker's read
+    order is reproducible from the last consumed ``order_key`` -- is
+    the operator's raison d'etre, so this query pins it end-to-end.
+    Per (epoch, worker) shard it derives a deterministic mid-shard
+    resume point (the order_key at 1-indexed position floor(n/2) of the
+    key-sorted shard -- i.e. the trainer consumed roughly half), then
+    re-runs the ACTUAL resume path a trainer would: filter the shard's
+    rows by ``order_key > resume_key`` and read ORDER BY order_key.
+    The result proves the exact remainder sequence (count, position-
+    weighted checksum, first three doc ids) plus the resume key itself;
+    the oracle re-derives the identical schedule with the ROW-LEVEL
+    resume path (join the resume key back, WHERE order_key >
+    resume_key, ORDER BY order_key), so any divergence in assignment,
+    ordering, or the strict-inequality resume semantics
+    hash-mismatches.  Scale shape: ONE scan of documents and one
+    shuffle -- the shard is collected once per (epoch, worker) group
+    (test aggregation, 8 bounded groups) and the resume filter is the
+    same ``order_key > resume_key`` predicate applied with a
+    higher-order function; a production trainer never derives the pin
+    from data at all (its last consumed key IS the input), so its
+    resume is a plain WHERE on the shard scan with zero extra
+    shuffle."""
+    from . import corpus as _corpus
+
+    docs = t(spark, sf_dir, "documents")
+    sh = _corpus.epoch_shards(docs, n_workers=4, n_epochs=2)
+    g = (
+        sh.groupBy("epoch", "worker")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(order_key, doc_id)))"
+            ).alias("seq0")
+        )
+        .select(
+            "epoch",
+            "worker",
+            F.expr(
+                "element_at(seq0, CAST(greatest(floor(size(seq0) / 2), 1) AS INT)).order_key"
+            ).alias("resume_key"),
+            "seq0",
+        )
+        .select(
+            "epoch",
+            "worker",
+            "resume_key",
+            F.expr(
+                "transform(filter(seq0, s -> s.order_key > resume_key), s -> s.doc_id)"
+            ).alias("seq"),
+        )
+    )
+    return (
+        g.select(
+            "epoch",
+            "worker",
+            "resume_key",
+            F.size("seq").alias("n_remaining"),
+            F.expr(
+                "aggregate(zip_with(seq, sequence(1, size(seq)),"
+                " (d, i) -> CAST(i AS BIGINT) * d), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x)"
+            ).alias("resume_checksum"),
+            F.expr(
+                "concat_ws(',', transform(slice(seq, 1, 3), d -> CAST(d AS STRING)))"
+            ).alias("head_docs"),
+        )
+        .orderBy("epoch", "worker")
+    )
+
+
+SQL_DOCS_EPOCH_RESUME = """
+WITH e(epoch) AS (VALUES (0), (1)),
+assigned AS (
+  SELECT e.epoch, d.doc_id,
+         md5('42:' || e.epoch || ':' || d.doc_id) AS order_key,
+         CAST(('0x' || substr(md5('42:' || e.epoch || ':' || d.doc_id), 1, 4)) AS INT) % 4 AS worker
+  FROM documents d CROSS JOIN e
+),
+resume AS (
+  SELECT epoch, worker, seqk[GREATEST(len(seqk) // 2, 1)] AS resume_key
+  FROM (
+    SELECT epoch, worker, list(order_key ORDER BY order_key) AS seqk
+    FROM assigned GROUP BY 1, 2
+  )
+),
+rem AS (
+  SELECT a.epoch, a.worker, r.resume_key, a.doc_id, a.order_key
+  FROM assigned a
+  JOIN resume r ON a.epoch = r.epoch AND a.worker = r.worker
+  WHERE a.order_key > r.resume_key
+),
+g AS (
+  SELECT epoch, worker, resume_key,
+         list(doc_id ORDER BY order_key, doc_id) AS seq
+  FROM rem GROUP BY 1, 2, 3
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, worker, resume_key,
+       CAST(len(seq) AS INTEGER) AS n_remaining,
+       CAST(list_sum(list_transform(range(1, len(seq) + 1), i -> i * seq[i])) AS BIGINT) AS resume_checksum,
+       array_to_string(seq[1:3], ',') AS head_docs
+FROM g
+"""
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/ranges.py): count everyone's events
     falling inside each of user 7's sessions -- bucket-decomposed
@@ -9544,6 +9649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "synthclose_lake_500k": q_synthclose_lake_500k,
     "synthclose_skew_500k": q_synthclose_skew_500k,
     "docs_epoch_shards": q_docs_epoch_shards,
+    "docs_epoch_resume": q_docs_epoch_resume,
     "media_features": q_media_features,
     "image_formats_features": q_image_formats_features,
     "jpeg_features": q_jpeg_features,
@@ -9580,17 +9686,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # order after position 49; nothing is added or removed, so
 # check_contract / checkall still cover all entries.
 _DRIVER_WINDOW: list[str] = [
-    # r14 rotation (VERDICT r13 ask #5): the 8 pinned sentinels + this
-    # round's NEW registration (synthclose_skew_500k, the 90%-one-
-    # entity close gate) + the two queries whose shared closed-form
-    # generator CHANGED this round (fx_rates now covers all 31 days,
-    # ADVICE r13) + 39 of the 42-query r10 cohort, now the stalest.
-    # The r10 stragglers that did not fit
-    # (approx_distinct_quantiles, orders_profile,
-    # customer_order_distribution, large_volume_orders -- the last
-    # evicted for the second r14 registration, docs_epoch_shards)
-    # LEAD the r15 window; every other registry query is
-    # driver-checked >= r11 after this round.
+    # r15 rotation (VERDICT r14 ask #3): the 8 pinned sentinels + the
+    # 4 r10 stragglers FIRST (approx_distinct_quantiles,
+    # orders_profile, customer_order_distribution,
+    # large_volume_orders -- 5 rounds stale, the registry's staleness
+    # floor) + this round's NEW registration (docs_epoch_resume, the
+    # mid-epoch resume oracle) + 37 of the 42-query r11 cohort, now
+    # the stalest bulk.  The r11 queries that did not fit
+    # (set_operations, string_document_ids, synthvecs_ivf_200k,
+    # top_supplier, union_sources) LEAD the r16 window; after this
+    # round the staleness floor is r11 for exactly those five and r12
+    # for everything else.
     "flagship_revenue_by_month",
     "pricing_summary",
     "dq_exceptions_orders",
@@ -9599,48 +9705,48 @@ _DRIVER_WINDOW: list[str] = [
     "customer_scd2",
     "snapshot_cdc_diff",
     "events_streamed_dedup",
-    "synthclose_skew_500k",
-    "synthclose_500k",
-    "synthclose_lake_500k",
-    "audio_features",
-    "bracket_pricing_revenue",
-    "docs_chunk_retrieval",
-    "docs_exact_dup_groups",
-    "docs_hash_embedding",
-    "docs_leakage_split",
-    "docs_minhash_near_dup",
-    "docs_ngram_jaccard_recall",
-    "docs_pack_budget",
-    "docs_pii_scrub",
-    "docs_semantic_contamination",
-    "docs_simhash_pairs",
-    "docs_token_budget_mix",
-    "embedding_ivf_trained_topk",
-    "embedding_ivf_trained_topk_arrow",
-    "embedding_lsh_topk_arrow",
-    "events_max_concurrent",
-    "events_rolling_active",
-    "events_type_pagerank",
-    "excess_stock_suppliers",
-    "forecast_revenue_change",
-    "idle_rich_customers",
-    "docs_epoch_shards",
-    "lineitem_cms_hot_suppliers",
-    "lineitem_heavy_hitters",
-    "lineitem_key_skew",
-    "lineitem_priority_mix",
-    "media_features",
-    "nation_part_coverage",
-    "orders_key_gaps",
-    "orders_kpi_pandas_pivot",
-    "orders_price_percentiles",
-    "promo_revenue_share",
-    "returned_item_customers",
-    "small_order_revenue",
-    "supplier_part_counts",
-    "supplier_wait_blame",
-    "synthvecs_ivf_100k",
-    "video_features",
+    "approx_distinct_quantiles",
+    "orders_profile",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "docs_epoch_resume",
+    "brand_revenue",
+    "case_insensitive_filter",
+    "cube_revenue",
+    "customer_rfm_segments",
+    "date_parts",
+    "distinct_counts",
+    "distinct_segments",
+    "docs_bigram_lift",
+    "docs_contamination",
+    "docs_dedup_representatives",
+    "docs_dup_components",
+    "docs_fingerprint",
+    "docs_lang_id",
+    "docs_ngram_jaccard",
+    "docs_quality",
+    "docs_token_stats",
+    "duplicate_keys",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "embedding_label_centroid",
+    "embedding_lsh_topk",
+    "embedding_near_dup",
+    "events_asof_last_purchase",
+    "events_funnel",
+    "events_hourly",
+    "events_json_props",
+    "events_moving_avg",
+    "events_resampled",
+    "events_retention_cohorts",
+    "events_session_window",
+    "global_extremes",
+    "literal_map_join",
+    "min_per_group",
+    "month_end_keys",
+    "order_priority_exists",
+    "regional_supplier_volume",
+    "running_totals",
 ]
 
 
@@ -9771,6 +9877,7 @@ ORACLES: dict[str, str] = {
     "synthclose_lake_500k": SQL_SYNTHCLOSE_500K,
     "synthclose_skew_500k": SQL_SYNTHCLOSE_SKEW_500K,
     "docs_epoch_shards": SQL_DOCS_EPOCH_SHARDS,
+    "docs_epoch_resume": SQL_DOCS_EPOCH_RESUME,
     "media_features": SQL_MEDIA_FEATURES,
     "image_formats_features": SQL_IMAGE_FORMATS_FEATURES,
     "jpeg_features": SQL_JPEG_FEATURES,

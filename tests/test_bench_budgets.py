@@ -366,3 +366,85 @@ def test_lakefed_close_verify_failure_trips():
     r["close_10m"]["lakefed"] = {"verify": {"ok": False, "kpi_cells_match": False}}
     v = bench.check_budgets(r)
     assert len(v) == 1 and "lakefed" in v[0]
+
+
+# --- cold lane (r15, judge r14 ask #2) -------------------------------------
+# The steady-state gate is blind to cold-only regressions; the cold lane
+# budgets first-warmup totals and pass-0 totals (with a cold signature).
+
+
+def _inflate(queries: dict, factor: float) -> dict:
+    return {n: v * factor for n, v in queries.items()}
+
+
+def test_cold_pass0_systematic_inflation_trips():
+    r = _three_pass_result()
+    r["runs"][0]["queries"] = _inflate(r["runs"][0]["queries"], 3.0)
+    v = bench.check_cold_budgets(r)
+    assert any("cold_pass0:headline" in x for x in v)
+    assert any("cold_pass0:heavy" in x for x in v)
+    # the steady-state lane stays clean: passes 1-2 hold the floor
+    assert bench.check_budgets(bench.effective_budget_view(r)) == []
+
+
+def test_cold_pass0_noise_on_later_pass_does_not_trip():
+    r = _three_pass_result()
+    r["runs"][1]["queries"] = _inflate(r["runs"][1]["queries"], 3.0)
+    assert bench.check_cold_budgets(r) == []
+
+
+def test_cold_lane_ignores_uniform_slowdown():
+    # all passes equally slow is a STEADY-STATE regression: the cold
+    # signature (pass0 vs best pass) keeps the cold lane out of it and
+    # the regular lane trips instead -- the lanes stay orthogonal
+    r = _three_pass_result()
+    for run in [r] + r["runs"]:
+        run["queries"] = _inflate(run["queries"], 3.0)
+    assert bench.check_cold_budgets(r) == []
+    assert bench.check_budgets(bench.effective_budget_view(r)) != []
+
+
+def test_cold_lane_silent_on_single_pass():
+    assert bench.check_cold_budgets(_clean_result()) == []
+
+
+def test_cold_first_run_gates_when_baselined(monkeypatch):
+    monkeypatch.setattr(
+        bench, "COLD_FIRST_BASELINE_S", {"headline": 20.0, "heavy": 75.0}
+    )
+    r = _clean_result()
+    r["cold_first_run"] = {"headline_total_s": 20.0 * bench.COLD_FIRST_RATIO + 1, "heavy_total_s": 70.0}
+    v = bench.check_cold_budgets(r)
+    assert len(v) == 1 and "cold_first:headline" in v[0]
+    r["cold_first_run"]["headline_total_s"] = 20.0
+    assert bench.check_cold_budgets(r) == []
+
+
+def test_cold_first_unbaselined_records_without_gating(monkeypatch):
+    monkeypatch.setattr(
+        bench, "COLD_FIRST_BASELINE_S", {"headline": None, "heavy": None}
+    )
+    r = _clean_result()
+    r["cold_first_run"] = {"headline_total_s": 9999.0, "heavy_total_s": 9999.0}
+    assert bench.check_cold_budgets(r) == []
+
+
+def test_cold_violations_share_the_adjudicator():
+    r = _clean_result()
+    r["regressions"] = []
+    r["regressions_cold"] = ["cold_first:headline: synthetic"]
+    vs = bench.adjudicate_regressions(r)
+    assert len(vs) == 1 and vs[0]["violation"].startswith("cold_first")
+
+
+def test_bimodal_regression_trips_min_of_medians():
+    # ADVICE r14: a regression slow in every pass's MEDIAN whose
+    # occasional fast RUN still touches the old floor must trip -- the
+    # gate now takes min over per-pass medians, not per-pass run-mins
+    r = _three_pass_result()
+    for run in [r] + r["runs"]:
+        run["queries"] = dict(run["queries"])
+        run["queries"]["docs_quality"] = 2.5
+        run["spread"] = {"docs_quality": [0.6, 2.6]}
+    v = bench.check_budgets(bench.effective_budget_view(r))
+    assert len(v) == 1 and "docs_quality" in v[0]

@@ -40,3 +40,20 @@ def test_widths_refuses_degenerate():
         _distinct_slice_widths(12, 4)
     with pytest.raises(ValueError, match="distinct positive"):
         _distinct_slice_widths(3, 4)
+
+
+def test_stress_repeats_missing_value_is_usage_error():
+    # ADVICE r14: `--repeats` as the last token used to raise an
+    # uncaught IndexError; argparse now exits with a usage message
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    import pytest
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from stress_pipeline import _parse_args
+
+    with pytest.raises(SystemExit):
+        _parse_args(["--repeats"])
+    assert _parse_args(["--repeats", "3", "--matrix"]).repeats == 3
+    assert _parse_args(["5000000", "--lakefed"]).total_rows == 5_000_000
