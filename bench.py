@@ -933,10 +933,14 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
         # iterations is where the arrow path's claims are load-bearing
         # (driver fsum combine over k x n_batches partials, k x d argmin
         # literal) vs the HOF path's N x k interpreted-lambda cost.
-        # Timed once each (both are seconds-long; single-shot noise is
-        # proportionally small) plus the max |centroid delta| between the
-        # paths -- the unit-invariance figure (0.0 expected: identical
-        # rounding mode, divergence only on a near-exact distance tie).
+        # Timed as best-of-2 (r15: the r15 validation capture caught the
+        # HOF path's SINGLE-shot timing at 19.4 s vs its 13-14.5 s
+        # steady state with zero code change -- the one un-repeated
+        # timing in the artifact had no noise defense; min-of-2 is the
+        # same floor logic every other lane gates on) plus the max
+        # |centroid delta| between the paths -- the unit-invariance
+        # figure (0.0 expected: identical rounding mode, divergence
+        # only on a near-exact distance tie).
         try:
             from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
                 kmeans as _km,
@@ -946,9 +950,13 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
             k64: dict[str, float] = {}
             cents: dict[bool, dict[int, list[float]]] = {}
             for arrow in (False, True):
-                start = time.perf_counter()
-                rows = _km.lloyd_kmeans(emb, k=64, n_iters=2, arrow=arrow).collect()
-                k64["arrow" if arrow else "hof"] = round(time.perf_counter() - start, 3)
+                times = []
+                for _rep in range(2):
+                    start = time.perf_counter()
+                    rows = _km.lloyd_kmeans(emb, k=64, n_iters=2, arrow=arrow).collect()
+                    times.append(round(time.perf_counter() - start, 3))
+                k64["arrow" if arrow else "hof"] = min(times)
+                k64[("arrow" if arrow else "hof") + "_runs"] = times
                 cents[arrow] = {r["cell"]: list(r["centroid"]) for r in rows}
             k64["max_centroid_delta"] = max(
                 abs(a - b)

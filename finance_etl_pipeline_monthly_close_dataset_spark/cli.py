@@ -79,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
             "dedup", "quality-filter", "split", "pack", "decontaminate",
             "sample", "redact", "collocations", "chunk", "embed", "ingest",
             "zorder", "mix", "retrieve", "semdedup", "curate", "dup-spans",
+            "epoch-shards",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -140,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
                           help="zorder: two comma-separated integer columns, e.g. 'user_id,ts_key'")
     corpus_p.add_argument("--num-files", type=int, default=None,
                           help="zorder: output file count (default: let range partitioning decide)")
+    corpus_p.add_argument("--epochs", type=int, default=1,
+                          help="epoch-shards: number of training epochs to schedule")
+    corpus_p.add_argument("--workers", type=int, default=1,
+                          help="epoch-shards: number of data-parallel trainer workers")
+    corpus_p.add_argument("--seed", type=int, default=42,
+                          help="epoch-shards: schedule seed")
+    corpus_p.add_argument("--files-per-shard", type=int, default=1,
+                          help="epoch-shards: parquet files per (epoch, worker) shard")
 
     diff_p = sub.add_parser(
         "diff", help="Snapshot CDC diff of two parquet tables on a business key"

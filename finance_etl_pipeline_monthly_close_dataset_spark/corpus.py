@@ -173,6 +173,45 @@ def epoch_shards(
     )
 
 
+def materialize_epoch_shards(
+    shards: DataFrame,
+    out_dir: str,
+    n_epochs: int,
+    n_workers: int,
+    files_per_shard: int = 1,
+) -> None:
+    """Materialize an ``epoch_shards`` schedule as trainer-consumable
+    parquet: partitioned by (epoch, worker) on disk, rows within each
+    shard's files stored in ``order_key`` order, so a worker's epoch
+    read is ``read(epoch=E/worker=W)`` in file/row order with no sort
+    at training time, and a mid-epoch resume is a pushed-down
+    ``order_key > <last consumed>`` filter on that same scan (pinned
+    by the ``docs_epoch_resume`` oracle).
+
+    This is the exact physical plan the ``epoch_shards`` docstring
+    prescribes and the scale shape it exists to protect:
+    ``repartitionByRange(epoch, worker, order_key)`` --- a distributed
+    RANGE sort whose parallelism is ``n_epochs x n_workers x
+    files_per_shard`` --- followed by ``sortWithinPartitions``, NEVER a
+    ``row_number`` window per (epoch, worker) (which would sort each
+    worker's entire shard in one task).  ``files_per_shard > 1``
+    splits each shard across that many range-partitioned files for
+    corpora where one shard exceeds a sensible file size; order across
+    a shard's files is still global because the range partitioner
+    splits on order_key.  ``n_epochs``/``n_workers`` are taken as
+    arguments rather than derived with a ``distinct().count()`` --
+    deriving them would burn a full corpus scan at 100 TB to learn two
+    numbers the schedule's producer already knows."""
+    n_parts = max(1, files_per_shard * n_epochs * n_workers)
+    (
+        shards.repartitionByRange(n_parts, "epoch", "worker", "order_key")
+        .sortWithinPartitions("epoch", "worker", "order_key")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "worker")
+        .parquet(out_dir)
+    )
+
+
 def token_budget_mix(
     df: DataFrame,
     budgets: dict[str, int],
@@ -281,6 +320,22 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
         write_zordered(
             df, args.out_path, cols=by,
             num_files=getattr(args, "num_files", None),
+        )
+        return n_in, spark.read.parquet(args.out_path).count()
+
+    if args.op == "epoch-shards":
+        # deterministic training schedule, materialized in the
+        # trainer-consumable layout (partitioned by epoch/worker, rows
+        # in order_key order; see materialize_epoch_shards)
+        n_epochs = max(1, getattr(args, "epochs", 1))
+        n_workers = max(1, getattr(args, "workers", 1))
+        sh = epoch_shards(
+            df, n_workers=n_workers, n_epochs=n_epochs,
+            id_col=args.id_col, seed=getattr(args, "seed", 42),
+        )
+        materialize_epoch_shards(
+            sh, args.out_path, n_epochs=n_epochs, n_workers=n_workers,
+            files_per_shard=max(1, getattr(args, "files_per_shard", 1)),
         )
         return n_in, spark.read.parquet(args.out_path).count()
 

@@ -646,6 +646,71 @@ def test_epoch_shards_schedule_invariants(spark):
     assert order(sh3, 0) != order(sh, 0)
 
 
+def test_materialize_epoch_shards_layout_and_order(spark, tmp_path):
+    """r15 materialize_epoch_shards: the trainer-consumable layout the
+    epoch_shards docstring prescribes -- parquet partitioned by
+    (epoch, worker), rows within each shard stored in order_key order
+    (so an epoch read needs no training-time sort), the physical plan a
+    RANGE repartition and never a per-shard row_number window, and a
+    mid-epoch resume being a plain filter on the stored order."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.corpus import (
+        epoch_shards,
+        materialize_epoch_shards,
+    )
+
+    df = spark.range(600).select(F.col("id").alias("doc_id"))
+    sh = epoch_shards(df, n_workers=3, n_epochs=2)
+    out = str(tmp_path / "shards")
+    materialize_epoch_shards(sh, out, n_epochs=2, n_workers=3)
+
+    # on-disk layout: one directory per (epoch, worker)
+    import os
+
+    epochs = sorted(d for d in os.listdir(out) if d.startswith("epoch="))
+    assert epochs == ["epoch=0", "epoch=1"]
+    workers = sorted(os.listdir(os.path.join(out, "epoch=0")))
+    assert workers == ["worker=0", "worker=1", "worker=2"]
+
+    # stored row order within a shard == order_key order (no sort at
+    # read time): file order must already be the read order
+    one = spark.read.parquet(os.path.join(out, "epoch=1", "worker=2"))
+    keys = [r["order_key"] for r in one.collect()]
+    assert keys == sorted(keys) and len(keys) > 0
+
+    # schedule round-trips completely
+    back = spark.read.parquet(out)
+    assert back.count() == 1200
+
+    # resume is a pushed-down filter on the stored order: remainder
+    # after the shard's median key matches the in-memory schedule
+    mid = keys[len(keys) // 2 - 1]
+    rem = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "epoch=1", "worker=2"))
+        .filter(F.col("order_key") > mid)
+        .collect()
+    ]
+    expect = [
+        r["doc_id"]
+        for r in sorted(
+            sh.filter((F.col("epoch") == 1) & (F.col("worker") == 2)).collect(),
+            key=lambda r: r["order_key"],
+        )
+        if r["order_key"] > mid
+    ]
+    assert rem == expect and 0 < len(rem) < len(keys)
+
+    # plan shape: a range exchange, and no window node anywhere
+    plan = (
+        sh.repartitionByRange(6, "epoch", "worker", "order_key")
+        .sortWithinPartitions("epoch", "worker", "order_key")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan and "Window" not in plan
+
+
 def test_scd2_merge_versions_changed_keys(spark):
     from finance_etl_pipeline_monthly_close_dataset_spark.operators.scd import (
         scd2_initial,
