@@ -671,25 +671,35 @@ def test_materialize_epoch_shards_layout_and_order(spark, tmp_path):
     workers = sorted(os.listdir(os.path.join(out, "epoch=0")))
     assert workers == ["worker=0", "worker=1", "worker=2"]
 
-    # stored row order within a shard == order_key order (no sort at
-    # read time): file order must already be the read order
-    one = spark.read.parquet(os.path.join(out, "epoch=1", "worker=2"))
-    keys = [r["order_key"] for r in one.collect()]
+    # stored row order == order_key order when a trainer streams the
+    # shard's files in name order (the consumption contract; a parallel
+    # Spark scan bin-packs files by SIZE, so collect() order is
+    # deliberately not the claim here) -- asserted with pyarrow ordered
+    # reads, which also proves no training-time sort is needed
+    import pyarrow.parquet as pq
+
+    def _shard_rows(epoch: int, worker: int) -> list[tuple[str, int]]:
+        d = os.path.join(out, f"epoch={epoch}", f"worker={worker}")
+        rows: list[tuple[str, int]] = []
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(d, fname), columns=["order_key", "doc_id"])
+            rows.extend(zip(tbl["order_key"].to_pylist(), tbl["doc_id"].to_pylist()))
+        return rows
+
+    shard = _shard_rows(1, 2)
+    keys = [k for k, _ in shard]
     assert keys == sorted(keys) and len(keys) > 0
 
     # schedule round-trips completely
     back = spark.read.parquet(out)
     assert back.count() == 1200
 
-    # resume is a pushed-down filter on the stored order: remainder
-    # after the shard's median key matches the in-memory schedule
+    # resume is a plain filter on the stored order: the remainder after
+    # the shard's median key matches the in-memory schedule exactly
     mid = keys[len(keys) // 2 - 1]
-    rem = [
-        r["doc_id"]
-        for r in spark.read.parquet(os.path.join(out, "epoch=1", "worker=2"))
-        .filter(F.col("order_key") > mid)
-        .collect()
-    ]
+    rem = [d for k, d in shard if k > mid]
     expect = [
         r["doc_id"]
         for r in sorted(
