@@ -38,6 +38,7 @@ from .operators import (
     dedup,
     kmeans,
     matview,
+    pq,
     retrieval,
     similarity,
     sketches,
@@ -6098,6 +6099,237 @@ FROM kept GROUP BY 1
 """.format(toks=_SQL_TOKENS)
 
 
+def q_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled domain mixture (r15,
+    ``corpus.temperature_mix``): the standard multilingual LM
+    rebalancing -- per-language sampling rates proportional to
+    ``n_lang**0.5`` (temperature-flattened, so rare languages keep a
+    larger share than their raw frequency) under a 50% total-corpus
+    budget. The oracle recomputes the weights with the SAME float
+    discipline the operator documents: ``sqrt`` (IEEE correctly
+    rounded, bit-identical JVM vs C libm) and a LEFT FOLD over the
+    language-name-sorted rate list for the weight denominator
+    (Spark ``aggregate`` with a 0.0 seed vs DuckDB ``list_reduce`` --
+    both fold left, and 0.0 + x == x exactly), then replays the
+    md5-bucket membership row by row. Output is the per-language
+    sample composition (count + doc_id checksum), so a drift in ANY
+    rate, weight, fold order, or bucket rule hash-mismatches.
+
+    Scale shape: one narrow count aggregate (language cardinality is
+    tiny), a single-row pack for the fold-left denominator, broadcast
+    rates back, map-side keep predicate -- the corpus text never
+    shuffles."""
+    from . import corpus as corpus_mod
+
+    docs = t(spark, sf_dir, "documents")
+    mixed = corpus_mod.temperature_mix(
+        docs, alpha=0.5, budget_frac=0.5, source_col="lang"
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOCS_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+),
+denom AS (
+  SELECT
+    CAST(SUM(n) AS DOUBLE) AS total,
+    list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang), (a, b) -> a + b) AS s
+  FROM counts
+),
+rates AS (
+  SELECT c.lang,
+         LEAST(1.0, ((0.5 * d.total) * (sqrt(CAST(c.n AS DOUBLE)) / d.s))
+                    / CAST(c.n AS DOUBLE)) AS keep
+  FROM counts c CROSS JOIN denom d
+),
+kept AS (
+  SELECT doc.doc_id, doc.lang
+  FROM documents doc JOIN rates r ON doc.lang = r.lang
+  WHERE CAST(('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 4)) AS INT)
+        < r.keep * 65536.0
+)
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (r15, ``operators/pq.py``): the
+    memory-bound ANN regime the brute/LSH/IVF family was missing.
+    Codebooks are the 16 seed vectors with the smallest
+    md5("pq:" || vec_id) keys cut into 4 subspaces of 16 dims (the
+    random-sampling PQ baseline -- deterministic, so the oracle
+    re-derives the books from the same data); every corpus vector
+    encodes to 4 one-byte codes (64x compression: 256 B float32 ->
+    4 B); each probe precomputes its 4x16 distance table and the
+    approximate distance is the explicit left-to-right sum of 4 table
+    lookups, quantized to BIGINT micros BEFORE ranking (the r10
+    micro_rank discipline -- never rank on a raw double). The oracle
+    replays the ENTIRE pipeline -- seed selection, subspace argmin
+    encoding (first-index-of-min tie-break), distance tables, the
+    parenthesized 4-term sum, micro quantization, rank -- so a drift
+    anywhere in the PQ math hash-mismatches.
+
+    Scale shape: encoding and the distance tables are map-side
+    whole-stage-codegen expressions (codebooks are tiny literals); the
+    probe set is bounded (vec_id % 97 = 0) and broadcast; the codes
+    table never shuffles; ONE shuffle ranks within each probe
+    partition. The codebook seed scan is a bounded 16-row collect
+    (same contract as the IVF centroid collect)."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.pq_seed_codebooks(emb, dim=64, m=4, k_codes=16)
+    probes = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = pq.pq_adc_topk(emb, probes, books, k=3)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        "adc_micro",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_EMBEDDING_PQ_ADC_TOPK = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         ) AS j, v
+  FROM vecs
+  ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT 16
+),
+book AS (
+  SELECT s.s, sd.j,
+         list_transform(range(1, 17), i -> sd.v[s.s * 16 + i]) AS cw
+  FROM seeds sd CROSS JOIN (VALUES (0), (1), (2), (3)) s(s)
+),
+dist AS (
+  SELECT e.vec_id, b.s, b.j,
+         list_reduce(
+           list_transform(range(1, 17),
+             i -> (e.v[b.s * 16 + i] - b.cw[i]) * (e.v[b.s * 16 + i] - b.cw[i])),
+           (a, x) -> a + x) AS d
+  FROM vecs e CROSS JOIN book b
+),
+codes AS (
+  SELECT vec_id,
+         MAX(CASE WHEN s = 0 THEN code END) AS c0,
+         MAX(CASE WHEN s = 1 THEN code END) AS c1,
+         MAX(CASE WHEN s = 2 THEN code END) AS c2,
+         MAX(CASE WHEN s = 3 THEN code END) AS c3
+  FROM (
+    SELECT vec_id, s, j AS code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+    FROM dist
+  )
+  WHERE rn = 1
+  GROUP BY vec_id
+),
+pd AS (
+  SELECT d.vec_id AS probe_id, d.s, d.j, d.d
+  FROM dist d
+  WHERE d.vec_id % 97 = 0
+),
+adc AS (
+  SELECT p0.probe_id, c.vec_id AS neighbor_id,
+         ((p0.d + p1.d) + p2.d) + p3.d AS dist
+  FROM codes c
+  JOIN pd p0 ON p0.s = 0 AND p0.j = c.c0
+  JOIN pd p1 ON p1.s = 1 AND p1.j = c.c1 AND p1.probe_id = p0.probe_id
+  JOIN pd p2 ON p2.s = 2 AND p2.j = c.c2 AND p2.probe_id = p0.probe_id
+  JOIN pd p3 ON p3.s = 3 AND p3.j = c.c3 AND p3.probe_id = p0.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS adc_micro,
+         row_number() OVER (
+           PARTITION BY probe_id
+           ORDER BY CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) ASC,
+                    neighbor_id ASC
+         ) AS rank
+  FROM adc
+)
+SELECT probe_id, neighbor_id, adc_micro, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_docs_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot distribution drift (r15, ``operators/drift.py``): the
+    shape check a continuously-ingested corpus runs before the
+    expensive pipeline stages -- per-language total-variation and
+    chi-square distance between two snapshots' document-length
+    histograms (here the even/odd doc_id halves standing in for
+    month N and month N+1). PSI is deliberately NOT the statistic:
+    it needs ``ln``, which is 1-ulp libm-dependent; both distances
+    here use only +, -, *, /, abs on doubles with the bucket fold
+    pinned left-to-right in bucket order (the engine's portable-float
+    discipline), and buckets are exact integer division
+    (``n_chars div 200``), so the oracle re-derives the identical
+    doubles and the 6-dp rounding can never straddle an ulp.
+
+    Scale shape: one (group, bucket) count aggregate per snapshot
+    fused in a single shuffle via the tagged union; totals derive
+    from the bucket counts (no second aggregate scan); the folded
+    lists are bounded by groups x buckets, never rows. The two
+    documents scans are the snapshot-vs-snapshot measurement shape
+    itself (allowlisted; in production the snapshots are different
+    partitions of the lake)."""
+    from .operators import drift
+
+    docs = t(spark, sf_dir, "documents")
+    baseline = docs.filter(F.col("doc_id") % 2 == 0)
+    current = docs.filter(F.col("doc_id") % 2 == 1)
+    return drift.histogram_drift(
+        baseline, current, value_col="n_chars", group_col="lang", bucket_width=200
+    ).orderBy("lang")
+
+
+SQL_DOCS_SNAPSHOT_DRIFT = """
+WITH tagged AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) // 200 AS b,
+         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS side
+  FROM documents
+),
+cnts AS (
+  SELECT g, b,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cb,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+  FROM tagged GROUP BY 1, 2
+),
+tot AS (
+  SELECT g, SUM(cb) AS tb, SUM(cc) AS tc FROM cnts GROUP BY 1
+),
+terms AS (
+  SELECT c.g, c.b,
+         CAST(c.cb AS DOUBLE) / CAST(t.tb AS DOUBLE) AS p,
+         CAST(c.cc AS DOUBLE) / CAST(t.tc AS DOUBLE) AS q
+  FROM cnts c JOIN tot t ON c.g = t.g
+)
+SELECT g AS lang,
+       CAST(COUNT(*) AS INTEGER) AS n_buckets,
+       ROUND(0.5 * list_reduce(list(abs(p - q) ORDER BY b), (a, x) -> a + x), 6)
+           AS tvd,
+       ROUND(list_reduce(list(((p - q) * (p - q)) / (p + q) ORDER BY b),
+                         (a, x) -> a + x), 6) AS chi_square
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -9616,6 +9848,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_versioned_cdf": q_orders_versioned_cdf,
     "docs_leakage_split": q_docs_leakage_split,
     "docs_token_budget_mix": q_docs_token_budget_mix,
+    "docs_temperature_mix": q_docs_temperature_mix,
+    "embedding_pq_adc_topk": q_embedding_pq_adc_topk,
+    "docs_snapshot_drift": q_docs_snapshot_drift,
     # --- TPC-H decision-support shapes, round-4 second batch (11) ---
     "part_cheapest_supplier": q_part_cheapest_supplier,
     "nation_pair_trade": q_nation_pair_trade,
@@ -9690,13 +9925,15 @@ _DRIVER_WINDOW: list[str] = [
     # 4 r10 stragglers FIRST (approx_distinct_quantiles,
     # orders_profile, customer_order_distribution,
     # large_volume_orders -- 5 rounds stale, the registry's staleness
-    # floor) + this round's NEW registration (docs_epoch_resume, the
-    # mid-epoch resume oracle) + 37 of the 42-query r11 cohort, now
-    # the stalest bulk.  The r11 queries that did not fit
-    # (set_operations, string_document_ids, synthvecs_ivf_200k,
-    # top_supplier, union_sources) LEAD the r16 window; after this
-    # round the staleness floor is r11 for exactly those five and r12
-    # for everything else.
+    # floor) + this round's FOUR new registrations (docs_epoch_resume,
+    # docs_temperature_mix, docs_snapshot_drift, embedding_pq_adc_topk
+    # -- every new query debuts driver-checked) + 34 of the 42-query
+    # r11 cohort, now the stalest bulk.  The r11 queries that did not
+    # fit (set_operations, string_document_ids, synthvecs_ivf_200k,
+    # top_supplier, union_sources, order_priority_exists,
+    # regional_supplier_volume, running_totals) LEAD the r16 window;
+    # after this round the staleness floor is r11 for exactly those
+    # eight and r12 for everything else.
     "flagship_revenue_by_month",
     "pricing_summary",
     "dq_exceptions_orders",
@@ -9710,6 +9947,9 @@ _DRIVER_WINDOW: list[str] = [
     "customer_order_distribution",
     "large_volume_orders",
     "docs_epoch_resume",
+    "docs_temperature_mix",
+    "docs_snapshot_drift",
+    "embedding_pq_adc_topk",
     "brand_revenue",
     "case_insensitive_filter",
     "cube_revenue",
@@ -9744,9 +9984,6 @@ _DRIVER_WINDOW: list[str] = [
     "literal_map_join",
     "min_per_group",
     "month_end_keys",
-    "order_priority_exists",
-    "regional_supplier_volume",
-    "running_totals",
 ]
 
 
@@ -9842,6 +10079,9 @@ ORACLES: dict[str, str] = {
     "orders_versioned_cdf": SQL_ORDERS_VERSIONED_CDF,
     "docs_leakage_split": SQL_DOCS_LEAKAGE_SPLIT,
     "docs_token_budget_mix": SQL_DOCS_TOKEN_BUDGET_MIX,
+    "docs_temperature_mix": SQL_DOCS_TEMPERATURE_MIX,
+    "embedding_pq_adc_topk": SQL_EMBEDDING_PQ_ADC_TOPK,
+    "docs_snapshot_drift": SQL_DOCS_SNAPSHOT_DRIFT,
     "part_cheapest_supplier": SQL_PART_CHEAPEST_SUPPLIER,
     "nation_pair_trade": SQL_NATION_PAIR_TRADE,
     "important_parts_value": SQL_IMPORTANT_PARTS_VALUE,

@@ -256,6 +256,85 @@ def token_budget_mix(
     return out.filter(_hash_bucket(id_col) < keep * 65536.0).drop("__src", "_keep")
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    source_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-resampled domain mixture: sample each domain at a
+    rate proportional to ``n_d**alpha`` (alpha < 1 flattens the mix --
+    the standard multilingual/multi-domain LM rebalancing, e.g. mBERT
+    and XLM-R exponent-smoothed sampling) under a total budget of
+    ``budget_frac`` of the corpus. Per-domain weight
+    ``w_d = n_d**alpha / sum_d n_d**alpha``; quota
+    ``budget_frac * total * w_d``; keep rate ``min(1, quota / n_d)``;
+    membership is the shared deterministic md5 bucket
+    (``sample_by_hash``), so the mix is reproducible across engines,
+    runs, and partitionings.
+
+    Engine-portability of the float math: ``alpha == 0.5`` (the
+    common default) is computed with ``sqrt`` -- correctly rounded
+    per IEEE 754 in both the JVM and C libm, so the rates are
+    bit-identical across engines; other alphas use ``pow`` (1-ulp
+    bound, close but not contractually exact). The weight denominator
+    is a LEFT FOLD over the domain-name-sorted rate list in both this
+    plan and the SQL oracle, pinning the summation order doubles need
+    for bitwise-equal results.
+
+    Scale shape: ONE narrow count aggregate over the corpus (domain
+    cardinality is tiny), a single-row pack to compute the fold-left
+    denominator, and a broadcast join of the per-domain rates back --
+    the corpus text never shuffles, and the keep predicate is
+    map-side."""
+    counts = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    packed = counts.agg(
+        F.expr("array_sort(collect_list(struct(__src, _n)))").alias("_all")
+    )
+    if alpha == 0.5:
+        s_expr = "sqrt(cast(x._n as double))"
+        s_col = F.sqrt(F.col("_n").cast("double"))
+    else:
+        s_expr = f"pow(cast(x._n as double), {alpha!r})"
+        s_col = F.pow(F.col("_n").cast("double"), F.lit(alpha))
+    rates = (
+        packed.select(
+            F.expr(
+                "aggregate(_all, cast(0 as bigint), (a, x) -> a + x._n)"
+            ).alias("_total"),
+            F.expr(
+                f"aggregate(_all, cast(0.0 as double), (a, x) -> a + {s_expr})"
+            ).alias("_S"),
+            F.explode("_all").alias("_e"),
+        )
+        .select(
+            F.col("_e.__src").alias("__src"),
+            F.col("_e._n").alias("_n"),
+            "_total",
+            "_S",
+        )
+        .select(
+            "__src",
+            F.least(
+                F.lit(1.0),
+                (
+                    (F.lit(budget_frac) * F.col("_total").cast("double"))
+                    * (s_col / F.col("_S"))
+                )
+                / F.col("_n").cast("double"),
+            ).alias("_keep"),
+        )
+    )
+    out = df.join(
+        F.broadcast(rates), df[source_col] == rates["__src"], "left"
+    )
+    keep = F.coalesce(F.col("_keep"), F.lit(0.0))
+    return out.filter(_hash_bucket(id_col) < keep * 65536.0).drop("__src", "_keep")
+
+
 def incremental_ingest(
     spark: SparkSession,
     new_docs: DataFrame,

@@ -2373,3 +2373,149 @@ def test_vec_matrix_rejects_ragged(spark):
         {"vec_id": [1, 2], "embedding": [[1.0, 2.0], [3.0, 4.0]]}
     )
     assert similarity._vec_matrix(ok, "embedding", 2).shape == (2, 2)
+
+
+def test_temperature_mix_exact_membership(spark):
+    """r15 temperature_mix: rates follow n**0.5 flattening under the
+    budget, membership is the shared md5 bucket (replayed here in pure
+    Python, so the test pins the exact keep set), rare domains keep a
+    LARGER share than their raw frequency, and the schedule is
+    partition-independent."""
+    import hashlib
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.corpus import (
+        temperature_mix,
+    )
+
+    rows = (
+        [(i, "A") for i in range(400)]
+        + [(i, "B") for i in range(400, 500)]
+        + [(i, "C") for i in range(500, 525)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, alpha=0.5, budget_frac=0.5).collect()
+
+    # replay the operator's documented math exactly
+    import math
+
+    counts = {"A": 400, "B": 100, "C": 25}
+    total = float(sum(counts.values()))
+    s = 0.0
+    for d in sorted(counts):  # fold-left in domain-name order
+        s += math.sqrt(float(counts[d]))
+    rates = {
+        d: min(1.0, ((0.5 * total) * (math.sqrt(float(n)) / s)) / float(n))
+        for d, n in counts.items()
+    }
+    expected = set()
+    for i, d in rows:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        if bucket < rates[d] * 65536.0:
+            expected.add(i)
+    assert {r["doc_id"] for r in out} == expected
+
+    # temperature flattening: per-domain keep share grows as n shrinks
+    kept = {d: sum(1 for r in out if r["lang"] == d) for d in counts}
+    assert kept["C"] / 25 > kept["B"] / 100 > kept["A"] / 400
+    # the rare domain keeps everything under this budget (rate hits 1)
+    assert rates["C"] == 1.0 and kept["C"] == 25
+
+    # partition-independence
+    out2 = temperature_mix(df.repartition(7), alpha=0.5, budget_frac=0.5).collect()
+    assert {r["doc_id"] for r in out2} == expected
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """r15 product quantization: codebooks are deterministic and
+    partition-independent, codes are 1-based indices whose codeword is
+    genuinely the argmin (a vector equal to a seed encodes to that
+    seed's codeword with zero distance), and ADC's minimum is achieved
+    by the probe's own code assignment (sum of per-subspace minima),
+    so the probe itself ranks at the global ADC floor."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import pq
+
+    # deterministic synthetic vectors: dim 8, LCG values in [0, 1)
+    def vec(i: int) -> list[float]:
+        x, out = (i * 2654435761 + 1) % (2**32), []
+        for _ in range(8):
+            x = (x * 1664525 + 1013904223) % (2**32)
+            out.append(round(x / 2**32, 6))
+        return out
+
+    rows = [(i, vec(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = pq.pq_seed_codebooks(df, dim=8, m=2, k_codes=4)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(len(cw) == 4 for b in books for cw in b)
+    books2 = pq.pq_seed_codebooks(df.repartition(5), dim=8, m=2, k_codes=4)
+    assert books == books2
+
+    codes = pq.pq_encode(df, books)
+    rows_c = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in codes.collect()}
+    assert all(1 <= c <= 4 for pair in rows_c.values() for c in pair)
+    assert len({pair[0] for pair in rows_c.values()}) > 1  # codes spread
+
+    # a vector equal to a seed encodes to that seed's codeword exactly
+    import hashlib
+
+    seed_ids = sorted(
+        range(40), key=lambda i: (hashlib.md5(f"pq:{i}".encode()).hexdigest(), i)
+    )[:4]
+    for j, sid in enumerate(
+        sorted(seed_ids, key=lambda i: hashlib.md5(f"pq:{i}".encode()).hexdigest())
+    ):
+        sv = [float(x) for x in df.filter(F.col("vec_id") == sid).first()["embedding"]]
+        c0, c1 = rows_c[sid]
+        assert books[0][c0 - 1] == [float(v) for v in sv[:4]]
+        assert books[1][c1 - 1] == [float(v) for v in sv[4:]]
+
+    probes = df.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    top = pq.pq_adc_topk(df, probes, books, k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    # ADC floor: rank-1 distance == the probe's own-code distance,
+    # which is the per-subspace minimum sum by construction
+    own = [r for r in top if r["neighbor_id"] == 7]
+    assert own and own[0]["adc_micro"] == top[0]["adc_micro"]
+    assert all(
+        top[i]["adc_micro"] <= top[i + 1]["adc_micro"] for i in range(len(top) - 1)
+    )
+
+
+def test_histogram_drift_exact_and_invariant(spark):
+    """r15 histogram_drift: identical snapshots score zero on both
+    statistics, a known hand-computable shift scores exactly its TVD
+    and chi-square, and the result is partition-independent."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import drift
+
+    base = spark.createDataFrame(
+        [("en", 100)] * 8 + [("en", 300)] * 2, "lang string, n_chars int"
+    )
+    # identical distributions -> zero drift
+    z = drift.histogram_drift(base, base, bucket_width=200).collect()
+    assert len(z) == 1 and z[0]["tvd"] == 0.0 and z[0]["chi_square"] == 0.0
+
+    # hand-computed shift: baseline p = (0.8, 0.2), current q = (0.5, 0.5)
+    cur = spark.createDataFrame(
+        [("en", 100)] * 5 + [("en", 300)] * 5, "lang string, n_chars int"
+    )
+    d = drift.histogram_drift(base, cur, bucket_width=200).collect()[0]
+    assert d["n_buckets"] == 2
+    assert d["tvd"] == 0.3  # 0.5 * (|0.8-0.5| + |0.2-0.5|)
+    # chi2 = 0.09/1.3 + 0.09/0.7, emitted at 6 dp
+    assert d["chi_square"] == round(0.09 / 1.3 + 0.09 / 0.7, 6)
+
+    # a bucket present on only one side still contributes its full mass
+    cur2 = spark.createDataFrame(
+        [("en", 900)] * 10, "lang string, n_chars int"
+    )
+    d2 = drift.histogram_drift(base, cur2, bucket_width=200).collect()[0]
+    assert d2["tvd"] == 1.0 and d2["n_buckets"] == 3
+
+    # partition-independence
+    d3 = drift.histogram_drift(
+        base.repartition(5), cur.repartition(3), bucket_width=200
+    ).collect()[0]
+    assert (d3["tvd"], d3["chi_square"]) == (d["tvd"], d["chi_square"])

@@ -255,6 +255,27 @@ ALLOW: dict[str, dict[str, str]] = {
         "would persist a corpus-sized tokenized intermediate -- "
         "rescanning is the 100 TB-correct choice",
     },
+    "docs_temperature_mix": {
+        "multi_scan:documents": "derived-threshold two-pass (same "
+        "adjudication as docs_token_budget_mix): pass 1 counts per "
+        "language (tiny), pass 2 filters the corpus by the derived "
+        "temperature rate; rescanning beats persisting a corpus-sized "
+        "intermediate at 100 TB",
+    },
+    "docs_snapshot_drift": {
+        "multi_scan:documents": "snapshot-vs-snapshot measurement "
+        "shape: the two sides ARE two snapshot roles of the table "
+        "(in production, different lake partitions); each side is "
+        "one narrow count aggregate",
+    },
+    "embedding_pq_adc_topk": {
+        "multi_scan:embeddings": "probe-vs-corpus: the bounded probe "
+        "slice precomputes its distance tables beside the corpus "
+        "code scan; PQ codebooks are driver literals (a bounded "
+        "16-row build-time collect, not a plan scan)",
+        "nested_loop": "probe set broadcasts (bounded, vec_id % 97); "
+        "the codes side never shuffles -- the ADC scan shape",
+    },
     "embedding_cosine_topk": {
         "multi_scan:embeddings": "probe-vs-corpus: the bounded probe "
         "slice (vec_id filter pushed) broadcasts against the corpus "
