@@ -389,7 +389,7 @@ def effective_budget_view(result: dict) -> dict:
         eff["kmeans_k64"] = eff_k
     anns = [r.get("ann_1m") or {} for r in runs]
     eff_ann: dict = {}
-    for part in ("ann_1m_ivf", "ann_1m_lsh"):
+    for part in ("ann_1m_ivf", "ann_1m_lsh", "ann_1m_pq"):
         sub = [a.get(part) or {} for a in anns]
         row = {}
         for field in set().union(*[set(s) for s in sub]) if sub else set():
@@ -1043,6 +1043,43 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                 }
                 t_lsh_arrow = time.perf_counter() - start
                 cents.unpersist()
+                # PQ lane (r15): the memory-bound ANN member. Codebooks
+                # are md5-seeded (m=8 subspaces x 256 codewords -> 8
+                # bytes/vector, 32x vs float32); encode materializes the
+                # codes table once (the index build analog); plain ADC
+                # and ADC->exact-rerank (top-1000 shortlist) probe the
+                # SAME 16 probes against the same brute-force truth.
+                # normalize=True on both sides so ADC's L2 ordering
+                # matches the cosine truth metric.
+                from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
+                    pq as _pq,
+                )
+
+                start = time.perf_counter()
+                books_pq = _pq.pq_seed_codebooks_np(
+                    corpus, dim=64, m=8, k_codes=256, normalize=True
+                )
+                pq_codes = _pq.pq_encode_arrow(corpus, books_pq, normalize=True)
+                pq_codes.persist().count()
+                t_pq_encode = time.perf_counter() - start
+                start = time.perf_counter()
+                pq_found = {
+                    (r["probe_id"], r["neighbor_id"])
+                    for r in _pq.pq_adc_topk_arrow(
+                        pq_codes, probes, books_pq, k=10, normalize=True
+                    ).collect()
+                }
+                t_pq_adc = time.perf_counter() - start
+                start = time.perf_counter()
+                pq_rr = {
+                    (r["probe_id"], r["neighbor_id"])
+                    for r in _pq.pq_adc_rerank_topk(
+                        corpus, pq_codes, probes, books_pq,
+                        k=10, rerank=1000, normalize=True,
+                    ).collect()
+                }
+                t_pq_rerank = time.perf_counter() - start
+                pq_codes.unpersist()
                 out["ann_1m"] = {
                     "n_vecs": n_vecs,
                     "dim": 64,
@@ -1060,6 +1097,19 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                         "t_probe_12planes_arrow": round(t_lsh_arrow, 3),
                         "recall_at_10_arrow": round(
                             len(lsh_arrow & truth) / max(len(truth), 1), 4
+                        ),
+                    },
+                    "ann_1m_pq": {
+                        "m": 8,
+                        "k_codes": 256,
+                        "t_encode": round(t_pq_encode, 3),
+                        "t_probe_adc": round(t_pq_adc, 3),
+                        "recall_at_10_adc": round(
+                            len(pq_found & truth) / max(len(truth), 1), 4
+                        ),
+                        "t_probe_rerank1000": round(t_pq_rerank, 3),
+                        "recall_at_10_rerank": round(
+                            len(pq_rr & truth) / max(len(truth), 1), 4
                         ),
                     },
                 }

@@ -197,3 +197,249 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+def pq_seed_codebooks_np(
+    vecs: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+):
+    """Codebooks as a ``(m, k_codes, dim//m)`` float64 ndarray for the
+    Arrow path -- same deterministic md5 seed selection as
+    ``pq_seed_codebooks`` but sized for production (k_codes=256 -> one
+    byte per code; the expression form stays at k=16 because a 256-way
+    argmin as a literal codegen expression is exactly the blow-up the
+    Arrow path exists to avoid). ``normalize`` L2-normalizes seeds so
+    ADC's L2 ordering matches cosine ordering on normalized corpora."""
+    import numpy as np
+
+    seeds = (
+        vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("pq:"), F.col("_id").cast("string")))
+        )
+        .orderBy("_h", "_id")
+        .limit(k_codes)
+        .collect()
+    )
+    if len(seeds) < k_codes:
+        raise ValueError(
+            f"need at least {k_codes} vectors to seed the codebooks, "
+            f"got {len(seeds)}"
+        )
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    mat = np.array([row["_v"] for row in seeds], dtype=np.float64)
+    if normalize:
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat.reshape(k_codes, m, sub).transpose(1, 0, 2).copy()
+
+
+def pq_encode_arrow(
+    corpus: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Arrow-batched PQ encoder (``mapInArrow``): per batch, the
+    ``(n, dim)`` block computes all-subspace squared distances against
+    the ``(m, k, sub)`` codebook tensor with one broadcasted numpy
+    subtraction per subspace and emits 1-based argmin codes as an
+    ``array<int>`` column. The codebook rides in the closure (tiny);
+    no shuffle -- encoding is embarrassingly parallel, which is what
+    makes PQ index builds linear at 100 TB."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .similarity import _vec_matrix
+
+    m, _k, sub = books.shape
+    dim = m * sub
+    out_schema = (
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        "codes array<int>"
+    )
+
+    def encode(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            X = _vec_matrix(batch, vec_col, dim).astype(np.float64)
+            if normalize:
+                X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                # drops the ||x||^2 term
+                d = books[s] @ Xs.T  # (k, n)
+                cn = (books[s] * books[s]).sum(axis=1)[:, None]  # (k, 1)
+                codes[:, s] = np.argmin(cn - 2.0 * d, axis=0) + 1
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame({id_col: ids, "codes": list(codes)}),
+                preserve_index=False,
+            )
+
+    from .dedup import spread_partitions
+
+    return spread_partitions(corpus.select(id_col, vec_col)).mapInArrow(
+        encode, schema=out_schema
+    )
+
+
+def pq_adc_topk_arrow(
+    codes: DataFrame,
+    probes: DataFrame,
+    books,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Arrow-batched ADC search over a pre-encoded codes table: probes
+    collect (bounded) and precompute their ``(p, m, k)`` distance
+    tables; each Arrow batch gathers per-subspace table entries by
+    fancy-indexing the codes matrix and emits its local top-k per
+    probe, so the shuffle carries ``partitions x probes x k`` rows --
+    the codes themselves never move. A final window ranks candidates
+    globally. Same candidate-flow discipline as
+    ``similarity.cosine_topk_arrow``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    m, _kc, sub = books.shape
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    probe_ids = [r[0] for r in probe_rows]
+    pm = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    if normalize:
+        pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    # dt[pi, s, j] = ||probe_sub - codeword_j||^2
+    dt = np.stack(
+        [
+            (
+                (pm[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    out_schema = (
+        f"probe_id {probes.schema[probe_id_col].dataType.simpleString()}, "
+        f"neighbor_id {codes.schema[id_col].dataType.simpleString()}, "
+        "adc_dist double"
+    )
+
+    def search(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            cl = batch.column(batch.schema.get_field_index("codes"))
+            cmat = np.asarray(cl.flatten()).reshape(len(ids), m) - 1  # 0-based
+            frames = []
+            for pi, pid in enumerate(probe_ids):
+                # adc = sum_s dt[pi, s, code_s]
+                adc = dt[pi, np.arange(m)[None, :], cmat].sum(axis=1)
+                top = min(k, adc.shape[0])
+                idx = np.argpartition(adc, top - 1)[:top]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pid,
+                            "neighbor_id": ids[idx],
+                            "adc_dist": adc[idx],
+                        }
+                    )
+                )
+            yield pa.RecordBatch.from_pandas(
+                pd.concat(frames), preserve_index=False
+            )
+
+    candidates = codes.mapInArrow(search, schema=out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    codes: DataFrame,
+    probes: DataFrame,
+    books,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """The standard production PQ recipe: ADC over the codes table
+    shortlists ``rerank`` candidates per probe, then ONLY those
+    candidates' raw vectors are re-scored with exact cosine and the
+    top ``k`` win. The refetch is a broadcast semi-join of the
+    (probes x rerank)-bounded candidate set against the corpus -- at
+    100 TB that is the only stage touching raw floats, and it touches
+    ``probes * rerank`` rows of them, not the corpus."""
+    from .similarity import _dot, _norm
+
+    cand = pq_adc_topk_arrow(
+        codes,
+        probes,
+        books,
+        k=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
+        normalize=normalize,
+    ).select("probe_id", "neighbor_id")
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pvec"),
+        _norm(F.col(vec_col)).alias("_pnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(cand), on="neighbor_id")
+        .join(F.broadcast(p), on="probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_cvec"), F.col("_pvec"))
+                / (F.col("_cnorm") * F.col("_pnorm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -2519,3 +2519,53 @@ def test_histogram_drift_exact_and_invariant(spark):
         base.repartition(5), cur.repartition(3), bucket_width=200
     ).collect()[0]
     assert (d3["tvd"], d3["chi_square"]) == (d["tvd"], d["chi_square"])
+
+
+def test_pq_arrow_matches_expression_form(spark):
+    """r15 Arrow PQ twins: the numpy encoder yields the same codes as
+    the expression form (same argmin, same tie direction), and the
+    Arrow ADC search returns the same ranked neighbor sets as the
+    expression-form micro-ranked search."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import pq
+
+    def vec(i: int) -> list[float]:
+        x, out = (i * 2654435761 + 11) % (2**32), []
+        for _ in range(8):
+            x = (x * 1664525 + 1013904223) % (2**32)
+            out.append(round(x / 2**32, 6))
+        return out
+
+    rows = [(i, vec(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = pq.pq_seed_codebooks(df, dim=8, m=2, k_codes=4)
+    books_np = pq.pq_seed_codebooks_np(df, dim=8, m=2, k_codes=4)
+    assert books_np.shape == (2, 4, 4)
+    # same codebooks, both derivations
+    assert np.allclose(books_np, np.array(books), atol=0)
+
+    expr_codes = {
+        r["vec_id"]: (r["code_0"], r["code_1"])
+        for r in pq.pq_encode(df, books).collect()
+    }
+    arrow_codes = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq.pq_encode_arrow(df, books_np).collect()
+    }
+    assert expr_codes == arrow_codes
+
+    probes = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    expr_top = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in pq.pq_adc_topk(df, probes, books, k=5).collect()
+    }
+    codes_df = pq.pq_encode_arrow(df, books_np)
+    arrow_top = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in pq.pq_adc_topk_arrow(codes_df, probes, books_np, k=5).collect()
+    }
+    assert expr_top == arrow_top
