@@ -1047,10 +1047,17 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                 # are md5-seeded (m=8 subspaces x 256 codewords -> 8
                 # bytes/vector, 32x vs float32); encode materializes the
                 # codes table once (the index build analog); plain ADC
-                # and ADC->exact-rerank (top-1000 shortlist) probe the
+                # and ADC->exact-rerank (top-2000 shortlist) probe the
                 # SAME 16 probes against the same brute-force truth.
                 # normalize=True on both sides so ADC's L2 ordering
-                # matches the cosine truth metric.
+                # matches the cosine truth metric. recall_at_10_adc is
+                # EXPECTED to collapse at this density (~0.1): the 64-bit
+                # code space leaves tens of same-code vectors inside each
+                # cluster, ADC cannot order within a code group, and the
+                # id tie-break rarely picks the true top-10 -- which is
+                # exactly why the production recipe is shortlist+rerank
+                # (recall 1.0 at rerank=2000 here, 16x2000 raw-vector
+                # refetch). Both numbers are reported.
                 from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
                     pq as _pq,
                 )
@@ -1075,7 +1082,7 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                     (r["probe_id"], r["neighbor_id"])
                     for r in _pq.pq_adc_rerank_topk(
                         corpus, pq_codes, probes, books_pq,
-                        k=10, rerank=1000, normalize=True,
+                        k=10, rerank=2000, normalize=True,
                     ).collect()
                 }
                 t_pq_rerank = time.perf_counter() - start
@@ -1107,7 +1114,7 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                         "recall_at_10_adc": round(
                             len(pq_found & truth) / max(len(truth), 1), 4
                         ),
-                        "t_probe_rerank1000": round(t_pq_rerank, 3),
+                        "t_probe_rerank2000": round(t_pq_rerank, 3),
                         "recall_at_10_rerank": round(
                             len(pq_rr & truth) / max(len(truth), 1), 4
                         ),
