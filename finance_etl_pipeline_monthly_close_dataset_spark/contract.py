@@ -6330,6 +6330,96 @@ FROM terms GROUP BY 1 ORDER BY 1
 """
 
 
+def q_docs_ols_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distributed OLS + residual outliers (r15,
+    ``operators/regression.py``): fit ``tokens ~ chars + e_count`` by
+    the normal equations -- ONE exact integer-moment aggregate, a
+    3x3 Cramer solve as a 1-row projection (driver-free) -- then
+    surface the 10 documents whose token count deviates most from the
+    prediction (whitespace-stripped text, pathological tokenization).
+    The oracle runs the IDENTICAL generated determinant strings
+    (``regression.det3_sql`` -- same parenthesization, so the
+    coefficients are bit-identical), re-derives the integer moments
+    exactly, and replays the micro-quantized residual cut.
+
+    Scale shape: moment pass = map-side partials to one row; residual
+    pass = broadcast 1-row coefficients onto the feature scan with the
+    top-10 via sort+limit (TakeOrderedAndProject, never a global
+    window). Two documents scans -- the derived-threshold two-pass
+    shape (same adjudication as docs_token_budget_mix)."""
+    from .operators import regression as reg
+
+    docs = t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("y"),
+        F.col("n_chars").cast("bigint").alias("x1"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, 'e', '')"))
+        ).cast("bigint").alias("x2"),
+    )
+    coefs = reg.ols_fit_3x3(feats).persist()
+    out = reg.residual_outliers(feats, coefs.select("b0", "b1", "b2"), k=10)
+    return out.crossJoin(
+        F.broadcast(
+            coefs.select(
+                F.round("b0", 6).alias("b0_r"),
+                F.round("b1", 6).alias("b1_r"),
+                F.round("b2", 6).alias("b2_r"),
+            )
+        )
+    )
+
+
+def _ols_outliers_sql() -> str:
+    from .operators import regression as reg
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS y,
+         CAST(n_chars AS BIGINT) AS x1,
+         CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x2
+  FROM documents
+),
+sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS n_d,
+         CAST(CAST(SUM(x1) AS BIGINT) AS DOUBLE) AS sx1,
+         CAST(CAST(SUM(x2) AS BIGINT) AS DOUBLE) AS sx2,
+         CAST(CAST(SUM(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+         CAST(CAST(SUM(x2 * y) AS BIGINT) AS DOUBLE) AS s2y
+  FROM feats
+),
+coefs AS (
+  SELECT (({reg.DET_B0}) / ({reg.DET_A})) AS b0,
+         (({reg.DET_B1}) / ({reg.DET_A})) AS b1,
+         (({reg.DET_B2}) / ({reg.DET_A})) AS b2
+  FROM sums
+),
+scored AS (
+  SELECT f.doc_id, f.y AS y_obs,
+         CAST(floor(abs(CAST(f.y AS DOUBLE) -
+              ((c.b0 + (c.b1 * CAST(f.x1 AS DOUBLE))) +
+               (c.b2 * CAST(f.x2 AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT)
+             AS abs_resid_micro
+  FROM feats f CROSS JOIN coefs c
+)
+SELECT s.doc_id, s.y_obs, s.abs_resid_micro,
+       round(c.b0, 6) AS b0_r, round(c.b1, 6) AS b1_r, round(c.b2, 6) AS b2_r
+FROM (SELECT * FROM scored
+      ORDER BY abs_resid_micro DESC, doc_id ASC LIMIT 10) s
+CROSS JOIN coefs c
+"""
+
+
+SQL_DOCS_OLS_OUTLIERS = _ols_outliers_sql()
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 1 << 14, 4
 
 
@@ -9851,6 +9941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_temperature_mix": q_docs_temperature_mix,
     "embedding_pq_adc_topk": q_embedding_pq_adc_topk,
     "docs_snapshot_drift": q_docs_snapshot_drift,
+    "docs_ols_outliers": q_docs_ols_outliers,
     # --- TPC-H decision-support shapes, round-4 second batch (11) ---
     "part_cheapest_supplier": q_part_cheapest_supplier,
     "nation_pair_trade": q_nation_pair_trade,
@@ -9927,13 +10018,14 @@ _DRIVER_WINDOW: list[str] = [
     # large_volume_orders -- 5 rounds stale, the registry's staleness
     # floor) + this round's FOUR new registrations (docs_epoch_resume,
     # docs_temperature_mix, docs_snapshot_drift, embedding_pq_adc_topk
-    # -- every new query debuts driver-checked) + 34 of the 42-query
+    # -- every new query debuts driver-checked; docs_ols_outliers,
+    # the fifth new registration, debuts too) + 33 of the 42-query
     # r11 cohort, now the stalest bulk.  The r11 queries that did not
     # fit (set_operations, string_document_ids, synthvecs_ivf_200k,
     # top_supplier, union_sources, order_priority_exists,
-    # regional_supplier_volume, running_totals) LEAD the r16 window;
-    # after this round the staleness floor is r11 for exactly those
-    # eight and r12 for everything else.
+    # regional_supplier_volume, running_totals, month_end_keys) LEAD
+    # the r16 window; after this round the staleness floor is r11 for
+    # exactly those nine and r12 for everything else.
     "flagship_revenue_by_month",
     "pricing_summary",
     "dq_exceptions_orders",
@@ -9950,6 +10042,7 @@ _DRIVER_WINDOW: list[str] = [
     "docs_temperature_mix",
     "docs_snapshot_drift",
     "embedding_pq_adc_topk",
+    "docs_ols_outliers",
     "brand_revenue",
     "case_insensitive_filter",
     "cube_revenue",
@@ -9983,7 +10076,6 @@ _DRIVER_WINDOW: list[str] = [
     "global_extremes",
     "literal_map_join",
     "min_per_group",
-    "month_end_keys",
 ]
 
 
@@ -10082,6 +10174,7 @@ ORACLES: dict[str, str] = {
     "docs_temperature_mix": SQL_DOCS_TEMPERATURE_MIX,
     "embedding_pq_adc_topk": SQL_EMBEDDING_PQ_ADC_TOPK,
     "docs_snapshot_drift": SQL_DOCS_SNAPSHOT_DRIFT,
+    "docs_ols_outliers": SQL_DOCS_OLS_OUTLIERS,
     "part_cheapest_supplier": SQL_PART_CHEAPEST_SUPPLIER,
     "nation_pair_trade": SQL_NATION_PAIR_TRADE,
     "important_parts_value": SQL_IMPORTANT_PARTS_VALUE,

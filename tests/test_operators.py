@@ -2569,3 +2569,42 @@ def test_pq_arrow_matches_expression_form(spark):
         for r in pq.pq_adc_topk_arrow(codes_df, probes, books_np, k=5).collect()
     }
     assert expr_top == arrow_top
+
+
+def test_ols_fit_exact_and_outliers(spark):
+    """r15 closed-form OLS: on exactly-linear integer data the Cramer
+    solve recovers the coefficients to float precision and every
+    residual is ~0; planting one violator makes it the top outlier
+    with its exact micro residual; the integer-moment fit is
+    partition-independent (exact sums, shuffle-safe)."""
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
+        regression as reg,
+    )
+
+    # y = 7 + 3*x1 - 2*x2, integers by construction
+    rows = [
+        (i, 7 + 3 * x1 - 2 * x2, x1, x2)
+        for i, (x1, x2) in enumerate(
+            (a, b) for a in range(1, 11) for b in range(1, 6)
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y long, x1 long, x2 long")
+    c = reg.ols_fit_3x3(df).collect()[0]
+    assert c["n"] == 50
+    assert abs(c["b0"] - 7.0) < 1e-9
+    assert abs(c["b1"] - 3.0) < 1e-9
+    assert abs(c["b2"] - (-2.0)) < 1e-9
+
+    # partition-independence: exact integer moments
+    c2 = reg.ols_fit_3x3(df.repartition(7)).collect()[0]
+    assert (c2["b0"], c2["b1"], c2["b2"]) == (c["b0"], c["b1"], c["b2"])
+
+    # plant a violator 100 above the plane: it must rank first, and on
+    # otherwise-exact data its residual is ~100 minus the tiny fit tilt
+    rows2 = rows + [(999, 7 + 3 * 5 - 2 * 3 + 100, 5, 3)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, y long, x1 long, x2 long")
+    coefs2 = reg.ols_fit_3x3(df2)
+    top = reg.residual_outliers(df2, coefs2.select("b0", "b1", "b2"), k=3).collect()
+    assert top[0]["doc_id"] == 999
+    assert top[0]["abs_resid_micro"] > 90_000_000  # > 90 in micro units
+    assert top[0]["abs_resid_micro"] > top[1]["abs_resid_micro"]

@@ -255,6 +255,17 @@ ALLOW: dict[str, dict[str, str]] = {
         "would persist a corpus-sized tokenized intermediate -- "
         "rescanning is the 100 TB-correct choice",
     },
+    "docs_ols_outliers": {
+        "multi_scan:documents": "derived-threshold two-pass (same "
+        "adjudication as docs_token_budget_mix): pass 1 is the "
+        "integer-moment aggregate to one row, pass 2 re-scans the "
+        "features to score residuals against the broadcast "
+        "coefficients; persisting corpus-sized features to save the "
+        "scan is the wrong trade at 100 TB",
+        "nested_loop": "two 1-row broadcasts: the coefficient frame "
+        "onto the residual scan, and the rounded-coefficient columns "
+        "onto the 10-row outlier result",
+    },
     "docs_temperature_mix": {
         "multi_scan:documents": "derived-threshold two-pass (same "
         "adjudication as docs_token_budget_mix): pass 1 counts per "
