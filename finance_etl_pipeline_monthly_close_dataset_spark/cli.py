@@ -79,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
             "dedup", "quality-filter", "split", "pack", "decontaminate",
             "sample", "redact", "collocations", "chunk", "embed", "ingest",
             "zorder", "mix", "retrieve", "semdedup", "curate", "dup-spans",
-            "epoch-shards",
+            "epoch-shards", "temperature-mix", "drift",
         ],
     )
     corpus_p.add_argument("--in", dest="in_path", required=True)
@@ -105,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
                                "(sources not listed are dropped)")
     corpus_p.add_argument("--source-col", default="source", help="mix: source column")
     corpus_p.add_argument("--budget-tokens", type=int, default=2048, help="pack")
+    corpus_p.add_argument("--alpha", type=float, default=0.5,
+                          help="temperature-mix: sampling exponent (0.5 = sqrt flattening)")
+    corpus_p.add_argument("--budget-frac", type=float, default=0.5,
+                          help="temperature-mix: total corpus fraction to keep")
+    corpus_p.add_argument("--baseline", dest="baseline_path", default=None,
+                          help="drift: baseline snapshot docs path")
+    corpus_p.add_argument("--value-col", default="n_chars",
+                          help="drift: numeric column to histogram")
+    corpus_p.add_argument("--bucket-width", type=int, default=200,
+                          help="drift: histogram bucket width (integer division)")
     corpus_p.add_argument("--n-buckets", type=int, default=64, help="pack")
     corpus_p.add_argument("--benchmark", dest="benchmark_path", default=None,
                           help="decontaminate: benchmark docs path")

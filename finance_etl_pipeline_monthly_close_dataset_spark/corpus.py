@@ -528,6 +528,28 @@ def run(spark: SparkSession, args) -> tuple[int, int]:
             source_col=getattr(args, "source_col", "source"),
             id_col=args.id_col, text_col=args.text_col,
         )
+    elif args.op == "temperature-mix":
+        out = temperature_mix(
+            df,
+            alpha=getattr(args, "alpha", 0.5),
+            budget_frac=getattr(args, "budget_frac", 0.5),
+            source_col=getattr(args, "source_col", "source"),
+            id_col=args.id_col,
+        )
+    elif args.op == "drift":
+        if not getattr(args, "baseline_path", None):
+            raise SystemExit("corpus drift requires --baseline <docs path>")
+        from .operators.drift import histogram_drift
+
+        base = _read(spark, args.baseline_path, args.id_col, args.text_col)
+        out = histogram_drift(
+            base, df,
+            value_col=getattr(args, "value_col", "n_chars"),
+            group_col=getattr(args, "source_col", "source"),
+            bucket_width=getattr(args, "bucket_width", 200),
+        )
+        for r in out.orderBy(out.columns[0]).collect():
+            print("drift: " + ", ".join(f"{c}={r[c]}" for c in out.columns))
     elif args.op == "embed":
         out = text_analysis.feature_hash_embedding(
             df,
