@@ -389,7 +389,7 @@ def effective_budget_view(result: dict) -> dict:
         eff["kmeans_k64"] = eff_k
     anns = [r.get("ann_1m") or {} for r in runs]
     eff_ann: dict = {}
-    for part in ("ann_1m_ivf", "ann_1m_lsh", "ann_1m_pq"):
+    for part in ("ann_1m_ivf", "ann_1m_lsh", "ann_1m_pq", "ann_1m_ivfpq"):
         sub = [a.get(part) or {} for a in anns]
         row = {}
         for field in set().union(*[set(s) for s in sub]) if sub else set():
@@ -1042,7 +1042,8 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                     ).collect()
                 }
                 t_lsh_arrow = time.perf_counter() - start
-                cents.unpersist()
+                # cents stays persisted: the IVF-PQ lane below reuses
+                # the trained coarse quantizer (unpersisted after it)
                 # PQ lane (r15): the memory-bound ANN member. Codebooks
                 # are md5-seeded (m=8 subspaces x 256 codewords -> 8
                 # bytes/vector, 32x vs float32); encode materializes the
@@ -1087,6 +1088,51 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                 }
                 t_pq_rerank = time.perf_counter() - start
                 pq_codes.unpersist()
+                # IVF-PQ lane (r15): the FAISS-style composition --
+                # Lloyd k=64 coarse cells (REUSING the cents trained for
+                # the IVF lane) + residual PQ codes + cell-pruned ADC
+                # (nprobe=8 -> ~1/8 of the codes scanned) + the shared
+                # exact-rerank. The sublinear regime IVF adds to PQ's
+                # memory-bound scan; at 100 TB the codes table is
+                # ~(2+m) bytes/vector and the probe touches nprobe/64
+                # of it.
+                import numpy as _np
+
+                cent_rows = cents.orderBy("cell").collect()
+                C_np = _np.array(
+                    [r["centroid"] for r in cent_rows], dtype=_np.float64
+                )
+                start = time.perf_counter()
+                books_r = _pq.ivfpq_residual_books_np(
+                    corpus, C_np, dim=64, m=8, k_codes=256, normalize=True
+                )
+                ivfpq_codes = _pq.ivfpq_encode_arrow(
+                    corpus, C_np, books_r, normalize=True
+                )
+                ivfpq_codes.persist().count()
+                t_ivfpq_encode = time.perf_counter() - start
+                start = time.perf_counter()
+                ivfpq_found = {
+                    (r["probe_id"], r["neighbor_id"])
+                    for r in _pq.ivfpq_topk_arrow(
+                        ivfpq_codes, probes, C_np, books_r,
+                        k=10, nprobe=8, normalize=True,
+                    ).collect()
+                }
+                t_ivfpq = time.perf_counter() - start
+                start = time.perf_counter()
+                ivfpq_cand = _pq.ivfpq_topk_arrow(
+                    ivfpq_codes, probes, C_np, books_r,
+                    k=2000, nprobe=8, normalize=True,
+                )
+                ivfpq_rr = {
+                    (r["probe_id"], r["neighbor_id"])
+                    for r in _pq.rerank_exact_cosine(
+                        corpus, ivfpq_cand, probes, k=10
+                    ).collect()
+                }
+                t_ivfpq_rerank = time.perf_counter() - start
+                ivfpq_codes.unpersist()
                 out["ann_1m"] = {
                     "n_vecs": n_vecs,
                     "dim": 64,
@@ -1119,7 +1165,23 @@ def run_pass(spark, sf_dir: str, sf: float) -> dict:
                             len(pq_rr & truth) / max(len(truth), 1), 4
                         ),
                     },
+                    "ann_1m_ivfpq": {
+                        "n_cells": int(C_np.shape[0]),
+                        "nprobe": 8,
+                        "m": 8,
+                        "k_codes": 256,
+                        "t_encode": round(t_ivfpq_encode, 3),
+                        "t_probe_adc": round(t_ivfpq, 3),
+                        "recall_at_10_adc": round(
+                            len(ivfpq_found & truth) / max(len(truth), 1), 4
+                        ),
+                        "t_probe_rerank2000": round(t_ivfpq_rerank, 3),
+                        "recall_at_10_rerank": round(
+                            len(ivfpq_rr & truth) / max(len(truth), 1), 4
+                        ),
+                    },
                 }
+                cents.unpersist()
             finally:
                 shutil.rmtree(ann_dir, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001

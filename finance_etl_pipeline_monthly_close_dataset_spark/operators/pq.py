@@ -401,8 +401,6 @@ def pq_adc_rerank_topk(
     (probes x rerank)-bounded candidate set against the corpus -- at
     100 TB that is the only stage touching raw floats, and it touches
     ``probes * rerank`` rows of them, not the corpus."""
-    from .similarity import _dot, _norm
-
     cand = pq_adc_topk_arrow(
         codes,
         probes,
@@ -413,6 +411,28 @@ def pq_adc_rerank_topk(
         probe_id_col=probe_id_col,
         normalize=normalize,
     ).select("probe_id", "neighbor_id")
+    return rerank_exact_cosine(
+        corpus, cand, probes, k=k,
+        id_col=id_col, vec_col=vec_col, probe_id_col=probe_id_col,
+    )
+
+
+def rerank_exact_cosine(
+    corpus: DataFrame,
+    cand: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact-cosine rerank of a bounded (probe_id, neighbor_id)
+    candidate frame: broadcast semi-join refetches only the candidate
+    vectors, exact cosine scores them, one window ranks per probe.
+    Shared by the PQ and IVF-PQ shortlist+rerank recipes -- any
+    approximate shortlister can feed it."""
+    from .similarity import _dot, _norm
+
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"),
         F.col(vec_col).alias("_pvec"),
@@ -424,7 +444,7 @@ def pq_adc_rerank_topk(
         _norm(F.col(vec_col)).alias("_cnorm"),
     )
     scored = (
-        c.join(F.broadcast(cand), on="neighbor_id")
+        c.join(F.broadcast(cand.select("probe_id", "neighbor_id")), on="neighbor_id")
         .join(F.broadcast(p), on="probe_id")
         .select(
             "probe_id",
@@ -442,4 +462,232 @@ def pq_adc_rerank_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivfpq_encode_arrow(
+    corpus: DataFrame,
+    centroids,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """IVF-PQ index build (the FAISS-style composition): one Arrow
+    pass assigns each vector to its nearest coarse centroid AND
+    PQ-encodes the RESIDUAL ``x - centroid[cell]`` -- residual
+    encoding is what lets a shared codebook stay accurate across
+    cells, since residuals live in a common origin-centered ball
+    regardless of which cell a vector came from. Output per vector:
+    ``(id, cell, codes)`` -- with k_cells<=2^16 and k_codes<=256 that
+    is ~2 + m bytes of index per vector. Embarrassingly parallel, no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .similarity import _vec_matrix
+
+    m, _k, sub = books.shape
+    dim = m * sub
+    C = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+    cn = (C * C).sum(axis=1)[:, None]  # (n_cells, 1)
+    out_schema = (
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        "cell int, codes array<int>"
+    )
+
+    def encode(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            X = _vec_matrix(batch, vec_col, dim).astype(np.float64)
+            if normalize:
+                X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            cells = np.argmin(cn - 2.0 * (C @ X.T), axis=0)
+            R = X - C[cells]  # residuals
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Rs = R[:, s * sub : (s + 1) * sub]
+                B = books[s]
+                bn = (B * B).sum(axis=1)[:, None]
+                codes[:, s] = np.argmin(bn - 2.0 * (B @ Rs.T), axis=0) + 1
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cell": cells.astype(np.int32),
+                        "codes": list(codes),
+                    }
+                ),
+                preserve_index=False,
+            )
+
+    from .dedup import spread_partitions
+
+    return spread_partitions(corpus.select(id_col, vec_col)).mapInArrow(
+        encode, schema=out_schema
+    )
+
+
+def ivfpq_residual_books_np(
+    vecs: DataFrame,
+    centroids,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+):
+    """Residual codebooks for IVF-PQ: the same deterministic md5 seed
+    selection as ``pq_seed_codebooks_np``, but each seed contributes
+    its RESIDUAL against its nearest coarse centroid -- matching what
+    the encoder quantizes. Bounded collect (k_codes rows)."""
+    import numpy as np
+
+    seeds = (
+        vecs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("pq:"), F.col("_id").cast("string")))
+        )
+        .orderBy("_h", "_id")
+        .limit(k_codes)
+        .collect()
+    )
+    if len(seeds) < k_codes:
+        raise ValueError(
+            f"need at least {k_codes} vectors to seed the codebooks, "
+            f"got {len(seeds)}"
+        )
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    X = np.array([row["_v"] for row in seeds], dtype=np.float64)
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = np.asarray(centroids, dtype=np.float64)
+    cells = np.argmin(
+        (C * C).sum(axis=1)[:, None] - 2.0 * (C @ X.T), axis=0
+    )
+    R = X - C[cells]
+    return R.reshape(k_codes, m, sub).transpose(1, 0, 2).copy()
+
+
+def ivfpq_topk_arrow(
+    codes: DataFrame,
+    probes: DataFrame,
+    centroids,
+    books,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Cell-pruned ADC search over an IVF-PQ index: each probe ranks
+    the coarse centroids, keeps its ``nprobe`` nearest cells, and
+    builds one residual distance table PER PROBED CELL
+    (``dt[s][j] = ||(q - centroid)_s - codeword_j||^2`` -- the
+    residual tables are what make shared codebooks valid across
+    cells). The scan prunes to the UNION of probed cells with an
+    ordinary column predicate (partition/row-group prunable when the
+    codes table is laid out by cell), and within a batch each probe
+    only scores rows of its own probed cells. Candidate flow matches
+    ``pq_adc_topk_arrow``: local top-k per probe, one ranking
+    shuffle. At fixed nprobe the scanned fraction is ~nprobe/n_cells
+    of the corpus -- the sublinear regime IVF adds to PQ's
+    memory-bound scan."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    m, _kc, sub = books.shape
+    C = np.asarray(centroids, dtype=np.float64)
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    probe_ids = [r[0] for r in probe_rows]
+    pm = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    if normalize:
+        pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    cd = ((pm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (p, n_cells)
+    probed = np.argsort(cd, axis=1)[:, :nprobe]  # (p, nprobe)
+    # dt[(pi, cell)] = (m, k) residual table
+    tables: dict[tuple[int, int], "np.ndarray"] = {}
+    for pi in range(pm.shape[0]):
+        for cell in probed[pi]:
+            r = pm[pi] - C[cell]
+            tables[(pi, int(cell))] = np.stack(
+                [
+                    (
+                        (r[s * sub : (s + 1) * sub][None, :] - books[s]) ** 2
+                    ).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+    all_cells = sorted({int(c) for row in probed for c in row})
+
+    out_schema = (
+        f"probe_id {probes.schema[probe_id_col].dataType.simpleString()}, "
+        f"neighbor_id {codes.schema[id_col].dataType.simpleString()}, "
+        "adc_dist double"
+    )
+
+    def search(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            cells = batch.column(
+                batch.schema.get_field_index("cell")
+            ).to_numpy(zero_copy_only=False)
+            cl = batch.column(batch.schema.get_field_index("codes"))
+            cmat = np.asarray(cl.flatten()).reshape(len(ids), m) - 1
+            frames = []
+            for pi, pid in enumerate(probe_ids):
+                adcs, nids = [], []
+                for cell in probed[pi]:
+                    mask = cells == cell
+                    if not mask.any():
+                        continue
+                    dt = tables[(pi, int(cell))]
+                    sub_codes = cmat[mask]
+                    adcs.append(
+                        dt[np.arange(m)[None, :], sub_codes].sum(axis=1)
+                    )
+                    nids.append(ids[mask])
+                if not adcs:
+                    continue
+                adc = np.concatenate(adcs)
+                nid = np.concatenate(nids)
+                top = min(k, adc.shape[0])
+                idx = np.argpartition(adc, top - 1)[:top]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pid,
+                            "neighbor_id": nid[idx],
+                            "adc_dist": adc[idx],
+                        }
+                    )
+                )
+            if frames:
+                yield pa.RecordBatch.from_pandas(
+                    pd.concat(frames), preserve_index=False
+                )
+
+    pruned = codes.filter(F.col("cell").isin(all_cells))
+    candidates = pruned.mapInArrow(search, schema=out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist", "rank")
     )

@@ -2608,3 +2608,61 @@ def test_ols_fit_exact_and_outliers(spark):
     assert top[0]["doc_id"] == 999
     assert top[0]["abs_resid_micro"] > 90_000_000  # > 90 in micro units
     assert top[0]["abs_resid_micro"] > top[1]["abs_resid_micro"]
+
+
+def test_ivfpq_encode_prune_and_search(spark):
+    """r15 IVF-PQ composition: cell assignment lands each vector in
+    its true cluster, residual codes are partition-independent,
+    nprobe=1 search returns only the probe's nearest cell, and with
+    all cells probed the probe itself sits at the ADC floor of its
+    own cell."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import pq
+
+    # 4 well-separated clusters in dim 8 (corners scaled by 10),
+    # deterministic LCG jitter in [0, 1)
+    corners = [
+        [10.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 10.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10.0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 10.0, 0, 0, 0, 0],
+    ]
+
+    def vec(i: int) -> list[float]:
+        base = corners[i % 4]
+        x, out = (i * 2654435761 + 3) % (2**32), []
+        for d in range(8):
+            x = (x * 1664525 + 1013904223) % (2**32)
+            out.append(base[d] + round(x / 2**32, 6))
+        return out
+
+    rows = [(i, vec(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C = np.array(corners, dtype=np.float64)
+    books = pq.ivfpq_residual_books_np(df, C, dim=8, m=2, k_codes=4)
+    assert books.shape == (2, 4, 4)
+
+    enc = pq.ivfpq_encode_arrow(df, C, books)
+    got = {r["vec_id"]: (r["cell"], tuple(r["codes"])) for r in enc.collect()}
+    assert all(got[i][0] == i % 4 for i in range(80))  # true clusters
+    got2 = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in pq.ivfpq_encode_arrow(df.repartition(7), C, books).collect()
+    }
+    assert got == got2
+
+    probes = df.filter(F.col("vec_id") == 8).select(  # cluster 0
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    codes = pq.ivfpq_encode_arrow(df, C, books)
+
+    # nprobe=1: every result comes from the probe's own cell
+    top1 = pq.ivfpq_topk_arrow(codes, probes, C, books, k=5, nprobe=1).collect()
+    assert len(top1) == 5
+    assert all(got[r["neighbor_id"]][0] == 0 for r in top1)
+
+    # all cells probed: the probe itself achieves its cell's ADC floor
+    topall = pq.ivfpq_topk_arrow(codes, probes, C, books, k=5, nprobe=4).collect()
+    own = [r for r in topall if r["neighbor_id"] == 8]
+    assert own and own[0]["adc_dist"] == topall[0]["adc_dist"]
