@@ -604,3 +604,106 @@ def test_duplicate_spans_matches_brute_force(spark, token_lists):
         )
         want[doc_id] = (len(ss), dup)
     assert got == want
+
+
+# --- r15: snapshot drift vs a pure-Python reference ------------------------
+
+drift_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "fr"]),
+        st.integers(min_value=0, max_value=2000),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(base_rows=drift_rows, cur_rows=drift_rows)
+def test_histogram_drift_matches_python_reference(spark, base_rows, cur_rows):
+    """TVD and chi-square per group match an independent pure-Python
+    computation (fold in bucket order) on arbitrary integer data, and
+    identical snapshots always score zero."""
+    from collections import Counter
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import drift
+
+    # both groups must appear on both sides: a group with rows on only
+    # one side has an undefined share (0/0) -- the operator only emits
+    # groups present in either snapshot with nonzero totals on both
+    langs = {"en", "fr"}
+    base_rows = base_rows + [(lang, 1) for lang in langs]
+    cur_rows = cur_rows + [(lang, 1) for lang in langs]
+
+    base = spark.createDataFrame(base_rows, "lang string, n_chars int")
+    cur = spark.createDataFrame(cur_rows, "lang string, n_chars int")
+    got = {
+        r["lang"]: (r["tvd"], r["chi_square"], r["n_buckets"])
+        for r in drift.histogram_drift(base, cur, bucket_width=100).collect()
+    }
+
+    for lang in sorted(langs):
+        b = Counter(v // 100 for g, v in base_rows if g == lang)
+        c = Counter(v // 100 for g, v in cur_rows if g == lang)
+        tb, tc = sum(b.values()), sum(c.values())
+        buckets = sorted(set(b) | set(c))
+        tvd = chi = 0.0
+        for bk in buckets:  # fold in bucket order, like the engine
+            p, q = b.get(bk, 0) / tb, c.get(bk, 0) / tc
+            tvd += abs(p - q)
+            chi += ((p - q) * (p - q)) / (p + q)
+        assert got[lang][2] == len(buckets)
+        assert got[lang][0] == round(0.5 * tvd, 6)
+        assert got[lang][1] == round(chi, 6)
+
+    same = drift.histogram_drift(base, base, bucket_width=100).collect()
+    assert all(r["tvd"] == 0.0 and r["chi_square"] == 0.0 for r in same)
+
+
+# --- r15: OLS vs numpy lstsq ------------------------------------------------
+
+ols_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=6,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ols_rows)
+def test_ols_fit_matches_numpy_lstsq(spark, rows):
+    """The Cramer solve agrees with numpy's least-squares on arbitrary
+    integer data whenever the design matrix is well-conditioned."""
+    import numpy as np
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.operators import (
+        regression as reg,
+    )
+
+    # de-duplicate (x1, x2) and require 3 distinct design points with
+    # genuine rank 3 (hypothesis happily generates collinear data)
+    seen = {}
+    for x1, x2, y in rows:
+        seen[(x1, x2)] = y
+    data = [(i, y, x1, x2) for i, ((x1, x2), y) in enumerate(sorted(seen.items()))]
+    X = np.array([[1.0, r[2], r[3]] for r in data])
+    if np.linalg.matrix_rank(X) < 3:
+        return
+    # condition guard: Cramer in doubles loses digits on near-singular
+    # systems; the operator documents mean-centering for those
+    A = X.T @ X
+    if np.linalg.cond(A) > 1e6:
+        return
+    yv = np.array([float(r[1]) for r in data])
+    want, *_ = np.linalg.lstsq(X, yv, rcond=None)
+
+    df = spark.createDataFrame(data, "doc_id long, y long, x1 long, x2 long")
+    got = reg.ols_fit_3x3(df).collect()[0]
+    scale = max(1.0, float(np.abs(want).max()))
+    assert abs(got["b0"] - want[0]) / scale < 1e-6
+    assert abs(got["b1"] - want[1]) / scale < 1e-6
+    assert abs(got["b2"] - want[2]) / scale < 1e-6
