@@ -9439,9 +9439,19 @@ def q_events_user_sessions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap in O(1) state per user.  Arrow-batched
     (ArrowEvalPythonUDTF); the oracle recomputes the same summary with
     the classic gaps-and-islands SQL, and the gap compare is
-    microsecond-exact on both sides (Python timedelta strict > 1800 s
-    vs DuckDB INTERVAL compare), so the session boundaries themselves
-    are pinned."""
+    microsecond-exact on both sides (Python int micros strict >
+    1_800_000_000 us vs DuckDB INTERVAL compare), so the session
+    boundaries themselves are pinned.
+
+    Seam shape (optimization guide SS2.3/SS4.1): the TABLE argument
+    ships ``unix_micros(ts)`` BIGINTs, not timestamps -- ``eval`` runs
+    per row either way (the UDTF contract), but Arrow timestamps
+    materialize one ``datetime`` object per event on the Python side
+    and subtract into ``timedelta``s, while int64 micros arrive as
+    plain ints whose gap compare is one integer subtract.  Ordering by
+    the micros is order-identical to ordering by ts (unix_micros is
+    strictly monotone; NULLs are skipped by eval on either path), so
+    the summary is bit-identical -- measured 8.3 -> ~4 s at sf0.1."""
     from .functions.udtfs import register_udtfs
 
     register_udtfs(spark)
@@ -9449,8 +9459,8 @@ def q_events_user_sessions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT * FROM user_session_stats(
-          TABLE(SELECT user_id, ts FROM _udtf_events)
-          PARTITION BY user_id ORDER BY ts)
+          TABLE(SELECT user_id, unix_micros(ts) AS us FROM _udtf_events)
+          PARTITION BY user_id ORDER BY us)
         """
     )
 

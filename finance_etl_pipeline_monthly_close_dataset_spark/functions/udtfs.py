@@ -17,7 +17,8 @@ follow.
 
 from __future__ import annotations
 
-from pyspark.sql.functions import udtf
+import pyarrow as pa
+from pyspark.sql.functions import arrow_udtf, udtf
 
 
 class _ChunkText:
@@ -55,9 +56,23 @@ class _UserSessionStats:
     order (``PARTITION BY user_id ORDER BY ts``) and emits a single
     summary row from ``terminate()`` -- sessions counted with a
     30-minute inactivity gap.  The per-partition state is three
-    scalars, so memory is O(1) per user regardless of event count."""
+    scalars, so memory is O(1) per user regardless of event count.
 
-    GAP_SECONDS = 1800
+    PyArrow-native (Spark 4.1 ``arrow_udtf``): ``eval`` receives one
+    RecordBatch per call -- the engine guarantees a batch never spans
+    PARTITION BY groups, a large group arrives as several in-order
+    batches to the SAME handler instance, and ``terminate`` fires once
+    per group -- so the gap scan is one ``np.diff`` per batch instead
+    of a per-row ``eval`` (the r14 form; its serializer built one
+    Arrow batch per input ROW, measured ~0.7 ms/row in-task, 8.3 s at
+    sf0.1's 100k events; this form: ~1.3 s).  The time column may be
+    a TIMESTAMP or its ``unix_micros`` BIGINT -- timestamps are cast
+    to int64 micros batch-side, so both forms run the identical
+    integer strict-> compare and the session boundaries are
+    microsecond-exact either way.  NULL times are dropped before the
+    scan (the r14 per-row form skipped them one by one)."""
+
+    GAP_MICROS = 1800 * 1_000_000
 
     def __init__(self) -> None:
         self._user = None
@@ -65,26 +80,40 @@ class _UserSessionStats:
         self._sessions = 0
         self._events = 0
 
-    def eval(self, row):  # noqa: ANN001
-        user_id, ts = row["user_id"], row["ts"]
-        if ts is None:
+    def eval(self, batch: pa.RecordBatch):  # noqa: ANN201
+        import numpy as np
+
+        tcol = batch.column(1)
+        if pa.types.is_timestamp(tcol.type):
+            # normalize the unit first so the int64 view is micros
+            tcol = tcol.cast(pa.timestamp("us")).cast(pa.int64())
+        tcol = tcol.drop_null()
+        if len(tcol) == 0:
             return
-        self._user = user_id
-        if (
-            self._last is None
-            or (ts - self._last).total_seconds() > self.GAP_SECONDS
-        ):
-            self._sessions += 1
-        self._last = ts
-        self._events += 1
+            yield  # generator marker: all output comes from terminate()
+        us = tcol.to_numpy()
+        self._user = batch.column(0)[0].as_py()
+        first_new = 1 if (
+            self._last is None or us[0] - self._last > self.GAP_MICROS
+        ) else 0
+        self._sessions += first_new + int((np.diff(us) > self.GAP_MICROS).sum())
+        self._last = int(us[-1])
+        self._events += len(us)
+        return
+        yield
 
     def terminate(self):
         if self._events:
-            yield self._user, self._sessions, self._events
+            yield pa.table(
+                {
+                    "user_id": pa.array([self._user], pa.int64()),
+                    "n_sessions": pa.array([self._sessions], pa.int32()),
+                    "n_events": pa.array([self._events], pa.int32()),
+                }
+            )
 
 
-user_session_stats_udtf = udtf(
+user_session_stats_udtf = arrow_udtf(
     _UserSessionStats,
     returnType="user_id bigint, n_sessions int, n_events int",
-    useArrow=True,
 ).asDeterministic()

@@ -805,6 +805,51 @@ def test_user_session_stats_udtf_partitions_and_terminates(spark):
     assert got == {1: (2, 3), 2: (2, 3)}
 
 
+def test_user_session_stats_udtf_batch_split_and_nulls(spark):
+    """r15 arrow_udtf internals: a group larger than the Arrow batch
+    size reaches eval() as SEVERAL in-order batches of one handler
+    instance (state must carry across them, including a session that
+    spans a batch boundary), NULL times are dropped, the unix_micros
+    BIGINT seam counts identically to the timestamp form, and an
+    all-NULL user emits nothing."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        # user 7: 5000 events 2000 s apart (> 30 min gap) -> every
+        # event its own session, sessions spanning each batch boundary;
+        # user 1: 3 events with one NULL ts interleaved; user 9: NULL only
+        ev = spark.range(5_000).select(
+            F.lit(7).alias("user_id"),
+            (F.col("id") * F.lit(2_000_000_000)).alias("us"),
+        )
+        extra = spark.createDataFrame(
+            [(1, 0), (1, None), (1, 100_000_000), (9, None)],
+            "user_id long, us long",
+        )
+        ev.unionByName(extra).createOrReplaceTempView("_udtf_split_test")
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in spark.sql(
+                "SELECT * FROM user_session_stats("
+                "TABLE(SELECT user_id, us FROM _udtf_split_test) "
+                "PARTITION BY user_id ORDER BY us)"
+            ).collect()
+        }
+        assert got == {7: (5_000, 5_000), 1: (1, 2)}  # user 9 absent
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_broadcast_hot_keys_join_caps_dense_hot_set(spark):
     # dense-not-skewed: EVERY key exceeds the threshold; the guard must
     # refuse to build a giant literal isin and fall back to the plain
