@@ -122,9 +122,11 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     higher-order functions over the array column -- the planes are
     literal arrays folded into the plan (no join, no UDF).
     """
+    from .kmeans import lit_double_array
+
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        plane_col = lit_double_array(plane)
         bit = F.when(
             _dot(vec, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))

@@ -73,6 +73,35 @@ def test_minhash_near_dup_finds_near_pair(spark):
     assert all("d4" not in p for p in found)
 
 
+def test_lsh_candidate_pairs_strategies_identical(spark):
+    """r15: the groupBy+combination-explode default and the r12-r14
+    self-join fallback must emit the IDENTICAL candidate pair set --
+    including a mass-duplication bucket (many ids in one band value),
+    the case the join form is documented as preferring."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(60).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        # 3 exact-dup families of 15 + 15 unique docs
+        F.when(F.col("id") < 45, F.concat(F.lit("fam"), (F.col("id") % 3)))
+        .otherwise(F.concat(F.lit("solo text nr "), F.col("id")))
+        .alias("text"),
+    )
+    sigs = dedup.minhash_signatures(docs, shingle_k=1)
+    got_explode = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bucket_pairs="explode").collect()
+    }
+    got_join = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, bucket_pairs="join").collect()
+    }
+    assert got_explode == got_join
+    # each 15-doc family yields all C(15,2)=105 ordered pairs
+    assert len(got_explode) >= 3 * 105
+    assert all(a < b for a, b in got_explode)
+
+
 def test_ngram_jaccard_exact_values(spark):
     docs = _docs(spark)
     all_pairs = spark.createDataFrame(
