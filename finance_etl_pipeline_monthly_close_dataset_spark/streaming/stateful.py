@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -50,25 +51,36 @@ def _sessionize_group(gap_seconds: int, use_timeout: bool):
             state.remove()
             return
         last_ts, session_id = state.get if state.exists else (None, 0)
-        out_ts: list[pd.Timestamp] = []
-        out_sid: list[int] = []
         # Concatenate the key's whole micro-batch and sort ONCE:
         # chunked Arrow delivery with interleaved times would
         # otherwise mis-number order-sensitive session ids.
-        chunks = [pdf for pdf in pdfs]
-        all_ts = pd.concat([pdf["ts"] for pdf in chunks]) if chunks else pd.Series([], dtype="datetime64[ns]")
-        for ts in all_ts.sort_values():
-            ts_micros = int(ts.value // 1000)
-            if last_ts is None or ts_micros - last_ts > gap_seconds * 1_000_000:
-                session_id += 1
-            last_ts = ts_micros
-            out_ts.append(ts)
-            out_sid.append(session_id)
+        chunks = [pdf["ts"] for pdf in pdfs]
+        all_ts = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ) if chunks else pd.Series([], dtype="datetime64[ns]")
+        all_ts = all_ts.sort_values(ignore_index=True)
+        n = len(all_ts)
+        if n:
+            # vectorized gap scan (r15): the per-row Python loop cost
+            # ~2-4 us/event x 2M bench events ON TOP of the per-group
+            # harness overhead; one int64 diff + cumsum replaces it.
+            # .value semantics preserved: ns regardless of series unit.
+            us = all_ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            gap_us = gap_seconds * 1_000_000
+            new_session = np.empty(n, dtype=bool)
+            new_session[0] = last_ts is None or us[0] - last_ts > gap_us
+            if n > 1:
+                np.greater(us[1:] - us[:-1], gap_us, out=new_session[1:])
+            sids = session_id + np.cumsum(new_session)
+            last_ts = int(us[-1])
+            session_id = int(sids[-1])
+        else:
+            sids = np.empty(0, dtype=np.int64)
         state.update((last_ts, session_id))
         if use_timeout:
             state.setTimeoutDuration(gap_seconds * 1000)
         yield pd.DataFrame(
-            {"user_id": key[0], "ts": out_ts, "session_id": out_sid}
+            {"user_id": key[0], "ts": all_ts, "session_id": sids}
         )
 
     return fn
