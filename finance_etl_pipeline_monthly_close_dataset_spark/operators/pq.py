@@ -277,7 +277,8 @@ def pq_encode_arrow(
             ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy(
                 zero_copy_only=False
             )
-            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            n = X.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * sub : (s + 1) * sub]
                 # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
@@ -285,9 +286,17 @@ def pq_encode_arrow(
                 d = books[s] @ Xs.T  # (k, n)
                 cn = (books[s] * books[s]).sum(axis=1)[:, None]  # (k, 1)
                 codes[:, s] = np.argmin(cn - 2.0 * d, axis=0) + 1
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame({id_col: ids, "codes": list(codes)}),
-                preserve_index=False,
+            # buffer-level list column (guide SS4.2): one flat int32
+            # buffer + an arithmetic offsets array -- the
+            # from_pandas(list(codes)) form this replaces built n
+            # Python row-arrays and converted them row by row
+            # (measured ~2x the whole encode's Arrow cost at 1M)
+            codes_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+                pa.array(codes.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), codes_arr], names=[id_col, "codes"]
             )
 
     from .dedup import spread_partitions
@@ -509,21 +518,21 @@ def ivfpq_encode_arrow(
             )
             cells = np.argmin(cn - 2.0 * (C @ X.T), axis=0)
             R = X - C[cells]  # residuals
-            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            n = X.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
             for s in range(m):
                 Rs = R[:, s * sub : (s + 1) * sub]
                 B = books[s]
                 bn = (B * B).sum(axis=1)[:, None]
                 codes[:, s] = np.argmin(bn - 2.0 * (B @ Rs.T), axis=0) + 1
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(
-                    {
-                        id_col: ids,
-                        "cell": cells.astype(np.int32),
-                        "codes": list(codes),
-                    }
-                ),
-                preserve_index=False,
+            # buffer-level list column -- see pq_encode_arrow
+            codes_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+                pa.array(codes.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(cells.astype(np.int32)), codes_arr],
+                names=[id_col, "cell", "codes"],
             )
 
     from .dedup import spread_partitions
