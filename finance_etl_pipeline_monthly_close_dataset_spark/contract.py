@@ -8395,7 +8395,9 @@ def _synthdocs_lsh_query(spark: SparkSession, n_docs: int) -> DataFrame:
         ),
     )
     docs = spark.range(n_docs).select(d.alias("doc_id"), F.concat_ws(" ", toks).alias("text"))
-    out = dedup.near_dup_minhash(docs, num_hashes=32, num_bands=16, threshold=0.5)
+    out = dedup.near_dup_minhash(
+        docs, num_hashes=32, num_bands=16, threshold=0.5, bucket_pairs="explode"
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

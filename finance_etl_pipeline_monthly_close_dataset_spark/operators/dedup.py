@@ -170,7 +170,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 8,
-    bucket_pairs: str = "explode",
+    bucket_pairs: str = "join",
 ) -> DataFrame:
     """Banded-LSH candidate pairs: ids sharing >=1 identical band.
 
@@ -179,20 +179,21 @@ def lsh_candidate_pairs(
     with id_a < id_b.
 
     ``bucket_pairs`` picks how a bucket's pairs are generated -- both
-    forms produce the IDENTICAL pair set (A/B'd at the 100k volume
-    gate, r15):
+    forms produce the IDENTICAL pair set (A/B'd at both scales, r15):
 
-    * ``"explode"`` (default): groupBy (band, bucket) -> sorted id
-      list -> one combination explode.  ONE shuffle of the banded keys
-      instead of the self-join's two plus the join itself -- measured
-      3.3 -> 2.0 s on the 100k synthdocs corpus (optimization guide
-      SS2.4: two operations keyed the same way share one exchange).
-      A bucket's ids must fit one task (fine up to ~10M ids/bucket);
-      quadratic OUTPUT volume is the same in both forms.
-    * ``"join"``: the r12-r14 self-join on (band, bucket) -- streams
-      mass-duplication buckets through the sort-merge iterator without
-      materializing the id list, so prefer it for corpora where one
-      band value may hold tens of millions of identical documents.
+    * ``"join"`` (default): self-join on (band, bucket) -- streams
+      even mass-duplication buckets through the sort-merge iterator
+      without materializing an id list, and its fixed cost is lower
+      (5k-doc corpus: 1.0 s vs explode's 1.4 s).
+    * ``"explode"``: groupBy (band, bucket) -> sorted id list -> one
+      combination explode.  ONE shuffle of the banded keys instead of
+      the self-join's two plus the join itself (optimization guide
+      SS2.4) -- measured 3.3 -> 2.0 s on the 100k synthdocs volume
+      gate, and the gap grows with corpus size.  A bucket's ids must
+      fit one task (fine up to ~10M ids/bucket); quadratic OUTPUT
+      volume is the same in both forms.  Pick this for big corpora
+      whose bucket sizes are bounded (true near-dup groups), the
+      regime the 100 TB text-dedup pass runs in.
     """
     sig_len_expr = F.size(F.col("signature"))
     rows_per_band = F.floor(sig_len_expr / num_bands).cast("int")
@@ -387,9 +388,12 @@ def near_dup_minhash(
     shingle_k: int = 3,
     threshold: float = 0.8,
     persist_intermediates: bool = True,
+    bucket_pairs: str = "join",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded LSH
-    candidates -> exact Jaccard verification.
+    candidates -> exact Jaccard verification.  ``bucket_pairs`` passes
+    through to ``lsh_candidate_pairs`` (volume corpora want
+    ``"explode"``; see there).
 
     The shingle sets and signatures each feed multiple plan branches
     (LSH self-join left+right, Jaccard a+b sides); without persistence
@@ -413,7 +417,7 @@ def near_dup_minhash(
     sigs = base.select(F.col(id_col), _minhash_sig(F.col("sh"), num_hashes).alias("signature"))
     if persist_intermediates:
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, bucket_pairs=bucket_pairs)
 
     a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
