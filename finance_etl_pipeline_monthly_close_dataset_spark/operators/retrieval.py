@@ -138,19 +138,27 @@ def chunk_retrieval_topk(
         dot = dot + fd * F.lit(float(pv[d]))
         sumsq = sumsq + fd * fd
     sim = dot / (F.sqrt(sumsq) * F.lit(math.sqrt(float(psumsq))))
-    scored = emb.withColumn("_sumsq", sumsq).filter(F.col("_sumsq") > 0).withColumn(
-        "_sim", sim
-    )
+    # Zero-norm chunks are excluded WITHOUT a pre-filter (r15): the
+    # old ``filter(sumsq > 0)`` was pushed below the embedding
+    # projection, so every f_d aggregate ran once in the filter and
+    # again in the projection (guide SS4.4's duplication, expression
+    # flavor -- measured 1.08 -> 0.69 s at sf0.1).  Equivalent form:
+    # sumsq == 0 (or null) makes _sim NULL (non-ANSI /0), DESC ranks
+    # NULLS LAST, so the top-k prefix holds exactly the
+    # min(k, n_valid) valid rows the filtered form kept -- dropping
+    # null sims after the limit is set-identical for ANY data, and the
+    # rank window numbers the survivors contiguously either way.
+    scored = emb.withColumn("_sim", sim)
     # orderBy + limit plans as TakeOrderedAndProject (distributed
     # partial top-k, no global sort); the rank window then runs over
     # the k surviving rows only
     top = scored.orderBy(
-        F.col("_sim").desc(), F.col(id_col).asc(), F.col("chunk_idx").asc()
-    ).limit(k)
+        F.col("_sim").desc_nulls_last(), F.col(id_col).asc(), F.col("chunk_idx").asc()
+    ).limit(k).filter(F.col("_sim").isNotNull())
     from pyspark.sql.window import Window
 
     w = Window.orderBy(
-        F.col("_sim").desc(), F.col(id_col).asc(), F.col("chunk_idx").asc()
+        F.col("_sim").desc_nulls_last(), F.col(id_col).asc(), F.col("chunk_idx").asc()
     )
     return (
         top.withColumn("rank", F.row_number().over(w))
