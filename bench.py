@@ -152,12 +152,18 @@ R12_HEAVY_MEDIANS = {
     "nation_market_share": 1.252,
     "docs_pack_budget": 0.290,
     "docs_ngram_jaccard_recall": 1.421,
-    "embedding_kmeans_centroids": 2.634,
-    "embedding_ivf_trained_topk": 2.279,
-    "embedding_semantic_dedup": 3.376,
-    "docs_chunk_retrieval": 1.447,
-    "embedding_semantic_dedup_arrow": 2.206,
-    "embedding_kmeans_centroids_arrow": 2.624,
+    # r15 re-baselines (optimization round): these queries were made
+    # materially faster (OPTIMIZATION_r15.md) and their old baselines
+    # would no longer flag a regression back to the old shape.  Bases
+    # are the r15 final 3-pass capture's WORST per-pass median, sanity-
+    # checked so the noisiest committed r15 window's spread[0] still
+    # clears base*1.25+grace (the driver's single-pass gate).
+    "embedding_kmeans_centroids": 2.30,   # was r12 2.634; r15 passes 2.04-2.30
+    "embedding_ivf_trained_topk": 2.00,   # was 2.279; r15 1.71-1.96
+    "embedding_semantic_dedup": 3.376,    # kept: untouched oracle-shaped form
+    "docs_chunk_retrieval": 1.15,         # was 1.447; r15 0.98-1.15 (dup filter fix)
+    "embedding_semantic_dedup_arrow": 2.00,  # was 2.206; r15 1.69-1.96
+    "embedding_kmeans_centroids_arrow": 2.10,  # was 2.624; r15 2.00-2.08
     # Python-seam queries (media decode pandas-UDFs, the Arrow
     # TABLE-arg UDTF): baselined on the WORST committed r12/r13 median,
     # not r12 alone -- two exclusive quiet-machine captures this round
@@ -175,9 +181,14 @@ R12_HEAVY_MEDIANS = {
     "orders_kmv_customers": 0.963,
     "parts_cross_sell": 1.350,
     "events_interpolated": 0.623,
-    "events_user_sessions_udtf": 9.794,  # py-seam: worst committed median (r13)
+    # r15: the arrow_udtf rewrite took this from 8.3-9.8 s to 0.59-0.70
+    # steady; base 1.2 (not the new median) so a steal-window min-of-3
+    # (worst committed r15 window: 1.78) clears the py-seam budget
+    # 1.2*1.25+0.8 = 2.3 while any return of the per-row seam (8 s+)
+    # flags unambiguously.
+    "events_user_sessions_udtf": 1.2,
     "synthdocs_lsh_100k": 4.842,
-    "synthvecs_ivf_100k": 2.017,
+    "synthvecs_ivf_100k": 1.65,  # r15 re-baseline: was 2.017; r15 1.46-1.63
 }
 BUDGET_MEDIANS = {**R11_HEADLINE_MEDIANS, **R12_HEAVY_MEDIANS}
 # flag only past 1.25x the committed median (PLANS.md band) PLUS a
@@ -196,7 +207,11 @@ PY_SEAM_QUERIES = {
     "image_formats_features", "events_user_sessions_udtf",
 }
 PY_SEAM_GRACE_S = 0.8
-STREAM_STATE_BUDGET_S = 93.0  # 1.25x the r11 measured band's median
+# r15: core-sized state partitions + vectorized gap scan took both
+# providers from 69-73 s to 22-27 s steady (worst committed r15 pass
+# 33.1 s); 45 s keeps ~1.4x noise headroom while the old 8-partition
+# shape (69 s+) flags unambiguously.  (Pre-r15 budget was 93 s.)
+STREAM_STATE_BUDGET_S = 45.0
 STREAM_STATE_EXPECT_ROWS = 50_000
 # Close budgets (r14, judge r13 ask #3): t_close is the median of
 # --repeats 3 serialized closes over one generated input set (cold
@@ -210,7 +225,9 @@ CLOSE_SKEW_RATIO_MAX = 2.0  # PLANS.md skew budget: skewed close <= 2x uniform
 # Volume-tier budgets (r14): recalls are deterministic on the closed-form
 # corpora (identical every committed round), so floors sit just under
 # the constant; times are 1.25x the worst committed r11-r13 value + grace.
-KMEANS_K64_BUDGET_S = {"arrow": 3.0, "hof": 17.6}
+# r15: lit_double_array cut the HOF lane 11.2-14.8 -> 6.9-8.4 (min-of-2
+# per pass); budgets re-based on the worst r15 pass + noise headroom.
+KMEANS_K64_BUDGET_S = {"arrow": 2.2, "hof": 12.5}
 ANN_BUDGETS = {
     "t_build_lloyd_k64": 4.9,
     "ivf_t_probe": 2.05,
@@ -219,6 +236,23 @@ ANN_BUDGETS = {
     "lsh_recall_min": 0.999,
     "lsh_arrow_t_probe": 2.4,
     "lsh_arrow_recall_min": 0.98,
+    # r15 (r16-checklist item brought forward): the PQ/IVF-PQ lanes ran
+    # unbudgeted since they landed.  Probe/rerank are stable across the
+    # committed r15 captures (adc 0.63-1.51, rerank 2.7-4.7); encode is
+    # NOT budgeted (same-code swings 5.3-21.7 s, the py-worker numpy
+    # family's documented noise).  Recalls are deterministic: rerank
+    # pinned at 1.0 (floor 0.999); raw-ADC recall is EXPECTED to sit at
+    # ~0.1 on this corpus density (documented in the lane comment) --
+    # floor 0.09 catches a broken encoder without blessing the
+    # collapsed number as quality.
+    "pq_adc_t_probe": 2.2,
+    "pq_rerank_t_probe": 6.5,
+    "pq_rerank_recall_min": 0.999,
+    "pq_adc_recall_min": 0.09,
+    "ivfpq_adc_t_probe": 2.4,
+    "ivfpq_rerank_t_probe": 6.5,
+    "ivfpq_rerank_recall_min": 0.999,
+    "ivfpq_adc_recall_min": 0.09,
 }
 
 # --- cold-lane budgets (r15, judge r14 ask #2) -----------------------------
@@ -487,6 +521,7 @@ def check_budgets(result: dict) -> list[str]:
                     f"(arrow and HOF paths diverged)")
     ann = result.get("ann_1m") or {}
     ivf, lsh = ann.get("ann_1m_ivf") or {}, ann.get("ann_1m_lsh") or {}
+    pq, ivfpq = ann.get("ann_1m_pq") or {}, ann.get("ann_1m_ivfpq") or {}
     for val, budget, tag, is_floor in (
         (ivf.get("t_build_lloyd_k64"), ANN_BUDGETS["t_build_lloyd_k64"], "ivf t_build_lloyd_k64", False),
         (ivf.get("t_probe_nprobe8"), ANN_BUDGETS["ivf_t_probe"], "ivf t_probe_nprobe8", False),
@@ -495,6 +530,16 @@ def check_budgets(result: dict) -> list[str]:
         (lsh.get("recall_at_10"), ANN_BUDGETS["lsh_recall_min"], "lsh recall_at_10", True),
         (lsh.get("t_probe_12planes_arrow"), ANN_BUDGETS["lsh_arrow_t_probe"], "lsh t_probe_12planes_arrow", False),
         (lsh.get("recall_at_10_arrow"), ANN_BUDGETS["lsh_arrow_recall_min"], "lsh recall_at_10_arrow", True),
+        # r15: PQ / IVF-PQ probe+rerank budgets (encode stays unbudgeted
+        # -- see ANN_BUDGETS comment)
+        (pq.get("t_probe_adc"), ANN_BUDGETS["pq_adc_t_probe"], "pq t_probe_adc", False),
+        (pq.get("t_probe_rerank2000"), ANN_BUDGETS["pq_rerank_t_probe"], "pq t_probe_rerank2000", False),
+        (pq.get("recall_at_10_rerank"), ANN_BUDGETS["pq_rerank_recall_min"], "pq recall_at_10_rerank", True),
+        (pq.get("recall_at_10_adc"), ANN_BUDGETS["pq_adc_recall_min"], "pq recall_at_10_adc", True),
+        (ivfpq.get("t_probe_adc"), ANN_BUDGETS["ivfpq_adc_t_probe"], "ivfpq t_probe_adc", False),
+        (ivfpq.get("t_probe_rerank2000"), ANN_BUDGETS["ivfpq_rerank_t_probe"], "ivfpq t_probe_rerank2000", False),
+        (ivfpq.get("recall_at_10_rerank"), ANN_BUDGETS["ivfpq_rerank_recall_min"], "ivfpq recall_at_10_rerank", True),
+        (ivfpq.get("recall_at_10_adc"), ANN_BUDGETS["ivfpq_adc_recall_min"], "ivfpq recall_at_10_adc", True),
     ):
         if val is None:
             continue

@@ -12,8 +12,9 @@ def _clean_result() -> dict:
     return {
         "queries": dict(bench.BUDGET_MEDIANS),
         "stream_state": {
-            "hdfs": {"t_replay": 71.8, "state_rows": 50_000},
-            "rocksdb": {"t_replay": 79.9, "state_rows": 50_000},
+            # r15 steady state (core-sized partitions): 22-27 s/provider
+            "hdfs": {"t_replay": 26.2, "state_rows": 50_000},
+            "rocksdb": {"t_replay": 24.5, "state_rows": 50_000},
         },
         "close_10m": {
             "uniform": {"t_close": 30.0, "verify": {"ok": True, "kpi_cells_match": True}},
@@ -21,7 +22,7 @@ def _clean_result() -> dict:
             "lakefed": {"t_close": 25.0, "verify": {"ok": True, "kpi_cells_match": True}},
             "skew_ratio": 1.03,
         },
-        "kmeans_k64": {"hof": 13.0, "arrow": 2.0, "max_centroid_delta": 0.0},
+        "kmeans_k64": {"hof": 8.4, "arrow": 1.1, "max_centroid_delta": 0.0},
         "ann_1m": {
             "ann_1m_ivf": {
                 "t_build_lloyd_k64": 2.5, "t_probe_nprobe8": 1.24, "recall_at_10": 0.9812,
@@ -29,6 +30,15 @@ def _clean_result() -> dict:
             "ann_1m_lsh": {
                 "t_probe_12planes": 8.6, "recall_at_10": 1.0,
                 "t_probe_12planes_arrow": 0.72, "recall_at_10_arrow": 0.9938,
+            },
+            # r15 lanes (probe/rerank budgeted; encode deliberately not)
+            "ann_1m_pq": {
+                "t_encode": 7.7, "t_probe_adc": 0.88, "recall_at_10_adc": 0.1,
+                "t_probe_rerank2000": 4.08, "recall_at_10_rerank": 1.0,
+            },
+            "ann_1m_ivfpq": {
+                "t_encode": 4.4, "t_probe_adc": 1.51, "recall_at_10_adc": 0.1,
+                "t_probe_rerank2000": 4.7, "recall_at_10_rerank": 1.0,
             },
         },
     }
@@ -171,6 +181,23 @@ def test_ann_probe_time_budget_trips():
     r["ann_1m"]["ann_1m_lsh"]["t_probe_12planes_arrow"] = 9.0
     v = bench.check_budgets(r)
     assert len(v) == 1 and "t_probe_12planes_arrow" in v[0]
+
+
+def test_pq_lane_budgets_trip_and_encode_is_unbudgeted():
+    # r15: probe/rerank/recall budgets on the PQ and IVF-PQ lanes; a
+    # broken rerank (recall below the pinned 1.0) and a slow ADC probe
+    # both flag, while an encode blowup alone stays silent (the
+    # py-worker numpy family's same-code swing is 5.3-21.7 s).
+    r = _clean_result()
+    r["ann_1m"]["ann_1m_pq"]["t_encode"] = 25.0
+    assert bench.check_budgets(r) == []
+    r["ann_1m"]["ann_1m_pq"]["recall_at_10_rerank"] = 0.9
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "pq recall_at_10_rerank" in v[0]
+    r = _clean_result()
+    r["ann_1m"]["ann_1m_ivfpq"]["t_probe_adc"] = 5.0
+    v = bench.check_budgets(r)
+    assert len(v) == 1 and "ivfpq t_probe_adc" in v[0]
 
 
 # --- cross-pass effective budget view (r14) --------------------------------
