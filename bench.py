@@ -182,11 +182,13 @@ R12_HEAVY_MEDIANS = {
     "parts_cross_sell": 1.350,
     "events_interpolated": 0.623,
     # r15: the arrow_udtf rewrite took this from 8.3-9.8 s to 0.59-0.70
-    # steady; base 1.2 (not the new median) so a steal-window min-of-3
-    # (worst committed r15 window: 1.78) clears the py-seam budget
-    # 1.2*1.25+0.8 = 2.3 while any return of the per-row seam (8 s+)
-    # flags unambiguously.
-    "events_user_sessions_udtf": 1.2,
+    # steady; r16 (ADVICE r15): base 1.2 left only ~1.3x headroom over
+    # the worst committed r15 min-of-3 window (1.78 s) on a documented-
+    # noisy py-seam family -- re-based to 1.5 so that window clears
+    # 1.5*1.25+0.8 = 2.675 with the ~1.5x margin the other py-seam
+    # baselines keep, while any return of the per-row seam (8 s+)
+    # still flags unambiguously.
+    "events_user_sessions_udtf": 1.5,
     "synthdocs_lsh_100k": 4.842,
     "synthvecs_ivf_100k": 1.65,  # r15 re-baseline: was 2.017; r15 1.46-1.63
 }
@@ -211,7 +213,17 @@ PY_SEAM_GRACE_S = 0.8
 # providers from 69-73 s to 22-27 s steady (worst committed r15 pass
 # 33.1 s); 45 s keeps ~1.4x noise headroom while the old 8-partition
 # shape (69 s+) flags unambiguously.  (Pre-r15 budget was 93 s.)
-STREAM_STATE_BUDGET_S = 45.0
+# r16 (ADVICE r15): the 45 s base assumes the 32-core capture box --
+# the stateful tier is partition-parallel (state partitions are sized
+# to defaultParallelism since r15), so the driver's own 8-core scaling
+# capture ran 68-72 s/provider and would false-flag a fixed budget.
+# Scale the budget with the bench's core count (SPARK_GRAFT_CPUS, the
+# same knob that sizes the master): linear in 32/cores, floored at the
+# 32-core base.  At 8 cores the r15 partition fix is config-identical
+# to the old shape (defaultParallelism == the old 8), so there is no
+# old-shape regression for a tighter low-core budget to catch.
+_BENCH_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+STREAM_STATE_BUDGET_S = 45.0 * max(1.0, 32.0 / max(_BENCH_CPUS, 1))
 STREAM_STATE_EXPECT_ROWS = 50_000
 # Close budgets (r14, judge r13 ask #3): t_close is the median of
 # --repeats 3 serialized closes over one generated input set (cold
@@ -245,8 +257,15 @@ ANN_BUDGETS = {
     # ~0.1 on this corpus density (documented in the lane comment) --
     # floor 0.09 catches a broken encoder without blessing the
     # collapsed number as quality.
+    # r16 (judge r15 ask #2 / ADVICE): 6.5 flagged on the driver's own
+    # clean exclusive capture (6.774 observed, adjudicated clean) --
+    # the r15 base had <5% headroom on a box the budgets were never
+    # calibrated on.  Re-based on the worst committed clean capture
+    # (driver r15: 6.774) plus the same ~25% noise headroom the query
+    # tier keeps: 8.5.  A return of the pre-r15 from_pandas emit shape
+    # (rerank 10 s+) still flags unambiguously.
     "pq_adc_t_probe": 2.2,
-    "pq_rerank_t_probe": 6.5,
+    "pq_rerank_t_probe": 8.5,
     "pq_rerank_recall_min": 0.999,
     "pq_adc_recall_min": 0.09,
     "ivfpq_adc_t_probe": 2.4,
@@ -286,7 +305,15 @@ COLD_SIGNATURE_RATIO = 1.35  # pass0 must exceed best pass by this to be "cold"
 # stays generous.  (None = lane records data without gating, used
 # before the first baseline capture.)
 COLD_FIRST_BASELINE_S: dict = {"headline": 19.62, "heavy": 65.30}
-COLD_FIRST_RATIO = 1.6
+# r16 (judge r15 ask #2): 1.6x flagged the driver's own clean capture
+# (cold headline 34.71 vs budget 31.39, adjudicated clean_capture) --
+# cold first-runs carry JIT + planning + page-cache state and are the
+# noisiest numbers either box produces, so the single-capture r15
+# baseline deserved a wider multiplier from the start.  2.0x clears
+# the observed clean-capture range (34.71 -> budget 39.24) while a
+# real codegen/planning bloat (the r13 signature was ~2.6x) still
+# flags.
+COLD_FIRST_RATIO = 2.0
 
 
 def _tier_totals(queries: dict) -> dict:
