@@ -80,19 +80,33 @@ class _UserSessionStats:
         self._sessions = 0
         self._events = 0
 
+    @staticmethod
+    def _column_indexes(names) -> tuple[int, int]:
+        """(user_ix, time_ix) by FIELD NAME, not position: a caller
+        reordering the TABLE-argument SELECT must not silently swap
+        user and time (r15 verdict hardening).  The user column is
+        ``user_id`` (fallback: first column); the time column is
+        ``us``/``ts`` when present, else the first non-user column."""
+        user_ix = names.index("user_id") if "user_id" in names else 0
+        for cand in ("us", "ts"):
+            if cand in names and names.index(cand) != user_ix:
+                return user_ix, names.index(cand)
+        time_ix = next(i for i in range(len(names)) if i != user_ix)
+        return user_ix, time_ix
+
     def eval(self, batch: pa.RecordBatch):  # noqa: ANN201
         import numpy as np
 
-        tcol = batch.column(1)
+        user_ix, time_ix = self._column_indexes(batch.schema.names)
+        tcol = batch.column(time_ix)
         if pa.types.is_timestamp(tcol.type):
             # normalize the unit first so the int64 view is micros
             tcol = tcol.cast(pa.timestamp("us")).cast(pa.int64())
         tcol = tcol.drop_null()
         if len(tcol) == 0:
             return
-            yield  # generator marker: all output comes from terminate()
         us = tcol.to_numpy()
-        self._user = batch.column(0)[0].as_py()
+        self._user = batch.column(user_ix)[0].as_py()
         first_new = 1 if (
             self._last is None or us[0] - self._last > self.GAP_MICROS
         ) else 0

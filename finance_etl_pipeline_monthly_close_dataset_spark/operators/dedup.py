@@ -171,6 +171,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 8,
     bucket_pairs: str = "join",
+    max_bucket_ids: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: ids sharing >=1 identical band.
 
@@ -191,9 +192,24 @@ def lsh_candidate_pairs(
       SS2.4) -- measured 3.3 -> 2.0 s on the 100k synthdocs volume
       gate, and the gap grows with corpus size.  A bucket's ids must
       fit one task (fine up to ~10M ids/bucket); quadratic OUTPUT
-      volume is the same in both forms.  Pick this for big corpora
-      whose bucket sizes are bounded (true near-dup groups), the
-      regime the 100 TB text-dedup pass runs in.
+      volume is the same in both forms, but the explode MATERIALIZES
+      one bucket's whole pair array in task memory (n^2/2 structs)
+      where the join streams it.  Pick this for big corpora whose
+      bucket sizes are bounded (true near-dup groups), the regime the
+      100 TB text-dedup pass runs in.
+
+    ``max_bucket_ids`` (opt-in, explode mode only, r16): buckets with
+    more ids than the cap are routed through the streaming JOIN form
+    instead of the combination explode, so one pathological bucket (a
+    boilerplate page duplicated millions of times) cannot OOM a task
+    by materializing an n^2 pair array -- pair-set equality between
+    the routes is already pinned by the strategy-equality test.  The
+    split adds a second consumer of the grouped aggregate (the shuffle
+    is reused; the reduce-side collect_list is evaluated per branch),
+    so it is opt-in rather than default; a 100 TB corpus with unknown
+    duplication mass should set it (e.g. 8192: ~0.5 GB of pair structs
+    per worst-case task).  The cap bounds the PAIR materialization;
+    the linear collect_list bound (~10M ids/bucket/task) remains.
     """
     sig_len_expr = F.size(F.col("signature"))
     rows_per_band = F.floor(sig_len_expr / num_bands).cast("int")
@@ -238,11 +254,35 @@ def lsh_candidate_pairs(
                 ),
             )
         )
-        return (
-            grouped.select(F.explode(pair_structs).alias("p"))
+        small = grouped
+        if max_bucket_ids is not None:
+            small = grouped.filter(F.size(ids) <= int(max_bucket_ids))
+        pairs = (
+            small.select(F.explode(pair_structs).alias("p"))
             .select("p.id_a", "p.id_b")
-            .distinct()
         )
+        if max_bucket_ids is not None:
+            # oversized-bucket fallback: re-explode the id list and run
+            # the streaming self-join WITHIN those buckets only -- the
+            # pair set is identical (both routes enumerate all within-
+            # bucket ordered pairs), the n^2 array never materializes
+            big = grouped.filter(F.size(ids) > int(max_bucket_ids)).select(
+                "band", "bucket", F.explode(ids).alias(id_col)
+            )
+            bl, br = big.alias("bl"), big.alias("br")
+            big_pairs = bl.join(
+                br,
+                on=[
+                    F.col("bl.band") == F.col("br.band"),
+                    F.col("bl.bucket") == F.col("br.bucket"),
+                    F.col(f"bl.{id_col}") < F.col(f"br.{id_col}"),
+                ],
+            ).select(
+                F.col(f"bl.{id_col}").alias("id_a"),
+                F.col(f"br.{id_col}").alias("id_b"),
+            )
+            pairs = pairs.unionByName(big_pairs)
+        return pairs.distinct()
 
     left = banded.alias("l")
     right = banded.alias("r")

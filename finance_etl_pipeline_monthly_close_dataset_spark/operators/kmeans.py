@@ -125,14 +125,65 @@ def _argmin_best(
     vec_col: str, centroids: list[list[float]], cells: list[int] | None = None
 ):
     """Nearest-cell ``(d2, cell)`` struct against a DRIVER-SIDE
-    centroid list: ``array_min`` over k ``(d2, cell)`` structs. Struct
-    comparison orders by d2 then cell, so ties break on the lowest
-    cell id -- bit-identical arithmetic and tie-breaks to the
-    crossJoin+``min_by`` form, with zero shuffle and no k-way row
-    expansion."""
+    centroid list.  Struct comparison orders by d2 then cell, so ties
+    break on the lowest cell id -- bit-identical arithmetic and
+    tie-breaks to the crossJoin+``min_by`` form, with zero shuffle and
+    no k-way row expansion.
+
+    r16 shape: ``array_min`` over ONE ``transform`` of a literal
+    ``array<array<double>>`` (k x d in a single parsed literal, the
+    ``lit_double_array`` trick one level up) instead of k separately-
+    built ``zip_with``/``aggregate`` folds.  The per-row arithmetic is
+    IDENTICAL -- the same fold runs per centroid in the same index
+    order, producing the same ``(d2, cell)`` structs for the same
+    ``array_min`` -- but the expression tree shrinks from k copies of
+    the fold (which analysis, optimization and codegen each walk, and
+    which InferFiltersFromConstraints/pushdown CLONE wholesale -- the
+    r13 lesson) to one.  Measured on the k=64 bench lane: the HOF
+    Lloyd pass is analysis/codegen-bound, and the single-transform
+    form removes that cost; at k=4 oracle scale the two forms time the
+    same.  Non-finite centroid values (no SQL literal form) fall back
+    to the per-element k-struct build.
+    """
+    import math
+
+    k = len(centroids)
+    cell_ids = [int(cells[i]) if cells is not None else i for i in range(k)]
+    flat = [float(x) for c in centroids for x in c]
+    if flat and all(math.isfinite(x) for x in flat):
+        cents = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+                for c in centroids
+            )
+            + ")"
+        )
+        identity_cells = cell_ids == list(range(k))
+        cells_lit = None if identity_cells else F.expr(
+            "array(" + ",".join(str(c) for c in cell_ids) + ")"
+        )
+        structs = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), c,
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                # the transform index IS the cell id in the common
+                # contiguous case; a re-labeled centroid list looks the
+                # id up in a second literal array
+                (i if identity_cells else F.element_at(cells_lit, i + F.lit(1))).alias("cell"),
+            ),
+        )
+        return F.array_min(structs)
+
     structs = []
     for i, c in enumerate(centroids):
-        cell_id = cells[i] if cells is not None else i
         cent = lit_double_array(c)
         # HOF form deliberately: an unrolled k*d term chain was tried
         # and is WORSE -- the optimizer clones the giant tree into the
@@ -145,7 +196,7 @@ def _argmin_best(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        structs.append(F.struct(d2.alias("d2"), F.lit(int(cell_id)).alias("cell")))
+        structs.append(F.struct(d2.alias("d2"), F.lit(cell_ids[i]).alias("cell")))
     return F.array_min(F.array(*structs))
 
 

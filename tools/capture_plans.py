@@ -26,7 +26,9 @@ def main() -> None:
     names = sys.argv[2:] or (bench.HEADLINE + bench.HEAVY)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(
