@@ -76,29 +76,41 @@ class SessionizeProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if self.state.exists():
             last_ts, session_id = self.state.get()
         else:
             last_ts, session_id = None, 0
-        out_ts: list[pd.Timestamp] = []
-        out_sid: list[int] = []
         # A micro-batch may arrive as several Arrow chunks with
         # interleaved times; session ids are order-sensitive, so
         # concatenate the key's whole batch and sort ONCE before
         # assigning (per-chunk sorting would mis-number sessions
         # whenever chunks interleave).
-        chunks = [pdf for pdf in rows]
-        all_ts = pd.concat([pdf["ts"] for pdf in chunks]) if chunks else pd.Series([], dtype="datetime64[ns]")
-        for ts in all_ts.sort_values():
-            ts_us = int(ts.value // 1000)
-            if last_ts is None or ts_us - last_ts > self.gap_us:
-                session_id += 1
-            last_ts = ts_us
-            out_ts.append(ts)
-            out_sid.append(session_id)
+        chunks = [pdf["ts"] for pdf in rows]
+        all_ts = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ) if chunks else pd.Series([], dtype="datetime64[ns]")
+        all_ts = all_ts.sort_values(ignore_index=True)
+        n = len(all_ts)
+        if n:
+            # vectorized gap scan (r16, same shape as stateful.py's
+            # r15 rewrite): one int64 diff + cumsum instead of a
+            # per-event Python loop; .value semantics preserved (ns
+            # regardless of series unit)
+            us = all_ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            new_session = np.empty(n, dtype=bool)
+            new_session[0] = last_ts is None or us[0] - last_ts > self.gap_us
+            if n > 1:
+                np.greater(us[1:] - us[:-1], self.gap_us, out=new_session[1:])
+            sids = session_id + np.cumsum(new_session)
+            last_ts = int(us[-1])
+            session_id = int(sids[-1])
+        else:
+            sids = np.empty(0, dtype=np.int64)
         self.state.update((last_ts, session_id))
         yield pd.DataFrame(
-            {"user_id": key[0], "ts": out_ts, "session_id": out_sid}
+            {"user_id": key[0], "ts": all_ts, "session_id": sids}
         )
 
     def close(self) -> None:
@@ -121,9 +133,23 @@ def streaming_sessionize_tws(
     event starts over at session 1.
 
     Raises ``NotImplementedError`` where ``google.protobuf`` is
-    absent (this container): the transformWithState runtime cannot
-    initialize its state transport without it.  See the module
-    docstring; the processor logic itself is unit-tested here."""
+    absent: the transformWithState runtime cannot initialize its
+    state transport without it.  Since r16 this container HAS a
+    protobuf runtime (``tools/install_protobuf_shim.py`` installs the
+    machine's vendored pure-Python copy), so the e2e test runs.  The
+    operator additionally requires the **RocksDB state store
+    provider** (``spark.sql.streaming.stateStore.providerClass``):
+    transformWithState keeps named states in column families, which
+    the HDFS-backed provider rejects at query start.
+
+    Measured at the bench shape (r16, 2M events / 50k users / 4
+    batches, RocksDB, core-sized state partitions): t_replay 38.8 s vs
+    applyInPandasWithState's 26.6 s -- the per-key state-server RPCs
+    (exists/get/update round a socket per key per batch) plus the
+    pure-Python protobuf serialization cost MORE than the old API's
+    inline state columns at this group count, so the apip path remains
+    the bench/production default and this operator stays the
+    API-forward alternative."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:

@@ -594,6 +594,16 @@ def test_tws_sessionize_end_to_end_matches_batch(spark, tmp_path):
     )
     ev_long.write.mode("overwrite").parquet(pq)
 
+    # transformWithState keeps its states in named column families,
+    # which the HDFS-backed provider does not support -- RocksDB is a
+    # hard requirement of the operator (r16, first run of this test:
+    # the container gained a protobuf runtime this round)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     out = streaming_sessionize_tws(spark, pq, schema, gap_minutes=30)
     q = (
         out.writeStream.format("memory")
@@ -609,6 +619,10 @@ def test_tws_sessionize_end_to_end_matches_batch(spark, tmp_path):
         }
     finally:
         q.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
     batch = {
         (int(r["user_id"].replace("u", "")), r["ts"]): r["session_id"]
