@@ -255,6 +255,21 @@ def collect_exceptions(
     idx = F.col(ROW_ID_COL) if ROW_ID_COL in df.columns else F.lit(None).cast("long")
 
     structs: list[Column] = []
+    # r16 (guide SS1.2 per-task work): the explode below generates
+    # n_checks struct slots for EVERY row, but on a clean corpus only
+    # a handful of rows fail anything -- measured at the 10M close,
+    # the generate+filter blowup (10 slots x 5M sales rows) cost ~4 s
+    # per big dataset from a warm cache.  ``fail_conds`` collects the
+    # RAW check predicates (cheap column compares, no struct/array
+    # allocation, no string casts) so a pre-filter confines the
+    # generate to rows with at least one failure.  Row-set identical:
+    # a row reaches the exploded output iff some slot is non-null iff
+    # some predicate holds; NULL predicate results drop the row in the
+    # filter exactly as the all-null slot row was dropped after the
+    # explode.  Not the r11 "compact first" trap: the filter references
+    # the raw COLUMNS, not the computed struct array, so nothing is
+    # evaluated twice (the array builds only above the filter).
+    fail_conds: list[Column] = []
     for c in spec.not_null:
         if c in df.columns:
             raw = f"{RAW_PREFIX}{c}"
@@ -280,6 +295,8 @@ def collect_exceptions(
                         _exception_struct(c, "not_nullable", F.lit(None)),
                     )
                 )
+                # typed NULL covers both shadow-layout slots above
+                fail_conds.append(F.col(c).isNull())
                 continue
             structs.append(
                 F.when(
@@ -287,9 +304,11 @@ def collect_exceptions(
                     _exception_struct(c, "not_nullable", F.lit(None)),
                 )
             )
+            fail_conds.append(F.col(c).isNull())
     for chk in spec.checks:
         if chk.column in df.columns:
             structs.append(F.when(chk.fail, _exception_struct(chk.column, chk.name, F.col(chk.column))))
+            fail_conds.append(chk.fail)
 
     parts: list[DataFrame] = []
     if structs:
@@ -305,8 +324,12 @@ def collect_exceptions(
         # no filter is inferred, the array is evaluated exactly once,
         # and the n_checks-per-row generate blowup is codegen'd and
         # filtered in the same stage.
+        from functools import reduce as _reduce
+
+        fail_any = _reduce(lambda a, b: a | b, fail_conds)
         exploded = (
-            df.select(idx.alias("index"), F.array(*structs).alias("_checks"))
+            df.filter(fail_any)
+            .select(idx.alias("index"), F.array(*structs).alias("_checks"))
             .select("index", F.explode("_checks").alias("_e"))
             # nulls (passing checks) are dropped by explode only for
             # empty arrays; filter the per-element nulls explicitly
