@@ -22,7 +22,8 @@ def _clean_result() -> dict:
             "lakefed": {"t_close": 25.0, "verify": {"ok": True, "kpi_cells_match": True}},
             "skew_ratio": 1.03,
         },
-        "kmeans_k64": {"hof": 8.4, "arrow": 1.1, "max_centroid_delta": 0.0},
+        # r16 steady state (single-transform argmin): hof 3.5-3.7
+        "kmeans_k64": {"hof": 3.6, "arrow": 1.1, "max_centroid_delta": 0.0},
         "ann_1m": {
             "ann_1m_ivf": {
                 "t_build_lloyd_k64": 2.5, "t_probe_nprobe8": 1.24, "recall_at_10": 0.9812,
